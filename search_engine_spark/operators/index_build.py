@@ -1,0 +1,348 @@
+"""Inverted-index build: pages/docs DataFrame → postings + stats tables.
+
+Spark-first design (NOT a port of the reference's Map-of-Maps mutation):
+postings are built **relationally** — tokenize (JVM expression) → posexplode
+→ groupBy(field, term, doc_id) → (tf, sorted positions). The reference's
+``addToken`` mutation loop (ShardedInvertedIndex.ts:195-262) collapses into
+one shuffle with map-side partial aggregation; its doc-hash shards
+(ShardedInvertedIndex.ts:101-133) become term-hash bucket partitions of the
+output table so query-time term lookups prune to a single bucket instead of
+fanning out to every shard.
+
+Canonical indexing semantics (SURVEY.md §2.2 quirk note): single-pass,
+mappings-driven analyzer per field, tf = number of token occurrences in the
+field (== unique positions), dl = total tokens across all indexed fields of
+the doc (SearchEngine.ts:237-239), positions are per-field token offsets.
+
+Scale notes (100 TB / 10^12 docs):
+- tokenize+posexplode+groupBy is embarrassingly parallel; the single shuffle
+  keys on (field, term, doc_id) whose cardinality is ~total postings — no
+  skew (doc_id spreads head terms).
+- term_stats groupBy(field, term) IS head-term skewed, but it's a pure
+  count aggregate: map-side partial aggregation reduces each partition to
+  one row per term before the shuffle, so the reducer sees |vocab| rows.
+- the output is written partitioned by ``bucket = xxhash64(field, term) % B``
+  and sorted by (field, term, doc_id) within files: query-time term lookups
+  prune to one bucket (partition pruning) and parquet min/max zone maps on
+  the sorted ``term`` column skip most row groups within it.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzers import FIELD_TYPE_ANALYZER
+from ..analysis.spark import tokens_for
+
+POSTINGS = "postings"
+DOC_STATS = "doc_stats"
+TERM_STATS = "term_stats"
+META = "meta.json"
+MANIFEST = "build_manifest"
+RUNS = "runs"
+
+
+@dataclass
+class IndexConfig:
+    """Index schema: which columns to index and how.
+
+    ``fields`` maps column name -> reference field type (text | keyword |
+    email | url | phone); the analyzer is routed per type exactly like
+    SearchEngine.ts:939-954. Non-indexed columns (numbers, dates, geo) stay
+    queryable on the docs table itself (range/geo scan semantics, SURVEY Q8/Q9).
+    """
+
+    id_col: str = "doc_id"
+    fields: dict = dc_field(default_factory=lambda: {"text": "text"})
+    n_buckets: int = 32
+    positions: bool = True
+    stopwords: tuple = ()
+
+    def analyzer_for(self, field: str) -> str:
+        return FIELD_TYPE_ANALYZER.get(self.fields[field], "standard")
+
+
+class InvertedIndex:
+    """Handle on the built index tables + broadcastable collection stats."""
+
+    def __init__(self, postings: DataFrame, doc_stats: DataFrame,
+                 term_stats: DataFrame, total_docs: int, avg_dl: float,
+                 config: IndexConfig):
+        self.postings = postings
+        self.doc_stats = doc_stats
+        self.term_stats = term_stats
+        self.total_docs = total_docs
+        self.avg_dl = avg_dl
+        self.config = config
+
+    @property
+    def text_fields(self) -> list:
+        """Fields that participate in ``field:'*'`` fan-out — all text-like
+        indexed fields (QueryProcessor.ts:148-160 via MappingsManager)."""
+        return [f for f, t in self.config.fields.items()
+                if t in ("text", "keyword", "email", "url", "phone")]
+
+
+def _is_array_field(docs: DataFrame, f: str) -> bool:
+    # resolves dotted struct paths too (e.g. meta.tags -> array<string>)
+    return docs.select(F.col(f)).schema[0].dataType.typeName() == "array"
+
+
+def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
+    """docs → one row per token occurrence: (doc_id, field, pos, term).
+
+    One select per indexed field (JVM tokenizer expression + posexplode),
+    unioned. Catalyst prunes each branch's scan to (id, that field).
+
+    Array<string> fields mirror the reference's per-element indexing
+    (SearchEngine.ts:902-919): each element is tokenized with the standard
+    analyzer and positions RESTART per element; addToken dedups positions, so
+    tf = |unique positions| — replicated downstream via collect_set(pos).
+    """
+    parts = []
+    for f in config.fields:
+        if _is_array_field(docs, f):
+            exploded = docs.select(F.col(config.id_col).alias("doc_id"),
+                                   F.explode(f).alias("_elem"))
+            parts.append(
+                exploded.select(
+                    "doc_id",
+                    F.lit(f).alias("field"),
+                    F.posexplode(tokens_for(F.col("_elem"), "standard"))
+                     .alias("pos", "term"),
+                )
+            )
+        else:
+            toks = tokens_for(F.col(f), config.analyzer_for(f))
+            parts.append(
+                docs.select(
+                    F.col(config.id_col).alias("doc_id"),
+                    F.lit(f).alias("field"),
+                    F.posexplode(toks).alias("pos", "term"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
+    """(field, term, doc_id, tf, positions) — the row-expanded posting table.
+
+    tf = number of UNIQUE in-field positions (canonical semantics: the
+    reference dedups positions in addToken, ShardedInvertedIndex.ts:219-224,
+    and termFrequency returns positions.length)."""
+    rows = tokenize_to_rows(docs, config)
+    pos_set = F.sort_array(F.collect_set("pos"))
+    aggs = [F.size(F.collect_set("pos")).alias("tf")]
+    if config.positions:
+        aggs.append(pos_set.alias("positions"))
+    return rows.groupBy("field", "term", "doc_id").agg(*aggs)
+
+
+def build_doc_stats(docs: DataFrame, config: IndexConfig) -> DataFrame:
+    """(doc_id, dl): dl = total token count across SCALAR indexed fields —
+    the reference's allTokens only accumulates scalar-field tokens
+    (SearchEngine.ts:894-898; array elements are indexed but not counted).
+    Includes zero-token docs (docLengths is set for every added doc)."""
+    dl = F.lit(0)
+    for f in config.fields:
+        if _is_array_field(docs, f):
+            continue
+        n = F.size(tokens_for(F.col(f), config.analyzer_for(f)))
+        n = F.when(n < 0, 0).otherwise(n)  # size() is -1 for null arrays
+        dl = dl + n
+    return docs.select(F.col(config.id_col).alias("doc_id"),
+                       dl.cast("long").alias("dl"))
+
+
+def build_term_stats(postings: DataFrame) -> DataFrame:
+    """(field, term, df). Head-term skew is absorbed by map-side partial
+    aggregation (one row per term per map partition reaches the shuffle)."""
+    return postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"))
+
+
+def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
+    """Ephemeral (in-session) index build — used by tests and the
+    correctness-gate queries at small SF. For persisted, resumable builds
+    use :func:`write_index` / :func:`build_index_resumable`."""
+    postings = build_postings(docs, config)
+    doc_stats = build_doc_stats(docs, config)
+    stats = doc_stats.agg(F.count(F.lit(1)).alias("n"),
+                          F.avg("dl").alias("avgdl")).collect()[0]
+    term_stats = build_term_stats(postings)
+    return InvertedIndex(postings, doc_stats, term_stats,
+                         int(stats["n"]), float(stats["avgdl"] or 0.0), config)
+
+
+def _bucket_col(config: IndexConfig):
+    return F.pmod(F.xxhash64(F.col("field"), F.col("term")),
+                  F.lit(config.n_buckets)).cast("int").alias("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Persisted layout (Iceberg-shaped over plain parquet: no Iceberg jars ship in
+# this sandbox, so snapshot atomicity is approximated by staging dirs + a
+# manifest; on a real cluster swap the writes for Iceberg `writeTo(...)` with
+# bucket(term) partitioning and the manifest for snapshot summary metadata).
+# ---------------------------------------------------------------------------
+
+def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
+    """Single-shot persisted build. Returns build metrics."""
+    spark = docs.sparkSession
+    t0 = time.time()
+    postings = build_postings(docs, config).withColumn("bucket", _bucket_col(config))
+    (postings.repartition(config.n_buckets, "bucket")
+     .sortWithinPartitions("field", "term", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(index_dir, POSTINGS)))
+
+    doc_stats = build_doc_stats(docs, config)
+    doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+
+    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    build_term_stats(postings_r).write.mode("overwrite").parquet(
+        os.path.join(index_dir, TERM_STATS))
+
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
+    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_postings = postings_r.count()
+    elapsed = time.time() - t0
+    meta = {
+        "total_docs": int(stats["n"]),
+        "avg_dl": float(stats["avgdl"] or 0.0),
+        "n_postings": n_postings,
+        "id_col": config.id_col,
+        "fields": config.fields,
+        "n_buckets": config.n_buckets,
+        "positions": config.positions,
+        "build_seconds": elapsed,
+        "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
+        "postings_per_sec": n_postings / elapsed if elapsed else None,
+    }
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    with open(os.path.join(index_dir, META)) as fh:
+        meta = json.load(fh)
+    config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
+                         n_buckets=meta["n_buckets"], positions=meta["positions"])
+    return InvertedIndex(
+        spark.read.parquet(os.path.join(index_dir, POSTINGS)),
+        spark.read.parquet(os.path.join(index_dir, DOC_STATS)),
+        spark.read.parquet(os.path.join(index_dir, TERM_STATS)),
+        meta["total_docs"], meta["avg_dl"], config)
+
+
+# ---------------------------------------------------------------------------
+# Resumable chunked build: construction (per doc-chunk posting runs, each
+# committed with a manifest entry carrying lineage + metrics) then merge
+# (runs → term-bucket-partitioned global index). Chunks are disjoint in
+# doc_id, so the merge is a pure repartition-by-term — the classic external
+# posting-list merge, resumable at chunk grain (north_rule).
+# ---------------------------------------------------------------------------
+
+def _manifest_path(index_dir: str, chunk: int) -> str:
+    return os.path.join(index_dir, MANIFEST, f"chunk-{chunk:05d}.json")
+
+
+def completed_chunks(index_dir: str) -> set:
+    mdir = os.path.join(index_dir, MANIFEST)
+    if not os.path.isdir(mdir):
+        return set()
+    done = set()
+    for name in os.listdir(mdir):
+        if name.startswith("chunk-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                entry = json.load(fh)
+            if entry.get("status") == "committed":
+                done.add(entry["chunk"])
+    return done
+
+
+def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
+                          n_chunks: int = 8, fail_after_chunk: int | None = None) -> dict:
+    """Chunked, checkpoint-resumable persisted build.
+
+    Phase 1 (construction): docs are split into ``n_chunks`` by doc-id hash;
+    each chunk's postings run is written to ``runs/chunk=i`` and committed
+    with a manifest entry (lineage: chunk predicate, row counts, timings).
+    Already-committed chunks are skipped on resume.
+
+    Phase 2 (merge): all runs are shuffle-merged into the final
+    term-bucket-partitioned postings table + stats, then meta is written.
+
+    ``fail_after_chunk`` injects a crash for the kill/resume tests.
+    """
+    spark = docs.sparkSession
+    os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
+    done = completed_chunks(index_dir)
+    t0 = time.time()
+    chunk_hash = F.pmod(F.xxhash64(F.col(config.id_col).cast("string")),
+                        F.lit(n_chunks)).cast("int")
+
+    for i in range(n_chunks):
+        if i in done:
+            continue
+        tc = time.time()
+        chunk_docs = docs.where(chunk_hash == i)
+        run_path = os.path.join(index_dir, RUNS, f"chunk={i}")
+        postings = build_postings(chunk_docs, config)
+        postings.write.mode("overwrite").parquet(run_path)
+        ds = build_doc_stats(chunk_docs, config)
+        ds.write.mode("overwrite").parquet(
+            os.path.join(index_dir, RUNS, f"doc_stats_chunk={i}"))
+        n_docs = ds.count()
+        entry = {
+            "chunk": i, "status": "committed", "n_docs": n_docs,
+            "predicate": f"xxhash64(cast({config.id_col} as string)) % {n_chunks} == {i}",
+            "run_path": run_path, "seconds": time.time() - tc,
+            "docs_per_sec": n_docs / max(time.time() - tc, 1e-9),
+        }
+        with open(_manifest_path(index_dir, i), "w") as fh:
+            json.dump(entry, fh, indent=1)
+        if fail_after_chunk is not None and i >= fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {i}")
+
+    # Phase 2: merge runs -> global term-partitioned index.
+    runs = spark.read.option("basePath", os.path.join(index_dir, RUNS)).parquet(
+        *[os.path.join(index_dir, RUNS, f"chunk={i}") for i in range(n_chunks)])
+    runs = runs.drop("chunk").withColumn("bucket", _bucket_col(config))
+    (runs.repartition(config.n_buckets, "bucket")
+     .sortWithinPartitions("field", "term", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(index_dir, POSTINGS)))
+
+    all_ds = spark.read.parquet(
+        *[os.path.join(index_dir, RUNS, f"doc_stats_chunk={i}") for i in range(n_chunks)])
+    all_ds.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+
+    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    build_term_stats(postings_r).write.mode("overwrite").parquet(
+        os.path.join(index_dir, TERM_STATS))
+
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
+    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    meta = {
+        "total_docs": int(stats["n"]),
+        "avg_dl": float(stats["avgdl"] or 0.0),
+        "n_postings": postings_r.count(),
+        "id_col": config.id_col, "fields": config.fields,
+        "n_buckets": config.n_buckets, "positions": config.positions,
+        "n_chunks": n_chunks, "build_seconds": time.time() - t0,
+    }
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
