@@ -1,38 +1,509 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every implemented operator from SURVEY.md §2 (+ the training-data-pipeline
+operators) gets a ``queries()`` entry (Spark plan) and an ``oracle_sql()``
+entry (the same semantics in ANSI SQL for DuckDB). Floating-point parity
+discipline: both sides spell the identical double-precision expression tree
+(same literals, same fold order) and ROUND(x, 6) computed values, so the
+driver's value-hash comparison is exact.
+
+The documents corpus tokenizes under the engine's standard analyzer
+(analysis/spark.py, byte-parity-tested vs the reference Tokenizer.ts:176-192)
+to the same token stream as ``list_filter(string_split(text, ' '),
+x -> len(x) > 1)`` — its text is pure ``[a-z ]`` — which keeps the SQL
+oracles honest without re-implementing the full regex chain in SQL.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from search_engine_spark.functions.hashing import (MINHASH_A, MINHASH_B, P,
+                                                   h60_sql, minhash_sql,
+                                                   shingles_sql)
+from search_engine_spark.operators import aggregations as agg
+from search_engine_spark.operators import dedup, multimodal, similarity
+from search_engine_spark.operators.index_build import IndexConfig, build_index
+from search_engine_spark.functions import textstats
+from search_engine_spark.plans.dsl import SparkSearchEngine
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# cached per-sf engine (the index tables are reused across queries)
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
+    key = sf_dir
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = _docs(spark, sf_dir)
+    config = IndexConfig(id_col="doc_id", fields={"text": "text"}, n_buckets=8)
+    idx = build_index(docs, config)
+    idx.postings = idx.postings.cache()
+    idx.doc_stats = idx.doc_stats.cache()
+    idx.term_stats = idx.term_stats.cache()
+    eng = SparkSearchEngine(idx, docs)
+    _CACHE[key] = eng
+    return eng
+
+
+def _topk(eng: SparkSearchEngine, q, k: int = 10) -> DataFrame:
+    """Round-then-rank so the oracle's ORDER BY on rounded scores selects the
+    identical top-k set at the LIMIT boundary."""
+    s = eng.search_scored(q).withColumn("score", F.round("score", 6))
+    return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _members(eng: SparkSearchEngine, q) -> DataFrame:
+    return eng.candidates(q).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for {match: {text: 'data'}} on sf0.001."""
+    eng = _engine(spark, SF_SMOKE)
+    return _topk(eng, {"match": {"field": "text", "value": "data"}})
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- search DSL over the inverted index (SURVEY §2.3-§2.5) -------------
+    q["bm25_match"] = lambda s, d: _topk(
+        _engine(s, d), {"match": {"field": "text", "value": "data"}})
+    q["bm25_should_two"] = lambda s, d: _topk(
+        _engine(s, d), {"bool": {"should": [
+            {"match": {"field": "text", "value": "data"}},
+            {"match": {"field": "text", "value": "query"}}]}})
+    q["term_docs"] = lambda s, d: _members(
+        _engine(s, d), {"term": {"field": "text", "value": "vector"}})
+    q["bool_must"] = lambda s, d: _members(
+        _engine(s, d), {"bool": {"must": [
+            {"term": {"field": "text", "value": "hash"}},
+            {"term": {"field": "text", "value": "join"}}]}})
+    q["bool_must_not"] = lambda s, d: _members(
+        _engine(s, d), {"bool": {
+            "must": [{"term": {"field": "text", "value": "data"}}],
+            "must_not": [{"term": {"field": "text", "value": "slow"}}]}})
+    q["bool_should_msm"] = lambda s, d: _members(
+        _engine(s, d), {"bool": {
+            "must": [{"term": {"field": "text", "value": "data"}}],
+            "should": [{"term": {"field": "text", "value": "vector"}},
+                       {"term": {"field": "text", "value": "stream"}},
+                       {"term": {"field": "text", "value": "dup"}}],
+            "minimum_should_match": 2}})
+    q["prefix_docs"] = lambda s, d: _members(
+        _engine(s, d), {"prefix": {"field": "text", "value": "sca"}})
+    q["wildcard_docs"] = lambda s, d: _members(
+        _engine(s, d), {"wildcard": {"field": "text", "value": "c*r"}})
+    q["fuzzy_docs"] = lambda s, d: _members(
+        _engine(s, d), {"fuzzy": {"field": "text", "value": "quary"}})
+    q["phrase_exact"] = lambda s, d: _members(
+        _engine(s, d), {"match_phrase": {"field": "text", "value": "table scan"}})
+    q["phrase_slop"] = lambda s, d: _members(
+        _engine(s, d), {"match_phrase": {"field": "text",
+                                         "value": "group order", "slop": 1}})
+    q["range_nchars"] = lambda s, d: _members(
+        _engine(s, d), {"range": {"field": "n_chars", "gte": 100, "lte": 300}})
+    q["match_all_count"] = lambda s, d: _engine(s, d).candidates(
+        {"match_all": {}}).agg(F.count(F.lit(1)).alias("n_docs"))
+
+    # -- facets / aggregations (SURVEY §2.6) --------------------------------
+    q["agg_terms_lang"] = lambda s, d: agg.terms_agg(
+        _docs(s, d), "lang",
+        hits=_engine(s, d).candidates({"term": {"field": "text", "value": "dup"}}))
+    q["agg_histogram_nchars"] = lambda s, d: agg.histogram_agg(
+        _docs(s, d), "n_chars", 50.0)
+    q["agg_range_nchars"] = lambda s, d: agg.range_agg(
+        _docs(s, d), "n_chars",
+        [{"to": 150}, {"from": 150, "to": 300}, {"from": 300}])
+    q["agg_filter_source_en"] = lambda s, d: agg.filter_agg(
+        _docs(s, d), F.col("lang") == "en",
+        lambda scoped: agg.terms_agg(scoped, "source", size=5))
+    q["agg_date_histogram_events"] = lambda s, d: agg.date_histogram_agg(
+        _events(s, d).withColumnRenamed("event_id", "doc_id"), "ts", "day")
+
+    def _sessionize(s, d):
+        ev = _events(s, d)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        prev = F.lag(us).over(w)
+        new_sess = F.when(
+            prev.isNull() | ((us - prev) > 1_800_000_000),
+            F.lit(1)).otherwise(F.lit(0))
+        return (ev.select("user_id", new_sess.alias("ns"))
+                .groupBy("user_id").agg(F.sum("ns").cast("long").alias("n_sessions"))
+                .orderBy("user_id"))
+    q["ev_sessionize"] = _sessionize
+
+    # -- text analysis (training-data pipeline) -----------------------------
+    q["ta_token_counts"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        textstats.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        textstats.analyzer_token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+    q["ta_quality_lang"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        textstats.quality_score(F.col("text"), F.col("n_chars")).alias("quality"),
+        textstats.lang_id(F.col("text")).alias("pred_lang"))
+    q["ta_fingerprints"] = lambda s, d: _docs(s, d).select(
+        "doc_id",
+        textstats.content_fingerprint(F.col("text")).alias("content_fp"),
+        textstats.shingle_fingerprint(F.col("text")).alias("shingle_fp"))
+
+    # -- deduplication -------------------------------------------------------
+    q["dd_exact"] = lambda s, d: dedup.exact_duplicates(_docs(s, d)).orderBy("doc_id")
+    q["dd_minhash_sigs"] = lambda s, d: dedup.minhash_signatures(_docs(s, d), k=8)
+    q["dd_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_dedup(
+        _docs(s, d), threshold=0.5).orderBy("a_id", "b_id")
+    q["dd_simhash"] = lambda s, d: dedup.simhash16(_docs(s, d)).orderBy("doc_id")
+
+    # -- embedding similarity ------------------------------------------------
+    def _qvec(s, d):
+        return [float(x) for x in
+                _emb(s, d).where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    def _planes(s, d):
+        rows = (_emb(s, d).where(F.col("vec_id").between(1, 8))
+                .orderBy("vec_id").collect())
+        return [[float(x) for x in r["embedding"]] for r in rows]
+
+    q["sim_topk_cosine"] = lambda s, d: similarity.brute_force_topk(
+        _emb(s, d), _qvec(s, d), k=10, exclude_id=0)
+    q["sim_lsh_topk"] = lambda s, d: similarity.lsh_topk(
+        _emb(s, d), _qvec(s, d), _planes(s, d), k=10, exclude_id=0)
+    q["dd_embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
+        _emb(s, d), _planes(s, d), threshold=0.4).orderBy("a_id", "b_id")
+
+    # -- multimodal plumbing --------------------------------------------------
+    q["mm_binary_meta"] = lambda s, d: multimodal.binary_metadata(
+        multimodal.synth_payloads(_docs(s, d))).orderBy("doc_id")
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect kept ANSI where possible)
+# ---------------------------------------------------------------------------
+
+# the standard analyzer collapses to split+len>1 on this corpus ([a-z ] text)
+TOK = "list_filter(string_split(text, ' '), x -> len(x) > 1)"
+WS_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _bm25_sql(terms: list, k: int = 10) -> str:
+    """BM25 top-k oracle for an OR-of-terms query, mirroring the engine's
+    expression tree: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2, b=0.75,
+    per-doc score = fold over terms in sorted order."""
+    terms = sorted(terms)
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(terms)))
+    score_terms = []
+    for i in range(len(terms)):
+        idf = (f"ln((g.n::DOUBLE - d.df_{i}::DOUBLE + 0.5::DOUBLE) / "
+               f"(d.df_{i}::DOUBLE + 0.5::DOUBLE) + 1.0::DOUBLE)")
+        num = f"(s.tf_{i}::DOUBLE * (1.2::DOUBLE + 1.0::DOUBLE))"
+        den = (f"(s.tf_{i}::DOUBLE + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + "
+               f"0.75::DOUBLE * (s.dl::DOUBLE / g.avgdl)))")
+        s_i = f"GREATEST(0.0::DOUBLE, 1.0::DOUBLE * {idf} * ({num} / {den}))"
+        score_terms.append(f"(CASE WHEN s.tf_{i} > 0 THEN {s_i} ELSE 0.0::DOUBLE END)")
+    score = " + ".join(["0.0::DOUBLE"] + score_terms)
+    where = " OR ".join(f"s.tf_{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+s AS (SELECT doc_id, len(toks)::BIGINT AS dl, {tf_cols} FROM t),
+g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM s),
+d AS (SELECT {df_cols} FROM s)
+SELECT s.doc_id AS doc_id, ROUND({score}, 6) AS score
+FROM s, g, d WHERE {where}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _members_sql(tok_pred: str) -> str:
+    """Docs whose token array satisfies ``tok_pred`` (over alias ``toks``)."""
+    return (f"WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents) "
+            f"SELECT doc_id FROM t WHERE {tok_pred} ORDER BY doc_id")
+
+
+def _phrase_sql(w1: str, w2: str, slop: int) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS term,
+             unnest(generate_series(0, len(toks) - 1)) AS pos FROM t)
+SELECT DISTINCT a.doc_id AS doc_id
+FROM u a JOIN u b ON a.doc_id = b.doc_id
+WHERE a.term = '{w1}' AND b.term = '{w2}'
+  AND (b.pos - a.pos) BETWEEN 1 AND {slop + 1}
+ORDER BY doc_id
+"""
+
+
+def _minhash_cte(k: int = 8) -> str:
+    """CTEs producing sig(doc_id, mh0..mh{k-1}) from documents."""
+    sh = shingles_sql("toks", 3)
+    mh_cols = ", ".join(f"{minhash_sql('hh', i)} AS mh{i}" for i in range(k))
+    return f"""
+t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform({sh}, s -> {h60_sql('s')}) AS hh FROM t),
+sig AS (SELECT doc_id, {mh_cols} FROM h)
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Index-ordered left-fold dot product of two FLOAT[] expressions."""
+    return (f"list_reduce(list_transform(generate_series(1, 64), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(acc, x) -> acc + x)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / "
+            f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))")
+
+
+_LANG_SQL_COUNTS = {
+    lang: ("len(list_filter(toks, x -> list_contains(["
+           + ", ".join(f"'{w}'" for w in words) + "], x)))::BIGINT")
+    for lang, words in textstats.LANG_MARKERS.items()
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["bm25_match"] = _bm25_sql(["data"])
+    o["bm25_should_two"] = _bm25_sql(["data", "query"])
+    o["term_docs"] = _members_sql("list_contains(toks, 'vector')")
+    o["bool_must"] = _members_sql(
+        "list_contains(toks, 'hash') AND list_contains(toks, 'join')")
+    o["bool_must_not"] = _members_sql(
+        "list_contains(toks, 'data') AND NOT list_contains(toks, 'slow')")
+    o["bool_should_msm"] = _members_sql(
+        "list_contains(toks, 'data') AND "
+        "(list_contains(toks, 'vector')::INT + list_contains(toks, 'stream')::INT"
+        " + list_contains(toks, 'dup')::INT) >= 2")
+    o["prefix_docs"] = _members_sql(
+        "len(list_filter(toks, x -> x LIKE 'sca%')) > 0")
+    o["wildcard_docs"] = _members_sql(
+        "len(list_filter(toks, x -> regexp_full_match(x, 'c.*r'))) > 0")
+    o["fuzzy_docs"] = _members_sql(
+        "len(list_filter(toks, x -> levenshtein(x, 'quary') <= 2)) > 0")
+    o["phrase_exact"] = _phrase_sql("table", "scan", 0)
+    o["phrase_slop"] = _phrase_sql("group", "order", 1)
+    o["range_nchars"] = ("SELECT doc_id FROM documents "
+                         "WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id")
+    o["match_all_count"] = "SELECT count(*)::BIGINT AS n_docs FROM documents"
+
+    o["agg_terms_lang"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+hits AS (SELECT doc_id FROM t WHERE list_contains(toks, 'dup'))
+SELECT lang AS value, count(*)::BIGINT AS doc_count
+FROM documents JOIN hits USING (doc_id)
+WHERE lang IS NOT NULL
+GROUP BY lang ORDER BY doc_count DESC, value ASC LIMIT 10
+"""
+    o["agg_histogram_nchars"] = """
+SELECT (floor(n_chars / 50.0::DOUBLE) * 50.0::DOUBLE)::DOUBLE AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1 ORDER BY bucket
+"""
+    o["agg_range_nchars"] = """
+SELECT '*-150' AS key, count(*)::BIGINT AS doc_count FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars < 150
+UNION ALL
+SELECT '150-300' AS key, count(*)::BIGINT AS doc_count FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 150 AND n_chars < 300
+UNION ALL
+SELECT '300-*' AS key, count(*)::BIGINT AS doc_count FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars >= 300
+"""
+    o["agg_filter_source_en"] = """
+SELECT source AS value, count(*)::BIGINT AS doc_count
+FROM documents WHERE lang = 'en' AND source IS NOT NULL
+GROUP BY source ORDER BY doc_count DESC, value ASC LIMIT 5
+"""
+    o["agg_date_histogram_events"] = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*)::BIGINT AS doc_count
+FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY bucket
+"""
+    o["ev_sessionize"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT user_id,
+       sum(CASE WHEN prev IS NULL OR (us - prev) > 1800000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+FROM e GROUP BY user_id ORDER BY user_id
+"""
+
+    o["ta_token_counts"] = f"""
+SELECT doc_id,
+       len({WS_TOK})::BIGINT AS n_ws_tokens,
+       len({TOK})::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+         AS n_bpe_tokens
+FROM documents
+"""
+    lang_case = (
+        "CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'en' "
+        "WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en' "
+        "WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de' "
+        "WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr' "
+        "ELSE 'es' END")
+    o["ta_quality_lang"] = f"""
+WITH t AS (SELECT doc_id, n_chars, text, {TOK} AS toks FROM documents),
+c AS (SELECT doc_id,
+             len(toks)::DOUBLE AS n_tok,
+             len({WS_TOK})::DOUBLE AS n_ws,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x)))::DOUBLE AS stops,
+             n_chars,
+             {_LANG_SQL_COUNTS['en']} AS c_en,
+             {_LANG_SQL_COUNTS['de']} AS c_de,
+             {_LANG_SQL_COUNTS['fr']} AS c_fr,
+             {_LANG_SQL_COUNTS['es']} AS c_es
+      FROM t)
+SELECT doc_id,
+       ROUND(0.5::DOUBLE * LEAST(n_tok / 200.0::DOUBLE, 1.0::DOUBLE)
+           + 0.3::DOUBLE * (1.0::DOUBLE -
+               CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0::DOUBLE END)
+           + 0.2::DOUBLE * LEAST(
+               (CASE WHEN n_ws > 0 THEN n_chars::DOUBLE / n_ws
+                     ELSE 0.0::DOUBLE END) / 8.0::DOUBLE, 1.0::DOUBLE), 6)
+         AS quality,
+       {lang_case} AS pred_lang
+FROM c
+"""
+    sh3 = shingles_sql("toks", 3)
+    o["ta_fingerprints"] = f"""
+WITH t AS (SELECT doc_id, text, {TOK} AS toks FROM documents),
+h AS (SELECT doc_id, text,
+             list_transform({sh3}, s -> {h60_sql('s')}) AS hh FROM t)
+SELECT doc_id, md5(text) AS content_fp, {minhash_sql('hh', 0)} AS shingle_fp
+FROM h
+"""
+
+    o["dd_exact"] = """
+SELECT doc_id, md5(text) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))::INT AS is_dup
+FROM documents ORDER BY doc_id
+"""
+    mh_cte = _minhash_cte(8)
+    o["dd_minhash_sigs"] = f"WITH {mh_cte} SELECT * FROM sig"
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, concat({j}, ':', mh{2 * j}, ':', mh{2 * j + 1}) AS band_key FROM sig"
+        for j in range(4))
+    o["dd_lsh_pairs"] = f"""
+WITH {mh_cte},
+bands AS ({bands_union}),
+bs AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key),
+bok AS (SELECT b.doc_id, b.band_key FROM bands b JOIN bs USING (band_key)
+        WHERE bs.n <= 1000),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bok a JOIN bok b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, list_distinct({sh3}) AS sh FROM t),
+v AS (SELECT a_id, b_id,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter,
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS uni
+      FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+SELECT a_id, b_id,
+       ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0::DOUBLE END, 6) AS jaccard
+FROM v
+WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0::DOUBLE END, 6) >= 0.5::DOUBLE
+ORDER BY a_id, b_id
+"""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16))
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    o["dd_simhash"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+hh AS (SELECT doc_id, {h60_sql('term')} AS h FROM u),
+s AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(({bits})::BIGINT, 0::BIGINT) AS simhash
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+    o["sim_topk_cosine"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
+FROM embeddings e, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    bucket_sql = f"""
+p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 8),
+b AS (SELECT e.vec_id,
+             sum(CASE WHEN {_dot_sql('e.embedding', 'p.pe')} > 0.0::DOUBLE
+                      THEN (1 << (p.pid - 1)::INT) ELSE 0 END)::INT AS bucket
+      FROM embeddings e CROSS JOIN p GROUP BY e.vec_id)
+"""
+    o["sim_lsh_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{bucket_sql},
+qb AS (SELECT bucket FROM b WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
+FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q, qb
+WHERE b.bucket = qb.bucket AND e.vec_id <> 0
+ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+    o["dd_embedding_neardup"] = f"""
+WITH {bucket_sql}
+SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+       ROUND({_cos_sql('a.embedding', 'b2.embedding')}, 6) AS cos
+FROM embeddings a JOIN b ba ON a.vec_id = ba.vec_id
+     JOIN b bb ON TRUE
+     JOIN embeddings b2 ON b2.vec_id = bb.vec_id
+WHERE ba.bucket = bb.bucket AND a.vec_id < b2.vec_id
+  AND ROUND({_cos_sql('a.embedding', 'b2.embedding')}, 6) >= 0.4::DOUBLE
+ORDER BY a_id, b_id
+"""
+
+    o["mm_binary_meta"] = """
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 8
+             ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN '89504e47'
+            ELSE lower(hex(encode(substr(text, 1, 4)))) END AS magic,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+            ELSE 'application/octet-stream' END AS mime
+FROM documents ORDER BY doc_id
+"""
+    return o

@@ -1,0 +1,132 @@
+"""Benchmark harness (driver contract): one JSON line on stdout.
+
+Measures the two headline numbers from BASELINE.json's metric:
+  - index-build throughput (docs/sec) over the synthetic Common-Crawl-style
+    ``pages`` corpus (BENCH_PAGES rows, default 100k — the sf testdata
+    documents table is only 5k rows at sf0.1, too small to saturate cores),
+  - BM25 top-10 query latency p50 over a head/tail/bool/phrase/fuzzy query
+    mix against the persisted index,
+plus the training-data-pipeline ops (MinHash-LSH dedup, cosine top-k) on the
+driver-provided sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_PAGES (default 100000).
+
+Scaling-efficiency evidence (N vs 4N executors) lives in
+tools/bench_scaling.py, which runs this same workload at local[8] and
+local[32] in separate JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from search_engine_spark.operators import dedup, similarity  # noqa: E402
+from search_engine_spark.operators.index_build import (  # noqa: E402
+    IndexConfig, load_index, write_index)
+from search_engine_spark.plans.dsl import SparkSearchEngine  # noqa: E402
+from search_engine_spark.session import get_spark  # noqa: E402
+from search_engine_spark.sources.synth import synth_pages  # noqa: E402
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---- index build over the pages corpus (write + stats, end-to-end) ----
+    index_dir = tempfile.mkdtemp(prefix="se_bench_idx_")
+    try:
+        pages = synth_pages(spark, n_pages, partitions=2 * cpus) \
+            .withColumn("doc_id", F.xxhash64("url"))
+        config = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                             n_buckets=2 * cpus)
+        t0 = time.time()
+        meta = write_index(pages, index_dir, config)
+        build_s = time.time() - t0
+        queries["index_build"] = round(build_s, 3)
+        docs_per_sec = n_pages / build_s
+
+        # ---- query latency over the persisted index ----
+        idx = load_index(spark, index_dir)
+        idx.term_stats = idx.term_stats.cache()
+        idx.term_stats.count()
+        docs = pages.select("doc_id", "text", "lang", "warc_ts")
+        eng = SparkSearchEngine(idx, docs)
+
+        top_terms = [r["term"] for r in idx.term_stats
+                     .orderBy(F.desc("df"), F.asc("term")).limit(3).collect()]
+        tail_term = idx.term_stats.where(F.col("df").between(5, 50)) \
+            .orderBy("term").limit(1).collect()[0]["term"]
+        mix = {
+            "q_match_head": {"match": {"field": "text", "value": top_terms[0]}},
+            "q_match_tail": {"match": {"field": "text", "value": tail_term}},
+            "q_bool_must": {"bool": {"must": [
+                {"term": {"field": "text", "value": top_terms[1]}},
+                {"term": {"field": "text", "value": top_terms[2]}}]}},
+            "q_should_msm": {"bool": {"should": [
+                {"term": {"field": "text", "value": top_terms[0]}},
+                {"term": {"field": "text", "value": top_terms[1]}},
+                {"term": {"field": "text", "value": tail_term}}],
+                "minimum_should_match": 2}},
+            "q_phrase": {"match_phrase": {
+                "field": "text", "value": f"{top_terms[0]} {top_terms[1]}"}},
+            "q_fuzzy": {"fuzzy": {"field": "text", "value": top_terms[0]}},
+        }
+        lat = []
+        for name, q in mix.items():
+            t0 = time.time()
+            eng.search(q, size=10).collect()
+            dt_q = time.time() - t0
+            queries[name] = round(dt_q, 3)
+            lat.append(dt_q)
+        p50 = statistics.median(lat)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    # ---- pipeline ops on the driver-provided sf tables ----
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    dedup.minhash_lsh_dedup(docs_tbl, threshold=0.5).count()
+    queries["dd_lsh_pairs"] = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    t0 = time.time()
+    similarity.brute_force_topk(emb, qvec, k=10, exclude_id=0).collect()
+    queries["sim_topk"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_all
+    print(json.dumps({
+        "metric": "bench_total_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_pages": n_pages,
+        "cpus": cpus,
+        "index_docs_per_sec": round(docs_per_sec, 1),
+        "index_postings_per_sec": round(meta["postings_per_sec"] or 0, 1),
+        "query_p50_sec": round(p50, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+Not in the reference (its analysis layer stops at tokenization,
+Tokenizer.ts); these are the per-document quality/statistics passes a
+training-data pipeline runs over a web corpus before indexing. Everything is
+a pure column expression (whole-stage codegen; zero Python per row) except
+nothing — even language ID is a marker-count argmax expression.
+
+Determinism: all formulas are rational arithmetic over counts (+ one md5),
+so ANSI-SQL oracles reproduce them bit-identically after ROUND(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.spark import tokens_for
+from ..functions.hashing import h60, minhash_col, shingles_col
+
+#: Stopword-marker profiles for the n-gram/marker language heuristic.
+#: Tiny on purpose: the point is the distributed argmax plumbing; swap in
+#: full frequency profiles for production use.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic argmax tie-break
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (split on runs of whitespace, trimmed)."""
+    t = F.trim(F.regexp_replace(text, r"\s+", " "))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).cast("long")
+
+
+def analyzer_token_count(text: Column, analyzer: str = "standard") -> Column:
+    """Token count under an index analyzer (standard by default)."""
+    return F.size(tokens_for(text, analyzer)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-style pre-tokenizer count: runs of letters | digits | single
+    non-space symbol (the GPT-2-ish pretokenizer shape, regex-only)."""
+    return F.size(F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+
+
+def stopword_count(toks: Column, stopwords: list) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(stopwords))).cast("long")
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Deterministic [0,1] quality score from length / stopword / word-shape
+    ratios (the usual web-text quality ladder, c4-style heuristics):
+
+        0.5 * min(n_tok/200, 1)            -- enough content
+      + 0.3 * (1 - stop_ratio)             -- not stopword soup
+      + 0.2 * min(avg_word_len/8, 1)       -- real words, not fragments
+    """
+    toks = tokens_for(text)
+    n_tok = F.size(toks).cast("double")
+    n_ws = ws_token_count(text).cast("double")
+    stops = stopword_count(toks, LANG_MARKERS["en"]).cast("double")
+    stop_ratio = F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0))
+    avg_wlen = F.when(n_ws > 0, n_chars.cast("double") / n_ws).otherwise(F.lit(0.0))
+    score = (F.lit(0.5) * F.least(n_tok / F.lit(200.0), F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+             + F.lit(0.2) * F.least(avg_wlen / F.lit(8.0), F.lit(1.0)))
+    return F.round(score, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-count argmax language guess with deterministic tie-break
+    (first language in LANG_ORDER wins ties; 'en' when nothing matches)."""
+    toks = tokens_for(text)
+    counts = {lang: stopword_count(toks, LANG_MARKERS[lang])
+              for lang in LANG_ORDER}
+    best_n = F.greatest(*counts.values())
+    out = F.lit("en")
+    for lang in reversed(LANG_ORDER):
+        out = F.when(counts[lang] == best_n, F.lit(lang)).otherwise(out)
+    return F.when(best_n > 0, out).otherwise(F.lit("en"))
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint: md5 hex of the raw text."""
+    return F.md5(text)
+
+
+def shingle_fingerprint(text: Column, shingle_n: int = 3) -> Column:
+    """Winnowing-style document fingerprint: the minimum universal-hash value
+    over the doc's n-token shingle hashes (== MinHash_0). Rolling-hash
+    semantics — stable under small edits far from the minimum; null for docs
+    shorter than one shingle."""
+    hh = F.transform(shingles_col(tokens_for(text), shingle_n), h60)
+    return minhash_col(hh, 0)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               n_chars_col: str = "n_chars") -> DataFrame:
+    """Per-doc stats frame: counts, quality, language, fingerprints."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        ws_token_count(text).alias("n_ws_tokens"),
+        analyzer_token_count(text).alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        quality_score(text, F.col(n_chars_col)).alias("quality"),
+        lang_id(text).alias("pred_lang"),
+        content_fingerprint(text).alias("content_fp"),
+        shingle_fingerprint(text).alias("shingle_fp"),
+    )

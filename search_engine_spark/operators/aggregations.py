@@ -1,0 +1,108 @@
+"""Facets & aggregations (SURVEY.md §2.6, A1-A9) as groupBy pipelines.
+
+The reference materializes facet/aggregation indexes (FacetEngine.ts:74,
+AggregationIndex.ts:56-93 — field→value→Set<docId> plus global ordinals).
+On Spark none of that is materialized: a facet is ``hits ⋈ docs`` then
+``groupBy(field)``, which Catalyst executes with map-side partial
+aggregation; Parquet dictionary encoding plays the role of global ordinals
+(AggregationIndex.ts:307-339). The hit set is usually tiny relative to the
+corpus, so the join side is broadcast.
+
+Each function takes the docs table and an optional hits frame
+(DataFrame[doc_id]); hits=None means the "global" context (A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _scope(docs: DataFrame, hits: DataFrame | None, id_col: str) -> DataFrame:
+    if hits is None:
+        return docs
+    return docs.join(F.broadcast(hits.select(F.col("doc_id").alias(id_col)).distinct()),
+                     id_col, "semi")
+
+
+def terms_agg(docs: DataFrame, field: str, hits: DataFrame | None = None,
+              size: int = 10, min_doc_count: int = 1,
+              id_col: str = "doc_id") -> DataFrame:
+    """terms aggregation (A2, FacetEngine.ts:151-179): value → doc_count,
+    count desc (value asc tie-break for determinism), top ``size``."""
+    scoped = _scope(docs, hits, id_col)
+    return (scoped.where(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("value"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .where(F.col("doc_count") >= min_doc_count)
+            .orderBy(F.desc("doc_count"), F.asc("value"))
+            .limit(size))
+
+
+def sum_other_doc_count(docs: DataFrame, field: str, top: DataFrame,
+                        hits: DataFrame | None = None,
+                        id_col: str = "doc_id") -> int:
+    """ES-style ``sum_other_doc_count`` companion to :func:`terms_agg`."""
+    scoped = _scope(docs, hits, id_col).where(F.col(field).isNotNull())
+    total = scoped.count()
+    shown = top.agg(F.sum("doc_count")).collect()[0][0] or 0
+    return int(total - shown)
+
+
+def histogram_agg(docs: DataFrame, field: str, interval: float,
+                  hits: DataFrame | None = None,
+                  id_col: str = "doc_id") -> DataFrame:
+    """histogram (A3, FacetEngine.ts:184-205): bucket = floor(v/interval)*interval."""
+    scoped = _scope(docs, hits, id_col).where(F.col(field).isNotNull())
+    bucket = (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval))
+    return (scoped.groupBy(bucket.cast("double").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("bucket"))
+
+
+def date_histogram_agg(docs: DataFrame, field: str, interval: str = "day",
+                       hits: DataFrame | None = None,
+                       id_col: str = "doc_id") -> DataFrame:
+    """date_histogram (A4, FacetEngine.ts:210-263). Calendar intervals via
+    date_trunc (reference uses fixed-ms buckets for 1M/1y — a known
+    approximation there; calendar truncation is the canonical semantics)."""
+    scoped = _scope(docs, hits, id_col).where(F.col(field).isNotNull())
+    bucket = F.date_trunc(interval, F.col(field))
+    if interval in ("day", "week", "month", "year"):
+        bucket = F.to_date(bucket)
+    return (scoped.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .orderBy("bucket"))
+
+
+def range_agg(docs: DataFrame, field: str, ranges: list,
+              hits: DataFrame | None = None,
+              id_col: str = "doc_id") -> DataFrame:
+    """range aggregation (A5, FacetEngine.ts:268-296): explicit [from, to)
+    buckets with generated "from-to" keys; a doc lands in every range that
+    contains it (ES semantics — ranges may overlap)."""
+    scoped = _scope(docs, hits, id_col).where(F.col(field).isNotNull())
+    parts = []
+    for r in ranges:
+        lo, hi = r.get("from"), r.get("to")
+        key = r.get("key") or f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(field) < F.lit(hi))
+        parts.append(scoped.where(pred)
+                     .agg(F.count(F.lit(1)).alias("doc_count"))
+                     .select(F.lit(key).alias("key"), "doc_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def filter_agg(docs: DataFrame, pred, sub, hits: DataFrame | None = None,
+               id_col: str = "doc_id"):
+    """filter aggregation (A8, SearchEngine.ts:1049-1100): restrict the
+    scope by a column predicate, then run ``sub(scoped_docs)``."""
+    scoped = _scope(docs, hits, id_col).where(pred)
+    return sub(scoped)

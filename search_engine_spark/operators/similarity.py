@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Not in the reference (its similarity is lexical BM25 only); required by the
+training-data-pipeline surface. Two paths:
+
+- **brute-force cosine top-k** — the correctness baseline: one broadcast of
+  the query vector, one map over the corpus (dot product as a zip_with/
+  aggregate column expression — JVM-side, no Python), then
+  TakeOrderedAndProject for the global top-k. At 10^12 vectors this is a
+  single full scan: embarrassingly parallel, no shuffle except the final
+  top-k tree-reduce, which Spark's ``orderBy().limit()`` already does as
+  per-partition top-k + driver merge.
+
+- **random-hyperplane LSH (SimHash for vectors)** — the scale path: bucket =
+  sign bits of dot(v, plane_i). Query probes only its own bucket (optionally
+  multi-probe neighbors), turning the full scan into a partition-pruned read
+  when the table is written partitioned by bucket. Planes are deterministic
+  (taken from fixed corpus rows or a seeded generator) so oracles reproduce
+  bucketing exactly.
+
+Float discipline: embeddings are float32 on disk; all arithmetic casts to
+double FIRST and folds in index order (F.aggregate is a left fold), so any
+engine following the same order reproduces the sums bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] as a left fold in index order (both cast to double)."""
+    prods = F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                       lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(vectors: DataFrame, query_vec: list, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     exclude_id: int | None = None) -> DataFrame:
+    """(vec_id, cos) top-k by cosine to ``query_vec``; ties break on id asc.
+
+    The query vector is a literal array (broadcast by value into the plan);
+    the scan is a single map + TakeOrderedAndProject.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def lsh_bucket(vec: Column, planes: list) -> Column:
+    """Bucket id = bits of sign(dot(vec, plane_i)) packed little-endian.
+
+    ``planes`` is a list of python float lists (deterministic). Pure column
+    expression — at scale this is the partition column of the vector table.
+    """
+    out = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        out = out + F.when(dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def lsh_topk(vectors: DataFrame, query_vec: list, planes: list, k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_id: int | None = None) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket as the query, ranked by cosine.
+
+    With the table partitioned by bucket this reads 1/2^b of the data;
+    recall is tunable via number of planes / multi-probe (not needed for the
+    deterministic test corpus).
+    """
+    qb = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s > 0:
+            qb |= 1 << i
+    scored = (vectors
+              .where(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
+              .select(F.col(id_col).alias("vec_id"),
+                      F.round(cosine(F.col(vec_col),
+                                     F.array(*[F.lit(float(x)) for x in query_vec])),
+                              6).alias("cos")))
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def embedding_neardup_pairs(vectors: DataFrame, planes: list,
+                            threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """(a_id, b_id, cos): near-duplicate vector pairs, LSH-bucket-blocked.
+
+    Pairs are generated only within an LSH bucket (linear candidate
+    generation, like MinHash bands for text), then exactly verified by
+    cosine >= threshold. Bucket count scales with plane count to keep
+    per-bucket cross products bounded.
+    """
+    bucketed = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    return (pairs.select(F.col("a.vec_id").alias("a_id"),
+                         F.col("b.vec_id").alias("b_id"),
+                         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold))

@@ -89,11 +89,15 @@ class SparkSearchEngine:
 
     def search(self, query, size: int = 10, from_: int = 0) -> DataFrame:
         """Top-k: (doc_id, score) ordered by score desc, doc_id asc."""
-        node = self._compile(self._rewrite(query), scoring=True)
-        scored = self._score(node)
+        scored = self.search_scored(query)
         out = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                .offset(from_).limit(size))
         return out
+
+    def search_scored(self, query) -> DataFrame:
+        """All matching docs with scores, unpaginated: (doc_id, score)."""
+        node = self._compile(self._rewrite(query), scoring=True)
+        return self._score(node)
 
     def candidates(self, query) -> DataFrame:
         """Unscored membership semantics: DataFrame[doc_id]."""
