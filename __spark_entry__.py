@@ -101,6 +101,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, d), {"bool": {"should": [
             {"match": {"field": "text", "value": "data"}},
             {"match": {"field": "text", "value": "query"}}]}})
+
+    def _wand(s, d):
+        """Block-max WAND over the compressed posting-block index — exact,
+        so it shares the analytic BM25 oracle with the exhaustive path."""
+        from search_engine_spark.operators.wand import build_blocks, wand_topk
+        eng = _engine(s, d)
+        key = ("blocks", d)
+        if key not in _CACHE:
+            _CACHE[key] = build_blocks(eng.index).cache()
+            _CACHE[key].count()
+        # over-fetch (k=30) then round-and-recut at 10 so the rounded-score
+        # LIMIT boundary matches the oracle's ordering exactly
+        out = wand_topk(_CACHE[key], eng.index, "text",
+                        ["data", "query"], k=30)
+        return (out.withColumn("score", F.round("score", 6))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+    q["bm25_wand_should"] = _wand
     q["term_docs"] = lambda s, d: _members(
         _engine(s, d), {"term": {"field": "text", "value": "vector"}})
     q["bool_must"] = lambda s, d: _members(
@@ -304,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["bm25_match"] = _bm25_sql(["data"])
     o["bm25_should_two"] = _bm25_sql(["data", "query"])
+    o["bm25_wand_should"] = _bm25_sql(["data", "query"])
     o["term_docs"] = _members_sql("list_contains(toks, 'vector')")
     o["bool_must"] = _members_sql(
         "list_contains(toks, 'hash') AND list_contains(toks, 'join')")

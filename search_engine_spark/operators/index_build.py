@@ -121,11 +121,17 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
             )
         else:
             toks = tokens_for(F.col(f), config.analyzer_for(f))
+            # materialize the token array in a Project BEFORE the generator:
+            # Generate consumes a plain attribute, so the analyzer chain runs
+            # once inside whole-stage codegen (with subexpression
+            # elimination) instead of inside the generator's input
+            tokenized = docs.select(F.col(config.id_col).alias("doc_id"),
+                                    toks.alias("_toks"))
             parts.append(
-                docs.select(
-                    F.col(config.id_col).alias("doc_id"),
+                tokenized.select(
+                    "doc_id",
                     F.lit(f).alias("field"),
-                    F.posexplode(toks).alias("pos", "term"),
+                    F.posexplode("_toks").alias("pos", "term"),
                 )
             )
     out = parts[0]
@@ -139,12 +145,19 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
 
     tf = number of UNIQUE in-field positions (canonical semantics: the
     reference dedups positions in addToken, ShardedInvertedIndex.ts:219-224,
-    and termFrequency returns positions.length)."""
+    and termFrequency returns positions.length). Scalar fields emit each
+    position exactly once (posexplode indices), so count/collect_list match
+    set semantics without the per-group hash-set; array fields RESTART
+    positions per element (duplicates possible) and keep the dedup path."""
     rows = tokenize_to_rows(docs, config)
-    pos_set = F.sort_array(F.collect_set("pos"))
-    aggs = [F.size(F.collect_set("pos")).alias("tf")]
-    if config.positions:
-        aggs.append(pos_set.alias("positions"))
+    if any(_is_array_field(docs, f) for f in config.fields):
+        aggs = [F.size(F.collect_set("pos")).alias("tf")]
+        if config.positions:
+            aggs.append(F.sort_array(F.collect_set("pos")).alias("positions"))
+    else:
+        aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+        if config.positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return rows.groupBy("field", "term", "doc_id").agg(*aggs)
 
 
@@ -162,6 +175,20 @@ def build_doc_stats(docs: DataFrame, config: IndexConfig) -> DataFrame:
         dl = dl + n
     return docs.select(F.col(config.id_col).alias("doc_id"),
                        dl.cast("long").alias("dl"))
+
+
+def derive_doc_stats(docs: DataFrame, postings: DataFrame,
+                     config: IndexConfig) -> DataFrame:
+    """doc_stats recovered from a (written) postings table: dl = Σ tf over
+    scalar indexed fields (== total token count; array-field tokens are
+    indexed but not length-counted, SearchEngine.ts:894-898). Right-joined
+    with the docs ids so zero-token docs keep dl=0."""
+    scalar_fields = [f for f in config.fields if not _is_array_field(docs, f)]
+    dl = (postings.where(F.col("field").isin(scalar_fields))
+          .groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    ids = docs.select(F.col(config.id_col).alias("doc_id"))
+    return (ids.join(dl, "doc_id", "left")
+            .select("doc_id", F.coalesce("dl", F.lit(0)).cast("long").alias("dl")))
 
 
 def build_term_stats(postings: DataFrame) -> DataFrame:
@@ -185,8 +212,44 @@ def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
 
 
 def _bucket_col(config: IndexConfig):
-    return F.pmod(F.xxhash64(F.col("field"), F.col("term")),
+    """Term-hash bucket via the portable h60 convention (functions/hashing):
+    the driver can compute a term's bucket in pure Python (hashlib.md5) and
+    push bucket IN-list predicates into the scan without running a job."""
+    from ..functions.hashing import h60
+    return F.pmod(h60(F.concat_ws(":", F.col("field"), F.col("term"))),
                   F.lit(config.n_buckets)).cast("int").alias("bucket")
+
+
+def assign_doc_ids(docs: DataFrame, key_col: str = "url",
+                   deterministic: bool = False) -> DataFrame:
+    """Add a dense-ish surrogate ``doc_id`` to a natural-key corpus.
+
+    Doc-aligned posting blocks and delta compression need doc ids that are
+    dense runs, not sparse hashes (a hash id makes every posting its own
+    block). Two modes:
+
+    - default: ``monotonically_increasing_id`` — no shuffle at any scale;
+      ids are (partition << 33) + offset, i.e. dense WITHIN each input
+      partition, which is exactly what doc-aligned blocks need. Ids depend
+      on input partitioning, so rank tie-breaks are only stable for a fixed
+      input layout.
+    - ``deterministic=True``: global row_number ordered by ``key_col`` —
+      fully reproducible ids at the cost of one global sort; use when
+      rank-identity across runs/layouts matters more than build time.
+    """
+    from pyspark.sql import Window
+    if deterministic:
+        w = Window.orderBy(key_col)
+        return docs.withColumn(
+            "doc_id", (F.row_number().over(w) - 1).cast("long"))
+    return docs.withColumn("doc_id", F.monotonically_increasing_id())
+
+
+def bucket_of(field: str, term: str, n_buckets: int) -> int:
+    """Pure-Python twin of :func:`_bucket_col`."""
+    import hashlib
+    h = int(hashlib.md5(f"{field}:{term}".encode()).hexdigest()[:15], 16)
+    return h % n_buckets
 
 
 # ---------------------------------------------------------------------------
@@ -197,7 +260,12 @@ def _bucket_col(config: IndexConfig):
 # ---------------------------------------------------------------------------
 
 def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
-    """Single-shot persisted build. Returns build metrics."""
+    """Single-shot persisted build. Returns build metrics.
+
+    The corpus is tokenized exactly ONCE (the postings write); doc_stats and
+    term_stats are derived from the written postings table — cheap
+    column-pruned scans instead of re-running the analyzer over 100 TB.
+    """
     spark = docs.sparkSession
     t0 = time.time()
     postings = build_postings(docs, config).withColumn("bucket", _bucket_col(config))
@@ -206,10 +274,10 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, POSTINGS)))
 
-    doc_stats = build_doc_stats(docs, config)
+    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    doc_stats = derive_doc_stats(docs, postings_r, config)
     doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
 
-    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
     build_term_stats(postings_r).write.mode("overwrite").parquet(
         os.path.join(index_dir, TERM_STATS))
 

@@ -1,0 +1,212 @@
+"""Block-max WAND top-k over the compressed posting-block index.
+
+The reference scores its whole candidate set exhaustively
+(RankingPipeline.ts:26-50, early termination is a blunt 1000-doc cap,
+PerformanceOptimizations.ts:588-595). The north star adds block-max WAND;
+this module reformulates it for a data-parallel engine:
+
+- **Doc-aligned blocks**: block id = doc_id >> BLOCK_BITS, so every term's
+  postings for a doc range land in the same block id. This is also the
+  explicit head-term skew treatment: a head term's million-doc posting list
+  becomes df/128 independent (term, blk) rows — the shuffle key
+  (field, term, blk) is structurally salted, no single reducer ever sees a
+  whole head term.
+- **Build**: postings ⋈ doc_stats → groupBy(field, term, blk) →
+  sorted (docID, tf, dl) arrays → delta+varbyte payload (postings_codec) +
+  block-max metadata (doc_min, doc_max, max_qnorm). Stored partitioned by
+  term-hash bucket so query scans prune to the query terms' buckets.
+- **Query**: for the query terms, compute per-block upper bound
+  UB(blk) = Σ_t idf_t · max_qnorm_t(blk); repartition by blk, sort each
+  partition by UB descending, then a mapInPandas kernel walks blocks keeping
+  a local top-k heap — once the heap is full and UB(blk) < θ (k-th best
+  score so far) every remaining block in the partition is skipped (safe:
+  scores inside are ≤ UB < θ, and ties at θ lose on doc_id only to docs
+  already in the heap... θ-equal docs are never skipped since skipping
+  requires strict UB < θ). Per-partition top-k then one global
+  orderBy(score desc, doc_id asc).limit(k) — exact, rank-identical to the
+  exhaustive path (verified in tests/test_wand.py).
+
+Scoring inside the kernel replays functions/bm25.py's double-precision op
+order term-by-term in sorted term order, so scores are bit-identical to the
+DataFrame expression path.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import InvertedIndex
+from .postings_codec import (BLOCK_BITS, bm25_qnorm, decode_block,
+                             encode_blocks_batch)
+
+BLOCKS = "blocks"
+
+BLOCK_SCHEMA = ("field string, term string, blk long, bucket int, "
+                "n_docs int, doc_min long, doc_max long, "
+                "max_qnorm double, payload binary")
+
+
+def _encode_udf():
+    # arrays arrive pre-sorted by doc_id (sort_array on struct(doc_id, ...)
+    # upstream) as plain long lists; the whole Arrow batch is encoded in one
+    # vectorized varbyte pass (encode_blocks_batch)
+    @F.pandas_udf("binary")
+    def enc(doc_ids: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
+        return pd.Series(encode_blocks_batch(
+            list(doc_ids), list(tfs), list(dls)), dtype=object)
+    return enc
+
+
+def build_blocks(index: InvertedIndex) -> DataFrame:
+    """Compressed block table from the row-expanded postings + doc_stats.
+
+    One shuffle on (field, term, blk); qnorm (the tf-dependent BM25 factor)
+    is a column expression so max_qnorm rides the same aggregate.
+    """
+    k1, b = 1.2, 0.75
+    avgdl = index.avg_dl or 1.0
+    p = index.postings.select("field", "term", "doc_id", "tf")
+    joined = p.join(index.doc_stats, "doc_id")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    qnorm = (tf * F.lit(k1 + 1.0)) / \
+        (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / F.lit(avgdl))))
+    rows = joined.select(
+        "field", "term",
+        F.shiftright(F.col("doc_id"), BLOCK_BITS).alias("blk"),
+        "doc_id", "tf", F.col("dl"), qnorm.alias("qnorm"))
+    grouped = rows.groupBy("field", "term", "blk").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.min("doc_id").alias("doc_min"),
+        F.max("doc_id").alias("doc_max"),
+        F.max("qnorm").alias("max_qnorm"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl")))
+         .alias("plist"))
+    enc = _encode_udf()
+    from .index_build import _bucket_col
+    return grouped.select(
+        "field", "term", "blk",
+        _bucket_col(index.config),
+        "n_docs", "doc_min", "doc_max", "max_qnorm",
+        enc(F.transform("plist", lambda x: x["doc_id"]),
+            F.transform("plist", lambda x: x["tf"]),
+            F.transform("plist", lambda x: x["dl"])).alias("payload"))
+
+
+def write_blocks(index: InvertedIndex, index_dir: str) -> str:
+    path = os.path.join(index_dir, BLOCKS)
+    (build_blocks(index)
+     .repartition(index.config.n_buckets, "bucket")
+     .sortWithinPartitions("field", "term", "blk")
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    return path
+
+
+def load_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, BLOCKS))
+
+
+def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
+              terms: list, k: int = 10, n_partitions: int | None = None,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Exact BM25 top-k for an OR-of-terms query with block-max pruning.
+
+    Returns DataFrame[doc_id, score] (k rows, score desc / doc_id asc).
+    """
+    spark = blocks.sparkSession
+    terms = sorted(set(terms))
+    n = float(index.total_docs)
+    dfs = {r["term"]: r["df"] for r in index.term_stats
+           .where((F.col("field") == field) & F.col("term").isin(terms))
+           .collect()}
+    # idf with the op order of bm25_score (functions/bm25.py)
+    idf = {t: math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+           for t in terms if t in dfs}
+    if not idf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    term_order = sorted(idf)  # deterministic fold order (matches exact path)
+
+    q = blocks.where((F.col("field") == field) & F.col("term").isin(term_order))
+    if "bucket" in blocks.columns:
+        from .index_build import bucket_of
+        nb = index.config.n_buckets
+        q = q.where(F.col("bucket").isin(
+            sorted({bucket_of(field, t, nb) for t in term_order})))
+    idf_col = F.lit(0.0)
+    for t, v in idf.items():
+        idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
+    q = q.withColumn("ub_t", idf_col * F.col("max_qnorm"))
+    ub = q.groupBy("blk").agg(F.sum("ub_t").alias("blk_ub"))
+    q = q.join(ub, "blk")
+
+    npart = n_partitions or max(2, spark.sparkContext.defaultParallelism)
+    q = (q.repartition(npart, "blk")
+         .sortWithinPartitions(F.desc("blk_ub"), F.asc("blk"),
+                               F.asc("term")))
+
+    avgdl = index.avg_dl
+    idf_b = dict(idf)
+    korder = list(term_order)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list = []  # (score, -doc_id) min-heap of local top-k
+        done = False
+
+        def flush_block(rows):
+            nonlocal done
+            if not rows or done:
+                return
+            blk_ub = rows[0][0]
+            if len(heap) == k and blk_ub < heap[0][0]:
+                # sorted by blk_ub desc -> nothing later can beat θ either
+                done = True
+                return
+            by_term = {t: pl for _, t, pl in rows}
+            scores: dict = {}
+            for t in korder:
+                pl = by_term.get(t)
+                if pl is None:
+                    continue
+                docs, tfs, dls = decode_block(pl)
+                s = np.maximum(0.0, 1.0 * idf_b[t]
+                               * bm25_qnorm(tfs, dls, avgdl, k1, b))
+                for d, sv in zip(docs.tolist(), s.tolist()):
+                    scores[d] = scores.get(d, 0.0) + sv
+            for d, sv in scores.items():
+                item = (sv, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        cur_blk, cur_rows = None, []
+        for pdf in batches:
+            if done:
+                break
+            for blk, ub2, term, payload in zip(
+                    pdf["blk"], pdf["blk_ub"], pdf["term"], pdf["payload"]):
+                if blk != cur_blk:
+                    flush_block(cur_rows)
+                    cur_blk, cur_rows = blk, []
+                    if done:
+                        break
+                cur_rows.append((float(ub2), term, bytes(payload)))
+        if not done:
+            flush_block(cur_rows)
+        if heap:
+            yield pd.DataFrame({
+                "doc_id": np.array([-d for _, d in heap], dtype=np.int64),
+                "score": np.array([s for s, _ in heap], dtype=np.float64),
+            })
+
+    local = q.select("blk", "blk_ub", "term", "payload").mapInPandas(
+        kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

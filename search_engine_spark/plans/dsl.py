@@ -68,6 +68,9 @@ class _Node:
     cand: DataFrame          # single column: doc_id
     score_terms: list        # [(field, term)] matched dictionary terms
     score_terms_df: DataFrame | None = None  # fallback when too many to collect
+    # candidate set == union of docs holding >=1 score term: lets _score skip
+    # the membership join (single-leaf term/match fast path)
+    cand_is_scored_union: bool = False
 
 
 class SparkSearchEngine:
@@ -136,6 +139,9 @@ class SparkSearchEngine:
                 F.lit(0.0),
                 lambda acc, x: acc + x["s"],
             ).alias("score"))
+        if node.cand_is_scored_union:
+            # candidate set == scored-doc union: skip the membership join
+            return per_doc.select("doc_id", "score")
         return (node.cand.join(per_doc, "doc_id", "left")
                 .select("doc_id", F.coalesce("score", F.lit(0.0)).alias("score")))
 
@@ -160,22 +166,16 @@ class SparkSearchEngine:
                 c = (F.col("field") == f) & F.col("term").isin(toks)
                 pred = c if pred is None else (pred | c)
             if "bucket" in p.columns and self.index.config is not None:
-                # partition pruning: restrict to the buckets of these terms
-                bucket = F.pmod(F.xxhash64(F.col("field"), F.col("term")),
-                                F.lit(self.index.config.n_buckets)).cast("int")
-                pred = pred & F.col("bucket").isin(
-                    self._buckets_of(literal_terms))
+                # partition pruning: bucket IN-list computed driver-side in
+                # pure Python (portable h60 hash) — no Spark job needed
+                from ..operators.index_build import bucket_of
+                nb = self.index.config.n_buckets
+                buckets = sorted({bucket_of(f, t, nb) for f, t in literal_terms})
+                pred = pred & F.col("bucket").isin(buckets)
             return p.where(pred)
         assert terms_df is not None
         return p.join(F.broadcast(terms_df.select("field", "term")),
                       ["field", "term"])
-
-    def _buckets_of(self, pairs) -> list:
-        rows = (self.spark.createDataFrame(list(pairs), "field string, term string")
-                .select(F.pmod(F.xxhash64("field", "term"),
-                               F.lit(self.index.config.n_buckets)).cast("int").alias("b"))
-                .distinct().collect())
-        return [r["b"] for r in rows]
 
     # ------------------------------------------------------------------
     # query rewrites (front end)
@@ -286,10 +286,14 @@ class SparkSearchEngine:
             pairs = [(r["field"], r["term"]) for r in pairs_rows]
             if not pairs:
                 return self._empty()
-            cand = (self._postings_for(pairs).select("doc_id").distinct())
-            return _Node(cand, pairs if scoring else [])
+            cand = self._postings_for(pairs).select("doc_id")
+            if len(pairs) > 1:  # single (field, term): doc_ids already unique
+                cand = cand.distinct()
+            return _Node(cand, pairs if scoring else [],
+                         cand_is_scored_union=scoring)
         cand = self._postings_for(None, matched).select("doc_id").distinct()
-        return _Node(cand, [], matched if scoring else None)
+        return _Node(cand, [], matched if scoring else None,
+                     cand_is_scored_union=scoring)
 
     def _match(self, body: dict, scoring: bool) -> _Node:
         field, value, fz = self._leaf_args(body)
@@ -508,7 +512,13 @@ class SparkSearchEngine:
 
         if results is None:
             return self._empty()
-        return _Node(results.distinct(), score_terms)
+        # pure-should-of-term-leaves: candidate set is exactly the union of
+        # docs holding >=1 score term — scoring can skip the membership join
+        pure_should = (not must and not filt and not must_not and should
+                       and not bq.get("minimum_should_match")
+                       and all(n.cand_is_scored_union for n in nodes))
+        return _Node(results.distinct(), score_terms,
+                     cand_is_scored_union=bool(pure_should) and scoring)
 
 
 def _is_empty(df: DataFrame) -> bool:

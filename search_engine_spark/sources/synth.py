@@ -106,6 +106,7 @@ def gen_page_row(doc_id: int, seed: int = SEED) -> dict:
     html = (f"<html><head><title>{title}</title></head>"
             f"<body><p>{text}</p></body></html>").encode("utf-8")
     return {
+        "doc_id": doc_id,
         "url": url,
         "warc_ts": _EPOCH + dt.timedelta(seconds=37 * doc_id),
         "html": html,
@@ -114,7 +115,10 @@ def gen_page_row(doc_id: int, seed: int = SEED) -> dict:
     }
 
 
-PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+# doc_id is the DENSE surrogate id (0..n-1): doc-aligned posting blocks
+# (operators/wand.py) and delta compression need dense ids, and a
+# deterministic id keeps rank tie-breaks parallelism-invariant.
+PAGES_SCHEMA = ("doc_id long, url string, warc_ts timestamp, html binary, "
                 "text string, lang string")
 
 

@@ -66,7 +66,15 @@ def test_write_load_roundtrip(tmp_path, spark, docs_df, docs_index):
     assert loaded.total_docs == docs_index.total_docs
     assert abs(loaded.avg_dl - docs_index.avg_dl) < 1e-12
     assert loaded.postings.count() == docs_index.postings.count()
-    # bucket partitioning: every row's bucket == xxhash64(field, term) % 8
+    # bucket partitioning: every row's bucket matches the portable h60
+    # convention (so the driver can compute buckets in pure Python)
+    from search_engine_spark.functions.hashing import h60
     bad = loaded.postings.where(
-        F.col("bucket") != F.pmod(F.xxhash64("field", "term"), F.lit(8)).cast("int"))
+        F.col("bucket") != F.pmod(
+            h60(F.concat_ws(":", F.col("field"), F.col("term"))),
+            F.lit(8)).cast("int"))
     assert bad.count() == 0
+    # spot-check the Python twin agrees
+    from search_engine_spark.operators.index_build import bucket_of
+    row = loaded.postings.limit(1).collect()[0]
+    assert bucket_of(row["field"], row["term"], 8) == row["bucket"]

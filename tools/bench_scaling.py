@@ -1,0 +1,106 @@
+"""Scaling-efficiency evidence: the same job at local[8] (N) vs local[32] (4N).
+
+No real cluster exists in this sandbox, so the north rule's two-cluster-size
+criterion is evidenced by running the identical spark-submit-style workload
+(bench.py) at two parallelism levels on the same input and reporting
+throughput at both plus efficiency = (thr_4N / thr_N) / 4.
+
+    python tools/bench_scaling.py [n_pages] [sf_dir]
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, n_pages: int, sf_dir: str) -> dict:
+    env = dict(os.environ,
+               SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               BENCH_PAGES=str(n_pages))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"bench.py produced no JSON at cpus={cpus}:\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_small, n_big = 8, 32
+
+    r_small = run_bench(n_small, n_pages, sf_dir)
+    r_big = run_bench(n_big, n_pages, sf_dir)
+
+    thr_s = r_small["index_docs_per_sec"]
+    thr_b = r_big["index_docs_per_sec"]
+    eff_build = (thr_b / thr_s) / (n_big / n_small)
+    p50_s, p50_b = r_small["query_p50_sec"], r_big["query_p50_sec"]
+
+    result = {
+        "metric": "scaling_efficiency_index_build",
+        "value": round(eff_build, 3),
+        "unit": "ratio",
+        "n_pages": n_pages,
+        "cores_small": n_small, "cores_big": n_big,
+        "docs_per_sec_small": thr_s, "docs_per_sec_big": thr_b,
+        "query_p50_small": p50_s, "query_p50_big": p50_b,
+        "pass_ge_0_8": eff_build >= 0.8,
+    }
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Same workload (`bench.py`: pages index build + BM25 query mix), same input
+({n_pages} synthetic Common-Crawl-style pages + `{sf_dir}` tables), run at
+`local[{n_small}]` (N) and `local[{n_big}]` (4N) in separate JVMs — the
+in-sandbox stand-in for N vs 4N executors (no real cluster available).
+
+| metric | local[{n_small}] (N) | local[{n_big}] (4N) |
+|---|---|---|
+| index build throughput (docs/sec) | {thr_s:,.0f} | {thr_b:,.0f} |
+| index build seconds | {r_small['queries']['index_build']} | {r_big['queries']['index_build']} |
+| BM25 top-10 query p50 (sec) | {p50_s} | {p50_b} |
+| block index build (sec) | {r_small['queries'].get('blocks_build')} | {r_big['queries'].get('blocks_build')} |
+| WAND top-10 (sec) | {r_small['queries'].get('q_wand_head3')} | {r_big['queries'].get('q_wand_head3')} |
+
+**Index-build scaling efficiency (N→4N): {eff_build:.3f}**
+(target ≥ 0.8 per BASELINE.json north rule — {'PASS' if eff_build >= 0.8 else 'FAIL'}).
+
+Full per-run JSON:
+
+```json
+{json.dumps(r_small, indent=1)}
+```
+
+```json
+{json.dumps(r_big, indent=1)}
+```
+
+## Reference baseline (BASELINE.md)
+
+The reference claims ~10,000 docs/sec single-node in-memory indexing and
+<10 ms simple-query latency (README.md:207-208, no harness published).
+Spark per-query latency carries fixed job-scheduling overhead (~100s of ms)
+that the in-process reference does not pay; the engine's win is corpus size
+(bounded only by cluster storage) and build throughput scaling, not
+single-query latency at toy scale.
+""")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
