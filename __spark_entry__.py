@@ -66,6 +66,45 @@ def _engine(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
     return eng
 
 
+def _docs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic derived columns exercising the typed-field
+    analyzers (email/phone), nested structs, and geo — all pure functions of
+    doc_id so the SQL oracles re-derive identical values."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "*",
+        F.concat(F.lit("user"), F.col("doc_id"), F.lit("@ex"),
+                 F.col("doc_id") % 7, F.lit(".com")).alias("email_col"),
+        F.concat(F.lit("("), (F.col("doc_id") % 700 + 200), F.lit(") "),
+                 (F.col("doc_id") % 600 + 300), F.lit("-"),
+                 (F.col("doc_id") % 9000 + 1000)).alias("phone_col"),
+        F.struct(F.col("lang"), F.col("source")).alias("meta"),
+        F.struct(
+            (((F.col("doc_id") * 7) % 120) - 60 + F.lit(0.25)).alias("lat"),
+            (((F.col("doc_id") * 13) % 300) - 150 + F.lit(0.25)).alias("lon"),
+        ).alias("location"))
+
+
+def _engine_ext(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
+    """Engine over the extended docs: text + email + phone + nested keyword."""
+    key = ("ext", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = _docs_ext(spark, sf_dir)
+    config = IndexConfig(
+        id_col="doc_id",
+        fields={"text": "text", "email_col": "email",
+                "phone_col": "phone", "meta.lang": "keyword"},
+        n_buckets=8)
+    idx = build_index(docs, config)
+    idx.postings = idx.postings.cache()
+    idx.doc_stats = idx.doc_stats.cache()
+    idx.term_stats = idx.term_stats.cache()
+    eng = SparkSearchEngine(idx, docs)
+    _CACHE[key] = eng
+    return eng
+
+
 def _topk(eng: SparkSearchEngine, q, k: int = 10) -> DataFrame:
     """Round-then-rank so the oracle's ORDER BY on rounded scores selects the
     identical top-k set at the LIMIT boundary."""
@@ -148,6 +187,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                          "value": "group order", "slop": 1}})
     q["range_nchars"] = lambda s, d: _members(
         _engine(s, d), {"range": {"field": "n_chars", "gte": 100, "lte": 300}})
+    q["bare_string_and"] = lambda s, d: _members(_engine(s, d), "data query")
+    q["synonym_term"] = lambda s, d: SparkSearchEngine(
+        _engine(s, d).index, _engine(s, d).docs,
+        synonyms={"data": ["value"]}).candidates(
+            {"term": {"field": "text", "value": "data"}}).orderBy("doc_id")
+    q["email_domain_label"] = lambda s, d: _members(
+        _engine_ext(s, d), {"term": {"field": "email_col", "value": "ex3"}})
+    q["phone_segment"] = lambda s, d: _members(
+        _engine_ext(s, d), {"term": {"field": "phone_col", "value": "305"}})
+    q["nested_keyword"] = lambda s, d: _members(
+        _engine_ext(s, d), {"nested": {"path": "meta", "query": {
+            "term": {"field": "lang", "value": "de"}}}})
+    q["geo_members"] = lambda s, d: _members(
+        _engine_ext(s, d), {"geo_distance": {
+            "field": "location", "center": {"lat": 10.25, "lon": 20.25},
+            "distance": "2000km"}})
     q["match_all_count"] = lambda s, d: _engine(s, d).candidates(
         {"match_all": {}}).agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -341,6 +396,43 @@ def oracle_sql() -> dict[str, str]:
     o["phrase_slop"] = _phrase_sql("group", "order", 1)
     o["range_nchars"] = ("SELECT doc_id FROM documents "
                          "WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id")
+    o["bare_string_and"] = _members_sql(
+        "list_contains(toks, 'data') AND list_contains(toks, 'query')")
+    o["synonym_term"] = _members_sql(
+        "list_contains(toks, 'data') OR list_contains(toks, 'value')")
+    # email analyzer tokens of user{id}@ex{id%7}.com: full, local, domain,
+    # domain labels -> 'ex3' hits exactly doc_id % 7 = 3
+    o["email_domain_label"] = ("SELECT doc_id FROM documents "
+                               "WHERE doc_id % 7 = 3 ORDER BY doc_id")
+    # phone analyzer tokens of ({id%700+200}) {id%600+300}-{id%9000+1000}:
+    # '305' is an area-code token iff doc_id%700=105, an exchange token iff
+    # doc_id%600=5 (last4 is 4-digit, digits is 10-digit -> no collision)
+    o["phone_segment"] = ("SELECT doc_id FROM documents "
+                          "WHERE doc_id % 700 = 105 OR doc_id % 600 = 5 "
+                          "ORDER BY doc_id")
+    o["nested_keyword"] = ("SELECT doc_id FROM documents "
+                           "WHERE lang = 'de' ORDER BY doc_id")
+    # derived location: lat=((id*7)%120)-60+0.25, lon=((id*13)%300)-150+0.25;
+    # haversine with the engine's exact formula/arg order (R=6371e3, center
+    # first), threshold 2000 km
+    _hav = """
+WITH g AS (SELECT doc_id,
+            (((doc_id * 7) % 120) - 60 + 0.25::DOUBLE) AS lat,
+            (((doc_id * 13) % 300) - 150 + 0.25::DOUBLE) AS lon
+           FROM documents),
+h AS (SELECT doc_id,
+        2.0::DOUBLE * atan2(
+          sqrt(sin(radians(lat - 10.25::DOUBLE) / 2) * sin(radians(lat - 10.25::DOUBLE) / 2)
+             + cos(radians(10.25::DOUBLE)) * cos(radians(lat))
+               * sin(radians(lon - 20.25::DOUBLE) / 2) * sin(radians(lon - 20.25::DOUBLE) / 2)),
+          sqrt(1.0::DOUBLE - (sin(radians(lat - 10.25::DOUBLE) / 2) * sin(radians(lat - 10.25::DOUBLE) / 2)
+             + cos(radians(10.25::DOUBLE)) * cos(radians(lat))
+               * sin(radians(lon - 20.25::DOUBLE) / 2) * sin(radians(lon - 20.25::DOUBLE) / 2)))
+        ) * 6371000.0::DOUBLE AS dist_m
+      FROM g)
+SELECT doc_id FROM h WHERE dist_m <= 2000000.0::DOUBLE ORDER BY doc_id
+"""
+    o["geo_members"] = _hav
     o["match_all_count"] = "SELECT count(*)::BIGINT AS n_docs FROM documents"
 
     o["agg_terms_lang"] = f"""

@@ -1,0 +1,125 @@
+"""Structured Streaming ingest: incremental index builds + windowed aggs.
+
+The reference's ingest is batch `add()` with interval-triggered persistence
+(AutoPersistenceManager.ts:1-74, saveOnAdd/batchSize config) — its closest
+Spark-native expression is a streaming source driving `foreachBatch`, where
+every micro-batch appends a posting RUN (same layout as the resumable
+build's chunks, operators/index_build.py) and commits a manifest entry.
+Runs are merged into the global term-partitioned index by the same
+shuffle-merge used for batch resume — so streaming and batch builds share
+one on-disk contract and one merge path.
+
+Exactly-once-ish: foreachBatch can re-run a batch on failure; runs are
+written to `runs/stream_batch=<id>` with overwrite + manifest commit last,
+so replays are idempotent (same batch id → same path, manifest rewrite).
+
+Also provides the watermarked windowed aggregation (the streaming twin of
+the date_histogram/terms aggs) — late events beyond the watermark are
+dropped by Spark's state store, bounding state at 100 TB/day event rates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.index_build import (MANIFEST, RUNS, IndexConfig,
+                                     build_postings)
+
+
+def stream_index_runs(pages_stream: DataFrame, index_dir: str,
+                      config: IndexConfig, checkpoint_dir: str | None = None,
+                      trigger_available_now: bool = True):
+    """Start a streaming query appending per-micro-batch posting runs.
+
+    Returns the StreamingQuery; call ``.awaitTermination()`` (availableNow
+    drains the source and stops) then :func:`merge_stream_runs`.
+    """
+    os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        t0 = time.time()
+        run_path = os.path.join(index_dir, RUNS, f"stream_batch={batch_id}")
+        postings = build_postings(batch_df, config)
+        postings.write.mode("overwrite").parquet(run_path)
+        ids = batch_df.select(F.col(config.id_col)).distinct().count()
+        entry = {
+            "chunk": f"stream_batch={batch_id}", "status": "committed",
+            "n_docs": ids, "run_path": run_path,
+            "seconds": time.time() - t0,
+            "lineage": {"source": "stream", "batch_id": batch_id},
+        }
+        with open(os.path.join(index_dir, MANIFEST,
+                               f"stream-{batch_id:05d}.json"), "w") as fh:
+            json.dump(entry, fh, indent=1)
+
+    writer = (pages_stream.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation",
+                      checkpoint_dir or os.path.join(index_dir, "_checkpoint")))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
+    """Merge all committed stream runs into the final bucketed index tables
+    (same layout as write_index) and return meta."""
+    from ..operators.index_build import (DOC_STATS, META, POSTINGS,
+                                         TERM_STATS, _bucket_col,
+                                         build_term_stats)
+    mdir = os.path.join(index_dir, MANIFEST)
+    run_paths = []
+    for name in sorted(os.listdir(mdir)):
+        with open(os.path.join(mdir, name)) as fh:
+            entry = json.load(fh)
+        if entry.get("status") == "committed":
+            run_paths.append(entry["run_path"])
+    runs = spark.read.parquet(*run_paths)
+    (runs.withColumn("bucket", _bucket_col(config))
+     .repartition(config.n_buckets, "bucket")
+     .sortWithinPartitions("field", "term", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(index_dir, POSTINGS)))
+    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    # doc_stats from the merged postings (scalar fields; streaming corpus
+    # docs must carry unique ids across batches)
+    scalar = [f for f in config.fields]
+    dl = (postings_r.where(F.col("field").isin(scalar))
+          .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
+    dl.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+    build_term_stats(postings_r).write.mode("overwrite").parquet(
+        os.path.join(index_dir, TERM_STATS))
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
+    stats = ds.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    meta = {
+        "total_docs": int(stats["n"]), "avg_dl": float(stats["avgdl"] or 0.0),
+        "n_postings": postings_r.count(), "id_col": config.id_col,
+        "fields": config.fields, "n_buckets": config.n_buckets,
+        "positions": config.positions, "source": "stream",
+    }
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def windowed_event_counts(events_stream: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          ts_col: str = "ts",
+                          key_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming date_histogram.
+
+    State is bounded: windows older than the watermark are finalized and
+    evicted; late events beyond it are dropped (documented ES-unlike
+    behavior — the batch aggs see all data, the stream sees the watermark)."""
+    return (events_stream
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("doc_count"))
+            .select(F.col("win.start").alias("bucket"), key_col, "doc_count"))

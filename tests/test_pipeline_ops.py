@@ -1,0 +1,166 @@
+"""Unit tests for the training-data-pipeline operators: dedup, similarity,
+text stats, aggregations, multimodal plumbing. Small deterministic corpora;
+properties chosen so correctness is checkable by construction (planted dups,
+known clusters) rather than by re-implementing the operator."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions import textstats
+from search_engine_spark.operators import (aggregations as agg, dedup,
+                                           multimodal, similarity)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "while the cat sleeps near the warm fire inside the old house")
+    rows = []
+    for i in range(40):
+        rows.append((i, f"document number {i} " + base + f" variant {i}"))
+    # planted near-dups: 100/101 differ by one token; 102 == 100 exactly
+    rows.append((100, base))
+    rows.append((101, base + " extra"))
+    rows.append((102, base))
+    return spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("n_chars", F.length("text")).cache()
+
+
+def test_exact_duplicates(corpus):
+    out = {r["doc_id"]: (r["keep_id"], r["is_dup"])
+           for r in dedup.exact_duplicates(corpus).collect()}
+    assert out[100] == (100, 0)
+    assert out[102] == (100, 1)   # exact dup of 100
+    assert out[101] == (101, 0)   # near-dup is NOT an exact dup
+    assert all(v == (k, 0) for k, v in out.items() if k < 100)
+
+
+def test_minhash_lsh_finds_planted_neardups(corpus):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in dedup.minhash_lsh_dedup(corpus, threshold=0.5).collect()}
+    assert (100, 102) in pairs and pairs[(100, 102)] == 1.0
+    assert (100, 101) in pairs and pairs[(100, 101)] > 0.9
+    assert (101, 102) in pairs
+    # distinct docs (0..39 share a long base text but differ in unique
+    # number tokens) may appear; all reported pairs must clear the threshold
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_neardup_low_hamming(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(corpus).collect()}
+    assert sh[100] == sh[102]
+    ham = bin(sh[100] ^ sh[101]).count("1")
+    assert ham <= 3          # one-token diff flips few bits
+    assert all(0 <= v < 2 ** 16 for v in sh.values())
+
+
+def test_minhash_signature_stability(corpus):
+    s1 = dedup.minhash_signatures(corpus, k=4).collect()
+    s2 = dedup.minhash_signatures(corpus.repartition(7), k=4).collect()
+    assert {tuple(r) for r in s1} == {tuple(r) for r in s2}
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(3, 16))
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_brute_force_topk_finds_cluster(vectors):
+    q = [float(x) for x in
+         vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    top = similarity.brute_force_topk(vectors, q, k=10, exclude_id=0).collect()
+    labels = {r["vec_id"] % 3 for r in top}
+    assert labels == {0}          # all neighbors from the query's cluster
+    cos = [r["cos"] for r in top]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_ranking(vectors):
+    rows = vectors.where(F.col("vec_id").between(1, 4)).orderBy("vec_id").collect()
+    planes = [[float(x) for x in r["embedding"]] for r in rows]
+    q = [float(x) for x in
+         vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    ann = similarity.lsh_topk(vectors, q, planes, k=5, exclude_id=0).collect()
+    assert len(ann) > 0
+    # every ANN hit's cosine matches the brute-force computation
+    bf = {r["vec_id"]: r["cos"] for r in
+          similarity.brute_force_topk(vectors, q, k=89, exclude_id=0).collect()}
+    for r in ann:
+        assert bf[r["vec_id"]] == r["cos"]
+
+
+def test_embedding_neardup_same_cluster(vectors):
+    rows = vectors.where(F.col("vec_id").between(1, 4)).orderBy("vec_id").collect()
+    planes = [[float(x) for x in r["embedding"]] for r in rows]
+    pairs = similarity.embedding_neardup_pairs(vectors, planes,
+                                               threshold=0.95).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["a_id"] % 3 == r["b_id"] % 3  # only same-cluster pairs
+
+
+def test_text_stats(corpus):
+    out = {r["doc_id"]: r for r in textstats.text_stats(corpus).collect()}
+    r = out[100]
+    assert r["n_ws_tokens"] == len(
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "while the cat sleeps near the warm fire inside the old house".split())
+    assert r["n_tokens"] <= r["n_ws_tokens"]
+    assert 0.0 <= r["quality"] <= 1.0
+    assert r["pred_lang"] == "en"
+    assert len(r["content_fp"]) == 32
+    assert out[100]["content_fp"] == out[102]["content_fp"]
+    assert out[100]["shingle_fp"] == out[102]["shingle_fp"]
+    assert out[100]["content_fp"] != out[101]["content_fp"]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist nicht hier"),
+         (2, "le chat et la maison est grande"),
+         (3, "el perro los gatos que es grande"),
+         (4, "the dog and the cat is here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "de", 2: "fr", 3: "es", 4: "en"}
+
+
+def test_aggregations(corpus):
+    top = agg.terms_agg(corpus.withColumn("cat", (F.col("doc_id") % 3).cast("string")),
+                        "cat", size=2)
+    rows = top.collect()
+    assert len(rows) == 2 and rows[0]["doc_count"] >= rows[1]["doc_count"]
+
+    hist = agg.histogram_agg(corpus, "n_chars", 100.0).collect()
+    assert sum(r["doc_count"] for r in hist) == corpus.count()
+    assert all(r["bucket"] % 100.0 == 0.0 for r in hist)
+
+    rng = agg.range_agg(corpus, "n_chars",
+                        [{"to": 150}, {"from": 150}]).collect()
+    assert sum(r["doc_count"] for r in rng) == corpus.count()
+
+
+def test_multimodal_pipeline(corpus):
+    payloads = multimodal.synth_payloads(corpus)
+    meta = {r["doc_id"]: r for r in
+            multimodal.binary_metadata(payloads).collect()}
+    assert meta[100]["mime"] == "image/png"     # even id -> PNG magic
+    assert meta[101]["mime"] == "application/octet-stream"
+    feats = multimodal.extract_features(payloads).collect()
+    assert len(feats) == corpus.count()
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    fmap = {r["doc_id"]: bytes(r["feature"]) for r in feats}
+    assert fmap[100] == fmap[102]
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(payloads, use_stub=False).collect()

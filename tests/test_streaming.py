@@ -1,0 +1,76 @@
+"""Streaming ingest: foreachBatch incremental runs must merge to an index
+identical to the batch build; windowed agg matches the batch equivalent."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import (IndexConfig,
+                                                       load_index,
+                                                       write_index)
+from search_engine_spark.sources.synth import PAGES_SCHEMA, synth_pages
+from search_engine_spark.streaming.ingest import (merge_stream_runs,
+                                                  stream_index_runs,
+                                                  windowed_event_counts)
+
+CFG = dict(id_col="doc_id", fields={"text": "text"}, n_buckets=4)
+
+
+def test_stream_ingest_equals_batch_build(tmp_path, spark):
+    src = str(tmp_path / "src")
+    pages = synth_pages(spark, 300).cache()
+    # two source files -> two (or more) micro-batches
+    pages.where(F.col("doc_id") < 150).write.parquet(src + "/a")
+    pages.where(F.col("doc_id") >= 150).write.parquet(src + "/b")
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    idx_dir = str(tmp_path / "stream_ix")
+    q = stream_index_runs(stream, idx_dir, IndexConfig(**CFG))
+    q.awaitTermination(120)
+    meta = merge_stream_runs(spark, idx_dir, IndexConfig(**CFG))
+    assert meta["total_docs"] == 300
+
+    batch_dir = str(tmp_path / "batch_ix")
+    write_index(pages, batch_dir, IndexConfig(**CFG))
+
+    a = load_index(spark, idx_dir)
+    b = load_index(spark, batch_dir)
+    sa = {tuple(r) for r in a.postings.select("field", "term", "doc_id", "tf").collect()}
+    sb = {tuple(r) for r in b.postings.select("field", "term", "doc_id", "tf").collect()}
+    assert sa == sb
+    assert a.total_docs == b.total_docs
+    assert abs(a.avg_dl - b.avg_dl) < 1e-12
+    # manifest carries per-batch lineage
+    mdir = os.path.join(idx_dir, "build_manifest")
+    assert len(os.listdir(mdir)) >= 2
+
+
+def test_windowed_event_counts_matches_batch(tmp_path, spark):
+    src = str(tmp_path / "ev")
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 {i % 5:02d}:{i % 60:02d}:00", "click" if i % 2 else "view")
+         for i in range(200)],
+        "event_id long, ts_s string, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(str(r["bucket"]), r["event_type"]): r["doc_count"]
+           for r in spark.sql("select * from wincounts").collect()}
+    want = {(str(r["bucket"]), r["event_type"]): r["doc_count"]
+            for r in ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"),
+                                "event_type")
+            .agg(F.count(F.lit(1)).alias("doc_count")).collect()}
+    # append mode emits only watermark-closed windows; every emitted window
+    # must match the batch count, and most windows should have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
