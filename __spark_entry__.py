@@ -157,6 +157,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.withColumn("score", F.round("score", 6))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
     q["bm25_wand_should"] = _wand
+
+    def _personalized(s, d):
+        from search_engine_spark.operators.personalization import (
+            personalize, user_click_boosts)
+        eng = _engine(s, d)
+        scored = eng.search_scored({"match": {"field": "text", "value": "data"}})
+        boosts = user_click_boosts(_events(s, d), user_id=7)
+        out = personalize(scored, boosts)
+        return (out.withColumn("score", F.round("score", 6))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+    q["personalized_bm25"] = _personalized
     q["term_docs"] = lambda s, d: _members(
         _engine(s, d), {"term": {"field": "text", "value": "vector"}})
     q["bool_must"] = lambda s, d: _members(
@@ -289,10 +300,12 @@ TOK = "list_filter(string_split(text, ' '), x -> len(x) > 1)"
 WS_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
-def _bm25_sql(terms: list, k: int = 10) -> str:
+def _bm25_sql(terms: list, k: int = 10, extra_cte: str = "",
+              extra_join: str = "", extra_score: str = "") -> str:
     """BM25 top-k oracle for an OR-of-terms query, mirroring the engine's
     expression tree: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2, b=0.75,
-    per-doc score = fold over terms in sorted order."""
+    per-doc score = fold over terms in sorted order. ``extra_*`` bolt on
+    additive boosts (personalization)."""
     terms = sorted(terms)
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
@@ -309,15 +322,17 @@ def _bm25_sql(terms: list, k: int = 10) -> str:
                f"0.75::DOUBLE * (s.dl::DOUBLE / g.avgdl)))")
         s_i = f"GREATEST(0.0::DOUBLE, 1.0::DOUBLE * {idf} * ({num} / {den}))"
         score_terms.append(f"(CASE WHEN s.tf_{i} > 0 THEN {s_i} ELSE 0.0::DOUBLE END)")
-    score = " + ".join(["0.0::DOUBLE"] + score_terms)
+    score = "(" + " + ".join(["0.0::DOUBLE"] + score_terms) + ")"
+    if extra_score:
+        score = f"({score} + {extra_score})"
     where = " OR ".join(f"s.tf_{i} > 0" for i in range(len(terms)))
     return f"""
 WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
 s AS (SELECT doc_id, len(toks)::BIGINT AS dl, {tf_cols} FROM t),
 g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM s),
-d AS (SELECT {df_cols} FROM s)
+d AS (SELECT {df_cols} FROM s){extra_cte}
 SELECT s.doc_id AS doc_id, ROUND({score}, 6) AS score
-FROM s, g, d WHERE {where}
+FROM s CROSS JOIN g CROSS JOIN d {extra_join} WHERE {where}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
@@ -377,6 +392,14 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_match"] = _bm25_sql(["data"])
     o["bm25_should_two"] = _bm25_sql(["data", "query"])
     o["bm25_wand_should"] = _bm25_sql(["data", "query"])
+    o["personalized_bm25"] = _bm25_sql(
+        ["data"],
+        extra_cte=""",
+cl AS (SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS doc_id,
+              count(*)::BIGINT AS clicks
+       FROM events WHERE user_id = 7 AND event_type = 'click' GROUP BY 1)""",
+        extra_join="LEFT JOIN cl ON s.doc_id = cl.doc_id",
+        extra_score="COALESCE(cl.clicks, 0)::DOUBLE")
     o["term_docs"] = _members_sql("list_contains(toks, 'vector')")
     o["bool_must"] = _members_sql(
         "list_contains(toks, 'hash') AND list_contains(toks, 'join')")

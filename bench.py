@@ -44,7 +44,7 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_PAGES", "100000"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench", cores=cpus)
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
     t_all = time.time()
@@ -55,11 +55,14 @@ def main():
     index_dir = tempfile.mkdtemp(prefix="se_bench_idx_")
     pages_dir = tempfile.mkdtemp(prefix="se_bench_pages_")
     try:
-        synth_pages(spark, n_pages, partitions=2 * cpus) \
+        # layout constants are FIXED (not scaled with cpus) so the job is
+        # byte-identical at every parallelism level — the N-vs-4N scaling
+        # comparison must run the same job, and AQE adapts task sizing
+        synth_pages(spark, n_pages, partitions=64) \
             .write.mode("overwrite").parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
         config = IndexConfig(id_col="doc_id", fields={"text": "text"},
-                             n_buckets=2 * cpus)
+                             n_buckets=32)
         t0 = time.time()
         meta = write_index(pages, index_dir, config)
         build_s = time.time() - t0

@@ -1,0 +1,114 @@
+"""Document deletes over the persisted index (SURVEY I5).
+
+The reference deletes by sweeping every shard's Maps in place
+(SearchEngine.ts:265-283, ShardedInvertedIndex.ts:400-428). An immutable
+columnar index can't mutate in place; this module implements the
+merge-on-read pattern (what Iceberg row-level deletes do under the hood):
+
+- :func:`delete_docs` appends doc ids to a ``tombstones`` table and updates
+  the collection stats in meta (one small aggregate job — no index rewrite;
+  O(deleted) not O(index)).
+- :func:`load_index` (via index_build.load_index hook below) applies the
+  tombstone anti-join at read time, so queries never see deleted docs and
+  BM25 uses the post-delete N/avgdl.
+- :func:`compact_deletes` rewrites the postings/doc_stats/term_stats tables
+  without the tombstoned rows and clears the tombstone table — run when the
+  tombstone fraction crosses a threshold, exactly like Iceberg compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import (DOC_STATS, META, POSTINGS, TERM_STATS, IndexConfig,
+                          InvertedIndex, build_term_stats, load_index)
+
+TOMBSTONES = "tombstones"
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
+    """Tombstone ``doc_ids`` and refresh collection stats. Returns new meta."""
+    tomb_path = os.path.join(index_dir, TOMBSTONES)
+    spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long") \
+        .write.mode("append").parquet(tomb_path)
+    tomb = spark.read.parquet(tomb_path).distinct()
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS)) \
+        .join(tomb, "doc_id", "anti")
+    stats = ds.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    meta_path = os.path.join(index_dir, META)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["total_docs"] = int(stats["n"])
+    meta["avg_dl"] = float(stats["avgdl"] or 0.0)
+    meta["n_tombstones"] = tomb.count()
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta
+
+
+def load_index_with_deletes(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """load_index + tombstone anti-joins (merge-on-read view)."""
+    idx = load_index(spark, index_dir)
+    tomb_path = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(tomb_path):
+        tomb = spark.read.parquet(tomb_path).distinct()
+        idx.postings = idx.postings.join(tomb, "doc_id", "anti")
+        idx.doc_stats = idx.doc_stats.join(tomb, "doc_id", "anti")
+        # df must shrink for terms whose postings died with the docs
+        idx.term_stats = build_term_stats(idx.postings)
+    return idx
+
+
+def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """Apply tombstones physically: rewrite the index tables without the
+    deleted rows and drop the tombstone table."""
+    import shutil
+
+    tomb_path = os.path.join(index_dir, TOMBSTONES)
+    if not os.path.isdir(tomb_path):
+        with open(os.path.join(index_dir, META)) as fh:
+            return json.load(fh)
+    tomb = spark.read.parquet(tomb_path).distinct()
+
+    with open(os.path.join(index_dir, META)) as fh:
+        meta = json.load(fh)
+    config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
+                         n_buckets=meta["n_buckets"],
+                         positions=meta["positions"])
+
+    p = spark.read.parquet(os.path.join(index_dir, POSTINGS)) \
+        .join(tomb, "doc_id", "anti")
+    tmp = os.path.join(index_dir, POSTINGS + ".compact")
+    (p.repartition(config.n_buckets, "bucket")
+     .sortWithinPartitions("field", "term", "doc_id")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    shutil.rmtree(os.path.join(index_dir, POSTINGS))
+    os.rename(tmp, os.path.join(index_dir, POSTINGS))
+
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS)) \
+        .join(tomb, "doc_id", "anti")
+    tmp = os.path.join(index_dir, DOC_STATS + ".compact")
+    ds.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(os.path.join(index_dir, DOC_STATS))
+    os.rename(tmp, os.path.join(index_dir, DOC_STATS))
+
+    postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
+    build_term_stats(postings_r).write.mode("overwrite").parquet(
+        os.path.join(index_dir, TERM_STATS))
+
+    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
+    stats = ds.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    meta["total_docs"] = int(stats["n"])
+    meta["avg_dl"] = float(stats["avgdl"] or 0.0)
+    meta["n_postings"] = postings_r.count()
+    meta.pop("n_tombstones", None)
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    shutil.rmtree(tomb_path)
+    return meta

@@ -265,18 +265,27 @@ class SparkSearchEngine:
                      scoring: bool) -> _Node:
         """term/match/fuzzy core (QueryProcessor._processSingleTerm:146-207):
         exact or Levenshtein dictionary match + synonym expansion, then
-        postings lookup."""
+        postings lookup.
+
+        Exact lookups (fuzziness 0) skip the dictionary entirely: the
+        (field, term) pairs are literals, so the postings IN-list + bucket
+        predicate is built driver-side with NO Spark job — a nonexistent
+        term just scans to empty. Only expansion queries (fuzzy/prefix/
+        wildcard) pay the dictionary round-trip."""
         fields = self._fields_for(field)
         if fuzziness == 0:
             values = [norm_value]
             for syn in self.synonyms.get(norm_value, ()):  # S6 synonym hook
                 values.append(str(syn).lower())
-            matched = (self._dictionary(fields)
-                       .where(F.col("term").isin(values)))
-        else:
-            matched = (self._dictionary(fields)
-                       .where(F.levenshtein(F.col("term"), F.lit(norm_value))
-                              <= fuzziness))
+            pairs = [(f, v) for f in fields for v in values]
+            cand = self._postings_for(pairs).select("doc_id")
+            if len(pairs) > 1:
+                cand = cand.distinct()
+            return _Node(cand, pairs if scoring else [],
+                         cand_is_scored_union=scoring)
+        matched = (self._dictionary(fields)
+                   .where(F.levenshtein(F.col("term"), F.lit(norm_value))
+                          <= fuzziness))
         return self._terms_to_node(matched, scoring)
 
     def _terms_to_node(self, matched: DataFrame, scoring: bool) -> _Node:
