@@ -133,12 +133,31 @@ def tokens_udf(analyzer: str):
 
 
 def tokens_for(c: Column, analyzer: str = "standard",
-               force_udf: bool = False) -> Column:
+               force_udf: bool = False, stopwords: tuple = ()) -> Column:
     """Tokenize a string column with the named analyzer.
 
     Uses the JVM-native expression when one exists (hot path), otherwise the
-    Arrow pandas UDF.
+    Arrow pandas UDF. ``stopwords`` (default EMPTY — the reference ships no
+    stopwords.json, StopwordsManager.ts:29-47) filters tokens after
+    analysis; the whitespace analyzer checks the LOWERCASED token
+    (Tokenizer.ts:211-216). Zero cost when empty.
     """
     if not force_udf and analyzer in _NATIVE:
-        return _NATIVE[analyzer](c)
+        toks = _NATIVE[analyzer](c)
+        if stopwords:
+            stops = [str(s) for s in stopwords]
+            if analyzer == "whitespace":
+                toks = F.filter(toks, lambda t: ~F.lower(t).isin(stops))
+            else:
+                toks = F.filter(toks, lambda t: ~t.isin(stops))
+        return toks
+    if stopwords:
+        fn = pyan.ANALYZERS[analyzer]
+        stops = frozenset(str(s) for s in stopwords)
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _tok_sw(s: pd.Series) -> pd.Series:
+            return s.map(lambda x: fn(x, stops) if isinstance(x, str) else [])
+
+        return _tok_sw(c)
     return tokens_udf(analyzer)(c)

@@ -106,3 +106,23 @@ def filter_agg(docs: DataFrame, pred, sub, hits: DataFrame | None = None,
     scope by a column predicate, then run ``sub(scoped_docs)``."""
     scoped = _scope(docs, hits, id_col).where(pred)
     return sub(scoped)
+
+
+def nested_agg(docs: DataFrame, path: str, sub, hits: DataFrame | None = None,
+               id_col: str = "doc_id"):
+    """nested aggregation (A6, FacetEngine.ts:301-325): keep docs having the
+    ``path`` struct (or array-of-struct, exploded), then run ``sub`` with
+    fields addressed relative to the path.
+
+    For array-of-struct paths each element becomes a row (ES nested-doc
+    semantics); for plain structs the path is just column-pruned through.
+    ``sub`` receives a frame whose columns are the struct's fields plus the
+    id column."""
+    scoped = _scope(docs, hits, id_col).where(F.col(path).isNotNull())
+    dtype = dict(scoped.dtypes).get(path, "")
+    if dtype.startswith("array"):
+        inner = scoped.select(F.col(id_col), F.explode(path).alias("_n")) \
+            .select(F.col(id_col), F.col("_n.*"))
+    else:
+        inner = scoped.select(F.col(id_col), F.col(f"{path}.*"))
+    return sub(inner)

@@ -115,12 +115,14 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                 exploded.select(
                     "doc_id",
                     F.lit(f).alias("field"),
-                    F.posexplode(tokens_for(F.col("_elem"), "standard"))
+                    F.posexplode(tokens_for(F.col("_elem"), "standard",
+                                            stopwords=config.stopwords))
                      .alias("pos", "term"),
                 )
             )
         else:
-            toks = tokens_for(F.col(f), config.analyzer_for(f))
+            toks = tokens_for(F.col(f), config.analyzer_for(f),
+                              stopwords=config.stopwords)
             # materialize the token array in a Project BEFORE the generator:
             # Generate consumes a plain attribute, so the analyzer chain runs
             # once inside whole-stage codegen (with subexpression
@@ -170,7 +172,8 @@ def build_doc_stats(docs: DataFrame, config: IndexConfig) -> DataFrame:
     for f in config.fields:
         if _is_array_field(docs, f):
             continue
-        n = F.size(tokens_for(F.col(f), config.analyzer_for(f)))
+        n = F.size(tokens_for(F.col(f), config.analyzer_for(f),
+                              stopwords=config.stopwords))
         n = F.when(n < 0, 0).otherwise(n)  # size() is -1 for null arrays
         dl = dl + n
     return docs.select(F.col(config.id_col).alias("doc_id"),
