@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda scoped: agg.terms_agg(scoped, "source", size=5))
     q["agg_date_histogram_events"] = lambda s, d: agg.date_histogram_agg(
         _events(s, d).withColumnRenamed("event_id", "doc_id"), "ts", "day")
+    q["facets_lang_source"] = lambda s, d: agg.facets(
+        _docs(s, d), ["lang", "source"],
+        hits=_engine(s, d).candidates({"term": {"field": "text", "value": "dup"}}),
+        size=5).orderBy("facet_field", F.desc("doc_count"), "value")
 
     def _sessionize(s, d):
         ev = _events(s, d)
@@ -490,6 +494,20 @@ GROUP BY source ORDER BY doc_count DESC, value ASC LIMIT 5
     o["agg_date_histogram_events"] = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket, count(*)::BIGINT AS doc_count
 FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY bucket
+"""
+    o["facets_lang_source"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+hits AS (SELECT doc_id FROM t WHERE list_contains(toks, 'dup')),
+h AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+SELECT * FROM (
+  SELECT 'lang' AS facet_field, lang AS value, count(*)::BIGINT AS doc_count
+  FROM h WHERE lang IS NOT NULL GROUP BY lang
+  ORDER BY doc_count DESC, value ASC LIMIT 5)
+UNION ALL
+SELECT * FROM (
+  SELECT 'source' AS facet_field, source AS value, count(*)::BIGINT AS doc_count
+  FROM h WHERE source IS NOT NULL GROUP BY source
+  ORDER BY doc_count DESC, value ASC LIMIT 5)
 """
     o["ev_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us,

@@ -108,6 +108,23 @@ def filter_agg(docs: DataFrame, pred, sub, hits: DataFrame | None = None,
     return sub(scoped)
 
 
+def facets(docs: DataFrame, fields: list, hits: DataFrame | None = None,
+           size: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Auto-facets (A1, FacetEngine.ts:124-136): per configured keyword
+    field, value → count over the hit set. One frame
+    (facet_field, value, doc_count), per-field top ``size``."""
+    parts = []
+    for f in fields:
+        t = terms_agg(docs, f, hits=hits, size=size, id_col=id_col)
+        parts.append(t.select(F.lit(f).alias("facet_field"),
+                              F.col("value").cast("string").alias("value"),
+                              "doc_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def nested_agg(docs: DataFrame, path: str, sub, hits: DataFrame | None = None,
                id_col: str = "doc_id"):
     """nested aggregation (A6, FacetEngine.ts:301-325): keep docs having the

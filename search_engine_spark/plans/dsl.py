@@ -410,6 +410,12 @@ class SparkSearchEngine:
             if fuzziness == 0:
                 pairs = [(f, tok) for f in fields]
                 pf = self._postings_for(pairs)
+                if len(pairs) == 1:
+                    # positions are already sorted & unique per posting row —
+                    # no explode/regroup needed for the single-field exact case
+                    pf = pf.select("doc_id", F.col("positions").alias(f"pos{j}"))
+                    pos_frames.append(pf)
+                    continue
             else:
                 matched = self._dictionary(fields).where(
                     F.levenshtein(F.col("term"), F.lit(tok)) <= fuzziness)
