@@ -1,0 +1,175 @@
+"""Optional stemming filter (SURVEY T11).
+
+The reference ships 26 Snowball stemmers but stemming is OFF by default
+(Tokenizer.ts:97, src/index.ts:97), so no default-config behavior depends on
+it. This module provides the same opt-in hook with a pure-Python English
+Porter stemmer (Porter 1980, the classic public algorithm — Snowball
+"english" is its descendant); other languages raise NotImplementedError
+until a stemmer library is available on the cluster.
+
+Usage: ``stem_tokens(tokens_col, lang="en")`` wraps a token array column in
+an Arrow pandas UDF (stemming is pure string work; vectorized per batch).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in [C](VC)^m[V]."""
+    m, i, n = 0, 0, len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (_is_cons(w, len(w) - 3) and not _is_cons(w, len(w) - 2)
+            and _is_cons(w, len(w) - 1) and w[-1] not in "wxy")
+
+
+_STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+          ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+          ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+          ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+          ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
+          ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble")]
+_STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+          ("ical", "ic"), ("ful", ""), ("ness", "")]
+_STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+          "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"]
+
+
+def porter_stem(word: str) -> str:
+    """Porter (1980) English stemmer."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4 ("ion" additionally requires the stem to end in s/t)
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and _measure(w[:-3]) > 1 \
+                and w[:-3].endswith(("s", "t")):
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def stem_word(word: str, lang: str = "en") -> str:
+    if lang in ("en", "english"):
+        return porter_stem(word)
+    raise NotImplementedError(
+        f"stemmer for lang={lang!r} requires a Snowball library on the "
+        "cluster (reference default is stemming OFF, Tokenizer.ts:97)")
+
+
+def stem_tokens(tokens: Column, lang: str = "en") -> Column:
+    """Arrow-vectorized stemming filter over an array<string> column."""
+    if lang not in ("en", "english"):
+        raise NotImplementedError(f"stemmer for lang={lang!r} not available")
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _stem(s: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def one(toks):
+            if toks is None:
+                return []
+            out = []
+            for t in toks:
+                if t not in cache:
+                    cache[t] = porter_stem(t)
+                out.append(cache[t])
+            return out
+        return s.map(one)
+
+    return _stem(tokens)
