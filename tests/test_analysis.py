@@ -48,3 +48,24 @@ def test_null_and_empty_inputs(spark):
         rows = df.select(expr(F.col("s")).alias("t")).collect()
         for r in rows:
             assert r["t"] == [], analyzer
+
+
+def test_custom_analyzer_default():
+    from search_engine_spark.analysis.analyzers import make_custom
+    c = make_custom()
+    assert c("Hello, World-Wide don't") == ["hello", "world", "wide", "don", "t"]
+    # preserve flags are observable no-ops (reference quirk, Tokenizer.ts:449-472)
+    c2 = make_custom(preserve_hyphens=True, preserve_apostrophes=True)
+    assert c2("Hello, World-Wide don't") == c("Hello, World-Wide don't")
+
+
+def test_custom_analyzer_options():
+    from search_engine_spark.analysis.analyzers import make_custom
+    assert make_custom(lowercase=False)("Big CAT") == ["Big", "CAT"]
+    assert make_custom(min_length=3)("a bb ccc dddd") == ["ccc", "dddd"]
+    assert make_custom(max_length=3)("a bb ccc dddd") == ["a", "bb", "ccc"]
+    got = make_custom(custom_pattern=r"[a-z]+@[a-z]+")("x ab@cd ef gh@ij")
+    assert got == ["ab@cd", "gh@ij"]
+    stops = frozenset({"the"})
+    assert make_custom()("the cat", stops) == ["cat"]
+    assert make_custom(remove_stopwords=False)("the cat", stops) == ["the", "cat"]

@@ -74,8 +74,17 @@ def main():
     n_big = int(os.environ.get("SCALE_N_BIG", "8"))
 
     probe = cpu_probe()
-    r_small = run_bench(n_small, n_pages, sf_dir)
-    r_big = run_bench(n_big, n_pages, sf_dir)
+    # The sandbox host throttles unpredictably (the same job varies +-70%
+    # wall-clock run to run), so legs are INTERLEAVED (S,B,S,B) and the
+    # best run per config is kept — drift affects both configs equally and
+    # best-of discards throttled runs.
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    runs_small, runs_big = [], []
+    for _ in range(repeats):
+        runs_small.append(run_bench(n_small, n_pages, sf_dir))
+        runs_big.append(run_bench(n_big, n_pages, sf_dir))
+    r_small = max(runs_small, key=lambda r: r["index_docs_per_sec"])
+    r_big = max(runs_big, key=lambda r: r["index_docs_per_sec"])
 
     thr_s = r_small["index_docs_per_sec"]
     thr_b = r_big["index_docs_per_sec"]
