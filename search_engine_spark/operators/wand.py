@@ -101,13 +101,39 @@ def build_blocks(index: InvertedIndex) -> DataFrame:
             F.transform("plist", lambda x: x["dl"])).alias("payload"))
 
 
-def write_blocks(index: InvertedIndex, index_dir: str) -> str:
+def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
+    """Persist the block index; returns + logs compression metrics
+    (north-rule: terms/sec, postings/sec, bytes compressed per snapshot)."""
+    import json
+    import time
     path = os.path.join(index_dir, BLOCKS)
+    t0 = time.time()
     (build_blocks(index)
      .repartition(index.config.n_buckets, "bucket")
      .sortWithinPartitions("field", "term", "blk")
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
-    return path
+    spark = index.postings.sparkSession
+    b = spark.read.parquet(path)
+    row = b.agg(F.count(F.lit(1)).alias("n_blocks"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+                F.countDistinct("field", "term").alias("n_terms")).collect()[0]
+    secs = time.time() - t0
+    metrics = {
+        "path": path,
+        "n_blocks": int(row["n_blocks"]),
+        "n_postings": int(row["n_postings"] or 0),
+        "n_terms": int(row["n_terms"]),
+        "payload_bytes": int(row["payload_bytes"] or 0),
+        "bytes_per_posting": round((row["payload_bytes"] or 0)
+                                   / max(row["n_postings"] or 1, 1), 3),
+        "build_seconds": round(secs, 3),
+        "postings_per_sec": round((row["n_postings"] or 0) / max(secs, 1e-9), 1),
+        "terms_per_sec": round(row["n_terms"] / max(secs, 1e-9), 1),
+    }
+    with open(os.path.join(index_dir, "blocks_meta.json"), "w") as fh:
+        json.dump(metrics, fh, indent=1)
+    return metrics
 
 
 def load_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
