@@ -130,6 +130,17 @@ class SparkSearchEngine:
                 F.col("tf"), F.col("df"), F.col("dl"),
                 self.index.total_docs, self.index.avg_dl, self.k1, self.b))
         )
+        if (node.score_terms and len(set(node.score_terms)) == 1
+                and node.score_terms_df is None):
+            # single (field, term): exactly one posting row per doc — the
+            # per-doc sum aggregate (and its shuffle) is a no-op; 0.0 + s
+            # is bitwise s, so scores match the general path exactly
+            per_doc = scored_rows.select("doc_id", F.col("s").alias("score"))
+            if node.cand_is_scored_union:
+                return per_doc
+            return (node.cand.join(per_doc, "doc_id", "left")
+                    .select("doc_id",
+                            F.coalesce("score", F.lit(0.0)).alias("score")))
         # Deterministic float summation: sort each doc's per-term scores by
         # (field, term) before folding, so 8-core and 32-core runs (and the
         # oracle) agree bitwise — shuffle order must not leak into scores.
