@@ -28,6 +28,7 @@ from search_engine_spark.operators import aggregations as agg
 from search_engine_spark.operators import dedup, multimodal, similarity
 from search_engine_spark.operators.index_build import IndexConfig, build_index
 from search_engine_spark.functions import textstats
+from search_engine_spark.functions.portable import round6, round6_sql
 from search_engine_spark.plans.dsl import SparkSearchEngine
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -51,8 +52,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _session_key(spark: SparkSession) -> str:
+    # cache entries are DataFrames bound to a session — never reuse across
+    # a driver-restarted SparkSession
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
+
+
 def _engine(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
-    key = sf_dir
+    key = (_session_key(spark), sf_dir)
     if key in _CACHE:
         return _CACHE[key]
     docs = _docs(spark, sf_dir)
@@ -87,7 +97,7 @@ def _docs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _engine_ext(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
     """Engine over the extended docs: text + email + phone + nested keyword."""
-    key = ("ext", sf_dir)
+    key = (_session_key(spark), "ext", sf_dir)
     if key in _CACHE:
         return _CACHE[key]
     docs = _docs_ext(spark, sf_dir)
@@ -108,7 +118,7 @@ def _engine_ext(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
 def _topk(eng: SparkSearchEngine, q, k: int = 10) -> DataFrame:
     """Round-then-rank so the oracle's ORDER BY on rounded scores selects the
     identical top-k set at the LIMIT boundary."""
-    s = eng.search_scored(q).withColumn("score", F.round("score", 6))
+    s = eng.search_scored(q).withColumn("score", round6(F.col("score")))
     return s.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -146,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         so it shares the analytic BM25 oracle with the exhaustive path."""
         from search_engine_spark.operators.wand import build_blocks, wand_topk
         eng = _engine(s, d)
-        key = ("blocks", d)
+        key = (_session_key(s), "blocks", d)
         if key not in _CACHE:
             _CACHE[key] = build_blocks(eng.index).cache()
             _CACHE[key].count()
@@ -154,7 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LIMIT boundary matches the oracle's ordering exactly
         out = wand_topk(_CACHE[key], eng.index, "text",
                         ["data", "query"], k=30)
-        return (out.withColumn("score", F.round("score", 6))
+        return (out.withColumn("score", round6(F.col("score")))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
     q["bm25_wand_should"] = _wand
 
@@ -165,7 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scored = eng.search_scored({"match": {"field": "text", "value": "data"}})
         boosts = user_click_boosts(_events(s, d), user_id=7)
         out = personalize(scored, boosts)
-        return (out.withColumn("score", F.round("score", 6))
+        return (out.withColumn("score", round6(F.col("score")))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
     q["personalized_bm25"] = _personalized
     q["term_docs"] = lambda s, d: _members(
@@ -335,7 +345,7 @@ WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
 s AS (SELECT doc_id, len(toks)::BIGINT AS dl, {tf_cols} FROM t),
 g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM s),
 d AS (SELECT {df_cols} FROM s){extra_cte}
-SELECT s.doc_id AS doc_id, ROUND({score}, 6) AS score
+SELECT s.doc_id AS doc_id, {round6_sql(score)} AS score
 FROM s CROSS JOIN g CROSS JOIN d {extra_join} WHERE {where}
 ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
@@ -534,6 +544,12 @@ FROM documents
         "WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de' "
         "WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr' "
         "ELSE 'es' END")
+    Q6 = round6_sql(
+        "0.5::DOUBLE * LEAST(n_tok / 200.0::DOUBLE, 1.0::DOUBLE) "
+        "+ 0.3::DOUBLE * (1.0::DOUBLE - "
+        "CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0::DOUBLE END) "
+        "+ 0.2::DOUBLE * LEAST((CASE WHEN n_ws > 0 THEN n_chars::DOUBLE / n_ws "
+        "ELSE 0.0::DOUBLE END) / 8.0::DOUBLE, 1.0::DOUBLE)")
     o["ta_quality_lang"] = f"""
 WITH t AS (SELECT doc_id, n_chars, text, {TOK} AS toks FROM documents),
 c AS (SELECT doc_id,
@@ -547,12 +563,7 @@ c AS (SELECT doc_id,
              {_LANG_SQL_COUNTS['es']} AS c_es
       FROM t)
 SELECT doc_id,
-       ROUND(0.5::DOUBLE * LEAST(n_tok / 200.0::DOUBLE, 1.0::DOUBLE)
-           + 0.3::DOUBLE * (1.0::DOUBLE -
-               CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0::DOUBLE END)
-           + 0.2::DOUBLE * LEAST(
-               (CASE WHEN n_ws > 0 THEN n_chars::DOUBLE / n_ws
-                     ELSE 0.0::DOUBLE END) / 8.0::DOUBLE, 1.0::DOUBLE), 6)
+       {Q6}
          AS quality,
        {lang_case} AS pred_lang
 FROM c
@@ -572,6 +583,7 @@ SELECT doc_id, md5(text) AS fingerprint,
        (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))::INT AS is_dup
 FROM documents ORDER BY doc_id
 """
+    J6 = round6_sql("CASE WHEN uni > 0 THEN inter / uni ELSE 0.0::DOUBLE END")
     mh_cte = _minhash_cte(8)
     o["dd_minhash_sigs"] = f"WITH {mh_cte} SELECT * FROM sig"
     bands_union = " UNION ALL ".join(
@@ -592,9 +604,9 @@ v AS (SELECT a_id, b_id,
              (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS uni
       FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
 SELECT a_id, b_id,
-       ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0::DOUBLE END, 6) AS jaccard
+       {J6} AS jaccard
 FROM v
-WHERE ROUND(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0::DOUBLE END, 6) >= 0.5::DOUBLE
+WHERE {J6} >= 0.5::DOUBLE
 ORDER BY a_id, b_id
 """
     sums = ", ".join(
@@ -614,7 +626,7 @@ ORDER BY d.doc_id
 
     o["sim_topk_cosine"] = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
+SELECT vec_id, {round6_sql(_cos_sql('e.embedding', 'q.qv'))} AS cos
 FROM embeddings e, q WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
@@ -630,7 +642,7 @@ b AS (SELECT e.vec_id,
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 {bucket_sql},
 qb AS (SELECT bucket FROM b WHERE vec_id = 0)
-SELECT e.vec_id AS vec_id, ROUND({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos
+SELECT e.vec_id AS vec_id, {round6_sql(_cos_sql('e.embedding', 'q.qv'))} AS cos
 FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q, qb
 WHERE b.bucket = qb.bucket AND e.vec_id <> 0
 ORDER BY cos DESC, e.vec_id ASC LIMIT 10
@@ -638,12 +650,12 @@ ORDER BY cos DESC, e.vec_id ASC LIMIT 10
     o["dd_embedding_neardup"] = f"""
 WITH {bucket_sql}
 SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
-       ROUND({_cos_sql('a.embedding', 'b2.embedding')}, 6) AS cos
+       {round6_sql(_cos_sql('a.embedding', 'b2.embedding'))} AS cos
 FROM embeddings a JOIN b ba ON a.vec_id = ba.vec_id
      JOIN b bb ON TRUE
      JOIN embeddings b2 ON b2.vec_id = bb.vec_id
 WHERE ba.bucket = bb.bucket AND a.vec_id < b2.vec_id
-  AND ROUND({_cos_sql('a.embedding', 'b2.embedding')}, 6) >= 0.4::DOUBLE
+  AND {round6_sql(_cos_sql('a.embedding', 'b2.embedding'))} >= 0.4::DOUBLE
 ORDER BY a_id, b_id
 """
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.spark import tokens_for
 from ..functions.hashing import h60, minhash_col, shingles_col
+from ..functions.portable import round6
 
 #: Stopword-marker profiles for the n-gram/marker language heuristic.
 #: Tiny on purpose: the point is the distributed argmax plumbing; swap in
@@ -70,7 +71,7 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     score = (F.lit(0.5) * F.least(n_tok / F.lit(200.0), F.lit(1.0))
              + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
              + F.lit(0.2) * F.least(avg_wlen / F.lit(8.0), F.lit(1.0)))
-    return F.round(score, 6)
+    return round6(score)
 
 
 def lang_id(text: Column) -> Column:

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.spark import tokens_for
 from ..functions.hashing import h60, minhash_col, shingles_col
+from ..functions.portable import round6
 
 
 def normalized_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -116,7 +117,7 @@ def jaccard_verify(pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (out.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+    return (out.select("a_id", "b_id", round6(jac).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..functions.portable import round6
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -55,7 +56,7 @@ def brute_force_topk(vectors: DataFrame, query_vec: list, k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = vectors.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), q), 6).alias("cos"))
+        round6(cosine(F.col(vec_col), q)).alias("cos"))
     if exclude_id is not None:
         scored = scored.where(F.col("vec_id") != exclude_id)
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -91,9 +92,9 @@ def lsh_topk(vectors: DataFrame, query_vec: list, planes: list, k: int = 10,
     scored = (vectors
               .where(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
               .select(F.col(id_col).alias("vec_id"),
-                      F.round(cosine(F.col(vec_col),
-                                     F.array(*[F.lit(float(x)) for x in query_vec])),
-                              6).alias("cos")))
+                      round6(cosine(F.col(vec_col),
+                              F.array(*[F.lit(float(x)) for x in query_vec]))
+                       ).alias("cos")))
     if exclude_id is not None:
         scored = scored.where(F.col("vec_id") != exclude_id)
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
@@ -118,5 +119,5 @@ def embedding_neardup_pairs(vectors: DataFrame, planes: list,
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     return (pairs.select(F.col("a.vec_id").alias("a_id"),
                          F.col("b.vec_id").alias("b_id"),
-                         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"))
+                         round6(cosine(F.col("a.v"), F.col("b.v"))).alias("cos"))
             .where(F.col("cos") >= threshold))
