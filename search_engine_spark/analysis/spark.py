@@ -46,32 +46,44 @@ def _nonempty(toks: Column) -> Column:
     return F.filter(toks, lambda t: t != F.lit(""))
 
 
+#: ASCII chars the standard analyzer spaces out: everything that is neither
+#: [A-Za-z0-9_] nor ASCII whitespace (\t\n\x0b\x0c\r space). Includes '.', '-',
+#: apostrophe, and control chars — see standard_tokens_col for the proof that
+#: per-char spacing reproduces the reference chain's token stream.
+_ASCII_STRIP = "".join(
+    chr(i) for i in range(0x80)
+    if not (chr(i).isascii() and (chr(i).isalnum() or chr(i) == "_"))
+    and chr(i) not in "\t\n\x0b\x0c\r "
+)
+
+
 def standard_tokens_col(c: Column) -> Column:
     """Standard analyzer as a JVM expression chain (Tokenizer.ts:176-192).
 
-    Performance-equivalent rewrite of the literal chain (golden-vector
-    parity tests pin every transformation):
-    - the three apostrophe passes (contraction split, possessives) are
-      identity when the text has no apostrophe — guarded behind a cheap
-      ``instr`` so 95%+ of web text skips them;
-    - the three strip passes (non-[\\w\\s\\-.] / dot runs / hyphen runs)
-      fuse into ONE alternation — the character classes are disjoint, so
-      sequential replacement == one left-to-right pass;
-    - the length<=1 token filter becomes a regex erase of isolated
-      single chars + direct \\s+ split — no interpreted higher-order
-      ArrayFilter in the hot path, the whole chain stays in codegen.
+    Performance-equivalent rewrite of the literal regex chain — java regex
+    passes are ~6x slower than ``translate``, and the chain's TOKEN-STREAM
+    output (what the index sees) is provably identical under per-char
+    mapping (golden-vector + randomized parity tests pin this):
+
+    - every non-ASCII char maps to space: after the JS-whitespace translate,
+      remaining non-ASCII is non-word non-space for JS regexes, so the
+      ``[^\\w\\s\\-.]`` pass spaces it — done here with one cheap
+      ``[^\\x00-\\x7F]`` class;
+    - the three apostrophe passes reduce to ``' -> space``: rule 1 splits at
+      the apostrophe (= spacing it); rule 2 ((\\w+)'s -> $1) is dead code
+      after rule 1; rule 3 ((\\w+)s' -> $1s) deletes without spacing, which
+      differs only in whitespace — invisible after the \\s+ split;
+    - ALL remaining ASCII punctuation (including the later dot-run and
+      hyphen-run passes — runs of spaces collapse in the split) maps to
+      space via ONE ``translate``;
+    - the length<=1 filter is an ArrayFilter over the split (cheaper than a
+      lookaround-erase regex, and trivially order-preserving).
     """
     x = F.lower(_js_ws(c))
-    apos = F.regexp_replace(x, r"(\w+)'(\w+)", r"$1 $2")
-    apos = F.regexp_replace(apos, r"(\w+)'s\b", r"$1")
-    apos = F.regexp_replace(apos, r"(\w+)s'\b", r"$1s")
-    x = F.when(F.instr(x, "'") > 0, apos).otherwise(x)
-    x = F.regexp_replace(x, r"[^\w\s\-\.]|\.+|-+", " ")
-    x = F.trim(F.regexp_replace(x, r"(?<=^|\s)\S(?=\s|$)", ""))
-    # split("") == [""] — array_remove erases it without re-evaluating x
-    toks = F.array_remove(F.split(x, r"\s+"), "")
-    return (F.when(c.isNull(), F.array().cast("array<string>"))
-            .otherwise(toks))
+    x = F.regexp_replace(x, "[^\x00-\x7f]", " ")
+    x = F.translate(x, _ASCII_STRIP, " " * len(_ASCII_STRIP))
+    toks = F.filter(F.split(F.trim(x), r"\s+"), lambda t: F.length(t) > 1)
+    return F.when(c.isNull(), F.array().cast("array<string>")).otherwise(toks)
 
 
 def simple_tokens_col(c: Column) -> Column:

@@ -69,3 +69,27 @@ def test_custom_analyzer_options():
     stops = frozenset({"the"})
     assert make_custom()("the cat", stops) == ["cat"]
     assert make_custom(remove_stopwords=False)("the cat", stops) == ["the", "cat"]
+
+
+def test_standard_jvm_randomized_parity(spark):
+    """Randomized equivalence: the translate-based JVM chain must match the
+    pure-Python reference-semantics analyzer on adversarial inputs
+    (apostrophe rules, dot/hyphen runs, unicode, controls)."""
+    import random
+    from search_engine_spark.analysis import analyzers as pyan
+    from search_engine_spark.analysis.spark import tokens_for
+    from pyspark.sql import functions as F
+    rng = random.Random(99)
+    pieces = ["cat's", "cats'", "don't", "o'clock", "''", "'", "a'b'c",
+              "x-y", "--", "a..b", "...", "3.14", "_id_", "Hello,World!",
+              "café", " ", "　", "tab\there", "new\nline",
+              "\x1fctl", "é", "ab", "a", "A'S", "mixed'CASE's"]
+    rows = []
+    for i in range(300):
+        n = rng.randint(0, 12)
+        rows.append((i, " ".join(rng.choice(pieces) for _ in range(n))))
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: list(r["toks"]) for r in
+           df.select("i", tokens_for(F.col("t")).alias("toks")).collect()}
+    for i, t in rows:
+        assert got[i] == pyan.standard(t), (t, got[i], pyan.standard(t))
