@@ -438,9 +438,20 @@ class SparkSearchEngine:
         joined = pos_frames[0]
         for pf in pos_frames[1:]:
             joined = joined.join(pf, "doc_id")
-        arrays = F.array(*[F.col(f"pos{j}") for j in range(len(tokens))])
-        ok = _phrase_match_udf(arrays, F.lit(slop), F.lit(fuzziness))
-        cand = joined.where(ok).select("doc_id")
+        if slop == 0 and fuzziness == 0:
+            # exact phrase: greedy proximity with slop 0 accepts iff the
+            # tokens appear at consecutive positions — an intersect chain
+            # S_0 = pos0; S_j = (S_{j-1}+1) ∩ pos_j; accept iff S_n nonempty.
+            # Pure JVM array expressions, no Python kernel.
+            s = F.col("pos0")
+            for j in range(1, len(tokens)):
+                s = F.array_intersect(
+                    F.transform(s, lambda p: p + F.lit(1)), F.col(f"pos{j}"))
+            cand = joined.where(F.size(s) > 0).select("doc_id")
+        else:
+            arrays = F.array(*[F.col(f"pos{j}") for j in range(len(tokens))])
+            ok = _phrase_match_udf(arrays, F.lit(slop), F.lit(fuzziness))
+            cand = joined.where(ok).select("doc_id")
         terms = ([(f, t) for f in fields for t in tokens]
                  if scoring and fuzziness == 0 else [])
         return _Node(cand, terms)
