@@ -102,6 +102,18 @@ class SparkSearchEngine:
         node = self._compile(self._rewrite(query), scoring=True)
         return self._score(node)
 
+    def search_hits(self, query, size: int = 10, from_: int = 0) -> DataFrame:
+        """Reference-shaped hits: the full source document enriched with its
+        score (SearchEngine.ts:617-626 hit enrichment), ranked. The top-k is
+        resolved FIRST (k rows), then a broadcast join fetches the documents
+        — never a scan-join of the whole corpus."""
+        top = self.search(query, size=size, from_=from_)
+        return (self.docs.join(
+                    F.broadcast(top),
+                    self.docs[self.id_col] == top["doc_id"])
+                .drop(top["doc_id"])
+                .orderBy(F.desc("score"), F.asc(self.id_col)))
+
     def candidates(self, query) -> DataFrame:
         """Unscored membership semantics: DataFrame[doc_id]."""
         return self._compile(self._rewrite(query), scoring=False).cand

@@ -137,3 +137,12 @@ def test_wildcard_escapes_regex_metachars(spark_engine, oracle_engine):
     # a dot in the pattern must be literal, not regex-any
     q = {"wildcard": {"field": "email", "value": "*@example1.com"}}
     assert _spark_cands(spark_engine, q) == oracle_engine.candidates(q)
+
+
+def test_search_hits_enrichment(spark_engine, docs_df):
+    q = {"match": {"field": "name", "value": "hello"}}
+    hits = spark_engine.search_hits(q, size=5).collect()
+    plain = spark_engine.search(q, size=5).collect()
+    assert [h["id"] for h in hits] == [p["doc_id"] for p in plain]
+    assert [h["score"] for h in hits] == [p["score"] for p in plain]
+    assert "name" in hits[0].asDict() and "price" in hits[0].asDict()
