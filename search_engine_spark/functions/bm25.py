@@ -23,17 +23,20 @@ from .. import B, K1
 def bm25_score(tf: Column, df: Column, dl: Column,
                total_docs: float, avg_dl: float,
                k1: float = K1, b: float = B,
-               boost: float = 1.0) -> Column:
+               boost: "float | Column" = 1.0) -> Column:
     """BM25 score column for one (term, doc) posting.
 
     ``total_docs`` and ``avg_dl`` are broadcast scalars (computed once at
     build time, stored in index meta) — no per-row join needed for them.
+    ``boost`` is the field boost (BM25Scorer.ts:109-114): a scalar, or a
+    Column for per-field boosts (a CASE over the ``field`` column).
     """
     avgdl = avg_dl or 1.0  # avgDocLength || 1 (BM25Scorer.ts:105)
+    boost_col = boost if isinstance(boost, Column) else F.lit(float(boost))
     idf = F.log((F.lit(float(total_docs)) - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0))
     num = tf.cast("double") * F.lit(k1 + 1.0)
     den = tf.cast("double") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl.cast("double") / F.lit(float(avgdl))))
-    return F.greatest(F.lit(0.0), F.lit(float(boost)) * idf * (num / den))
+    return F.greatest(F.lit(0.0), boost_col * idf * (num / den))
 
 
 def bm25_score_py(tf: float, df: float, dl: float, total_docs: float,

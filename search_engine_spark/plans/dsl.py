@@ -77,14 +77,25 @@ class SparkSearchEngine:
     """Search over a built :class:`InvertedIndex` + its source docs table."""
 
     def __init__(self, index: InvertedIndex, docs: DataFrame,
-                 k1: float = K1, b: float = B, synonyms: dict | None = None):
+                 k1: float = K1, b: float = B, synonyms: dict | None = None,
+                 field_boosts: dict | None = None):
         self.index = index
         self.docs = docs
         self.spark = docs.sparkSession
         self.id_col = index.config.id_col
         self.k1, self.b = k1, b
         self.synonyms = synonyms or {}
+        # per-field score multipliers (BM25Scorer.ts:109-114 fieldBoosts)
+        self.field_boosts = field_boosts or {}
         self._all_docs = index.doc_stats.select("doc_id")
+
+    def _boost_col(self):
+        if not self.field_boosts:
+            return 1.0
+        out = F.lit(1.0)
+        for f, b in self.field_boosts.items():
+            out = F.when(F.col("field") == f, F.lit(float(b))).otherwise(out)
+        return out
 
     # ------------------------------------------------------------------
     # public API
@@ -140,7 +151,8 @@ class SparkSearchEngine:
             .join(self.index.doc_stats, "doc_id")
             .withColumn("s", bm25_score(
                 F.col("tf"), F.col("df"), F.col("dl"),
-                self.index.total_docs, self.index.avg_dl, self.k1, self.b))
+                self.index.total_docs, self.index.avg_dl, self.k1, self.b,
+                boost=self._boost_col()))
         )
         if (node.score_terms and len(set(node.score_terms)) == 1
                 and node.score_terms_df is None):

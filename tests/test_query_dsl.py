@@ -146,3 +146,17 @@ def test_search_hits_enrichment(spark_engine, docs_df):
     assert [h["id"] for h in hits] == [p["doc_id"] for p in plain]
     assert [h["score"] for h in hits] == [p["score"] for p in plain]
     assert "name" in hits[0].asDict() and "price" in hits[0].asDict()
+
+
+def test_field_boosts_scale_scores(docs_index, docs_df):
+    from search_engine_spark.plans.dsl import SparkSearchEngine
+    q = {"match": {"field": "name", "value": "hello"}}
+    base = {r["doc_id"]: r["score"] for r in
+            SparkSearchEngine(docs_index, docs_df).search_scored(q).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in
+               SparkSearchEngine(docs_index, docs_df,
+                                 field_boosts={"name": 2.0})
+               .search_scored(q).collect()}
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert boosted[d] == pytest.approx(2.0 * s, rel=1e-12)
