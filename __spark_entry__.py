@@ -298,6 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dd_embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
         _emb(s, d), _planes(s, d), threshold=0.4).orderBy("a_id", "b_id")
 
+    def _clean(s, d):
+        from search_engine_spark.operators.pipeline import clean_corpus
+        return clean_corpus(_docs(s, d)).orderBy("doc_id")
+    q["pipeline_clean_corpus"] = _clean
+
     # -- multimodal plumbing --------------------------------------------------
     q["mm_binary_meta"] = lambda s, d: multimodal.binary_metadata(
         multimodal.synth_payloads(_docs(s, d))).orderBy("doc_id")
@@ -659,6 +664,45 @@ WHERE ba.bucket = bb.bucket AND a.vec_id < b2.vec_id
 ORDER BY a_id, b_id
 """
 
+    o["pipeline_clean_corpus"] = f"""
+WITH {mh_cte},
+bands AS ({bands_union}),
+bs AS (SELECT band_key, count(*) AS n FROM bands GROUP BY band_key),
+bok AS (SELECT b.doc_id, b.band_key FROM bands b JOIN bs USING (band_key)
+        WHERE bs.n <= 1000),
+pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bok a JOIN bok b
+            ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, list_distinct({sh3}) AS sh FROM t),
+v AS (SELECT a_id, b_id,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE AS inter,
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::DOUBLE AS uni
+      FROM pairs JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id),
+near AS (SELECT DISTINCT b_id AS doc_id FROM v WHERE {J6} >= 0.5::DOUBLE),
+ex AS (SELECT doc_id,
+              (doc_id <> min(doc_id) OVER (PARTITION BY md5(text)))::INT AS is_dup
+       FROM documents),
+c AS (SELECT d.doc_id,
+             len(toks)::DOUBLE AS n_tok,
+             len({WS_TOK})::DOUBLE AS n_ws,
+             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x)))::DOUBLE AS stops,
+             n_chars,
+             {_LANG_SQL_COUNTS['en']} AS c_en,
+             {_LANG_SQL_COUNTS['de']} AS c_de,
+             {_LANG_SQL_COUNTS['fr']} AS c_fr,
+             {_LANG_SQL_COUNTS['es']} AS c_es
+      FROM documents d JOIN t ON d.doc_id = t.doc_id),
+s2 AS (SELECT doc_id, {Q6} AS quality, {lang_case} AS pred_lang FROM c)
+SELECT s2.doc_id AS doc_id, s2.quality AS quality, s2.pred_lang AS pred_lang,
+       CASE WHEN ex.is_dup = 1 THEN 'exact_dup'
+            WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN s2.quality < 0.5::DOUBLE THEN 'low_quality'
+            WHEN s2.pred_lang <> 'en' THEN 'wrong_lang'
+            ELSE '' END AS reason
+FROM s2 JOIN ex ON s2.doc_id = ex.doc_id
+        LEFT JOIN near ON s2.doc_id = near.doc_id
+ORDER BY doc_id
+"""
     o["mm_binary_meta"] = """
 SELECT doc_id,
        (CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) + 8

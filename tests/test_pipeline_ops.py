@@ -164,3 +164,20 @@ def test_multimodal_pipeline(corpus):
 
     with pytest.raises(Exception):
         multimodal.extract_features(payloads, use_stub=False).collect()
+
+
+def test_clean_corpus_pipeline(corpus):
+    from search_engine_spark.operators.pipeline import clean_corpus, surviving_docs
+    # threshold 0.9: only the planted 100/101/102 family clears it (the
+    # 0..39 docs share the base text with 100 at jaccard ~0.7-0.8)
+    verdict = {r["doc_id"]: r["reason"]
+               for r in clean_corpus(corpus, min_quality=0.0,
+                                     neardup_threshold=0.9).collect()}
+    assert verdict[102] == "exact_dup"       # dup of 100
+    assert verdict[101] == "near_dup"        # jaccard ~0.96 with 100
+    assert verdict[100] == ""                # canonical survivor
+    kept = {r["doc_id"] for r in
+            surviving_docs(corpus, min_quality=0.0,
+                           neardup_threshold=0.9).collect()}
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert kept == {d for d, r in verdict.items() if r == ""}
