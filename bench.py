@@ -115,6 +115,18 @@ def main():
         t0 = time.time()
         wand_topk(blocks, idx, "text", top_terms, k=10).collect()
         queries["q_wand_head3"] = round(time.time() - t0, 3)
+
+        # ---- serving path: pyarrow reader over the same artifacts ----
+        from search_engine_spark.serving import ServingIndex
+        srv = ServingIndex(index_dir)
+        srv.topk("text", [top_terms[0]], k=10)  # warm metadata
+        lat_srv = []
+        for t in [top_terms[0], top_terms[1], tail_term]:
+            t0 = time.time()
+            srv.topk("text", [t], k=10)
+            lat_srv.append(time.time() - t0)
+        queries["serving_p50_ms"] = round(
+            1000 * statistics.median(lat_srv), 2)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)

@@ -168,6 +168,66 @@ def encode_blocks_batch(docs_list: list, tfs_list: list,
             for i in range(n_rows)]
 
 
+def decode_blocks_batch(payloads: list) -> tuple:
+    """Decode MANY blocks in one vectorized pass → concatenated
+    (doc_ids, tfs, dls) in payload order.
+
+    Per-block decode pays ~200µs of numpy setup; a head term has thousands
+    of blocks. Batch path: one global varbyte decode over the concatenated
+    buffers (the format is self-delimiting and payloads abut), one global
+    cumsum for the deltas with per-block offset correction — the only
+    Python loop is over block headers (cheap scalar reads).
+    """
+    if not payloads:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    bufs = [bytes(p) for p in payloads]
+    # per-block posting counts from each header (first varbyte value)
+    ns = np.empty(len(bufs), dtype=np.int64)
+    hdr_lens = np.empty(len(bufs), dtype=np.int64)
+    for i, b in enumerate(bufs):
+        v, shift, j = 0, 0, 0
+        while True:
+            byte = b[j]
+            v |= (byte & 0x7F) << shift
+            j += 1
+            if not byte & 0x80:
+                break
+            shift += 7
+        ns[i] = v
+        hdr_lens[i] = j
+    total_vals = int((3 * ns + 1).sum())
+    concat = b"".join(bufs)
+    vals = varbyte_decode(concat, total_vals).astype(np.int64)
+    # value-index layout per block i: [hdr, deltas(n), tfs(n), dls(n)]
+    starts = np.zeros(len(bufs), dtype=np.int64)          # block start idx
+    np.cumsum(3 * ns[:-1] + 1, out=starts[1:])
+    n_total = int(ns.sum())
+
+    def segment(offset_in_block_of):
+        idx = np.empty(n_total, dtype=np.int64)
+        pos = 0
+        for i, n in enumerate(ns):
+            s = starts[i] + offset_in_block_of(n)
+            idx[pos:pos + n] = np.arange(s, s + n)
+            pos += n
+        return vals[idx]
+
+    deltas = segment(lambda n: 1)
+    tfs = segment(lambda n: 1 + n)
+    dls = segment(lambda n: 1 + 2 * n)
+    # per-block cumsum of deltas via one global cumsum + offset correction
+    c = np.cumsum(deltas.view(np.uint64))
+    doc_starts = np.zeros(len(bufs), dtype=np.int64)
+    np.cumsum(ns[:-1], out=doc_starts[1:])
+    nz = ns > 0
+    prev_idx = doc_starts[nz] - 1
+    firsts = np.where(prev_idx >= 0, c[prev_idx], np.uint64(0))
+    rep = np.repeat(firsts, ns[nz])
+    docs = (c - rep).view(np.int64)
+    return docs, tfs, dls
+
+
 def bm25_qnorm(tfs: np.ndarray, dls: np.ndarray, avg_dl: float,
                k1: float = 1.2, b: float = 0.75) -> np.ndarray:
     """The tf-dependent BM25 factor tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)) with

@@ -1,0 +1,150 @@
+"""Low-latency query serving over the Spark-built index artifacts.
+
+Spark answers queries in ~0.3-2 s regardless of corpus size (job-scheduling
+floor) — right for analytics, wrong for interactive search. The reference's
+<10 ms claim is an in-process lookup; this module is the Spark-native
+equivalent: the driver (or any small serving process) reads the SAME
+bucketed, term-sorted parquet block index the cluster built, pruned exactly
+like the cluster path —
+
+  1. bucket partition pruning: a term's bucket is computed in pure Python
+     (portable h60, index_build.bucket_of) → only that directory is read;
+  2. parquet predicate pushdown on (field, term) over row groups sorted by
+     term → only the term's row groups decode;
+  3. payloads decode with the numpy codec and score with the exact
+     double-precision op order of functions/bm25.py → scores are BITWISE
+     identical to the DataFrame path (tested).
+
+Per-query work is O(postings of the query's terms) — independent of corpus
+size, the same property that makes the distributed path scale. A serving
+node needs no Spark session at all: just pyarrow + numpy + the index dir
+(or object store path).
+
+This is not a second engine: build, stats, compression, and semantics all
+live in the Spark artifacts; serving is a reader.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .operators.index_build import META, bucket_of
+from .operators.postings_codec import (bm25_qnorm, decode_block,
+                                       decode_blocks_batch)
+from .operators.wand import BLOCKS
+
+K1, B = 1.2, 0.75
+
+
+class ServingIndex:
+    """Millisecond BM25 top-k over a persisted index's block table."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, META)) as fh:
+            self.meta = json.load(fh)
+        self.n_buckets = self.meta["n_buckets"]
+        self.total_docs = self.meta["total_docs"]
+        self.avg_dl = self.meta["avg_dl"]
+        blocks_dir = os.path.join(index_dir, BLOCKS)
+        if not os.path.isdir(blocks_dir):
+            raise FileNotFoundError(
+                f"no block index at {blocks_dir} — run write_blocks() first")
+        # bucket -> list of parquet files (tiny metadata, cached once)
+        self._bucket_files: dict = {}
+        for name in os.listdir(blocks_dir):
+            if name.startswith("bucket="):
+                b = int(name.split("=", 1)[1])
+                d = os.path.join(blocks_dir, name)
+                self._bucket_files[b] = [
+                    os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")]
+        self._df_cache: dict = {}
+
+    # -- postings access ----------------------------------------------------
+
+    def _term_blocks(self, field: str, term: str):
+        """All (payload bytes) for one (field, term): pruned bucket dir +
+        parquet row-group predicate pushdown on the sorted term column."""
+        b = bucket_of(field, term, self.n_buckets)
+        out = []
+        for path in self._bucket_files.get(b, ()):
+            t = pq.read_table(
+                path, columns=["payload"],
+                filters=[("field", "=", field), ("term", "=", term)])
+            out.extend(t.column("payload").to_pylist())
+        return out
+
+    def postings(self, field: str, term: str):
+        """(doc_ids, tfs, dls) int64 arrays for one term (may be empty)."""
+        return decode_blocks_batch(self._term_blocks(field, term))
+
+    def df(self, field: str, term: str) -> int:
+        key = (field, term)
+        if key not in self._df_cache:
+            self._df_cache[key] = int(sum(
+                decode_block(p)[0].size for p in self._term_blocks(field, term)))
+        return self._df_cache[key]
+
+    # -- scoring ------------------------------------------------------------
+
+    def _idf(self, df: int) -> float:
+        n = float(self.total_docs)
+        return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+    def topk(self, field: str, terms: list, k: int = 10,
+             mode: str = "or") -> list:
+        """BM25 top-k [(doc_id, score)] for an OR/AND of terms.
+
+        Scores are bitwise-identical to the Spark DataFrame path: per-term
+        contributions computed with bm25_qnorm's op order and summed in
+        sorted term order.
+        """
+        terms = sorted(set(terms))
+        doc_parts, score_parts = [], []
+        n_terms_found = 0
+        for t in terms:  # sorted term order => deterministic fold order
+            docs, tfs, dls = self.postings(field, t)
+            if docs.size == 0:
+                if mode == "and":
+                    return []
+                continue
+            n_terms_found += 1
+            idf = self._idf(docs.size)
+            s = np.maximum(0.0, 1.0 * idf
+                           * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+            doc_parts.append(docs)
+            score_parts.append(s)
+        if not doc_parts:
+            return []
+        all_docs = np.concatenate(doc_parts)
+        all_scores = np.concatenate(score_parts)
+        # np.add.at accumulates in array index order == sorted term order,
+        # bitwise-matching the Spark path's sorted-struct fold
+        uniq, inv, counts = np.unique(all_docs, return_inverse=True,
+                                      return_counts=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, all_scores)
+        if mode == "and":
+            keep = counts == n_terms_found
+            uniq, sums = uniq[keep], sums[keep]
+            if uniq.size == 0:
+                return []
+        # (score desc, doc asc): lexsort keys are (secondary, primary)
+        order = np.lexsort((uniq, -sums))[:k]
+        return [(int(uniq[i]), float(sums[i])) for i in order]
+
+    def match(self, field: str, value: str, k: int = 10) -> list:
+        """match-query convenience: analyze the value with the standard
+        analyzer, AND the tokens (QueryParser.ts:23-43 semantics)."""
+        from .analysis.analyzers import standard
+        toks = standard(str(value))
+        if not toks:
+            return []
+        return self.topk(field, toks, k=k,
+                         mode="and" if len(toks) > 1 else "or")

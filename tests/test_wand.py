@@ -107,3 +107,27 @@ def test_wand_partition_invariance(pages_index):
 def test_wand_unknown_term(pages_index):
     pages, idx, blocks = pages_index
     assert wand_topk(blocks, idx, "text", ["zzznotaterm"], k=5).count() == 0
+
+
+@given(st.lists(st.lists(st.tuples(st.integers(min_value=-2**62, max_value=2**62),
+                                   st.integers(min_value=1, max_value=500),
+                                   st.integers(min_value=0, max_value=5000)),
+                         min_size=0, max_size=40, unique_by=lambda t: t[0]),
+                min_size=0, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_decode_blocks_batch_equals_per_block(blocks):
+    from search_engine_spark.operators.postings_codec import (
+        decode_blocks_batch, encode_block)
+    payloads, want_d, want_t, want_l = [], [], [], []
+    for postings in blocks:
+        postings.sort()
+        d = np.array([p[0] for p in postings], dtype=np.int64)
+        t = np.array([p[1] for p in postings], dtype=np.int64)
+        l = np.array([p[2] for p in postings], dtype=np.int64)
+        payloads.append(encode_block(d.view(np.uint64), t, l))
+        want_d.append(d); want_t.append(t); want_l.append(l)
+    gd, gt, gl = decode_blocks_batch(payloads)
+    cat = lambda xs: (np.concatenate(xs) if xs else np.zeros(0, dtype=np.int64))
+    assert np.array_equal(gd, cat(want_d))
+    assert np.array_equal(gt, cat(want_t))
+    assert np.array_equal(gl, cat(want_l))
