@@ -266,6 +266,16 @@ class SparkSearchEngine:
             return self._phrase(q.get("match_phrase") or q.get("phrase"), scoring)
         if "nested" in q:
             return self._nested(q["nested"], scoring)
+        if "exists" in q:
+            # emitted by the reference's query builder (SearchQuery.ts:306-311,
+            # missing-field = must_not exists) though its processor never
+            # dispatches it; semantics: field present and non-null
+            f = q["exists"].get("field")
+            if not f or f not in self.docs.columns and "." not in str(f):
+                return self._empty()
+            cand = (self.docs.where(F.col(f).isNotNull())
+                    .select(F.col(self.id_col).alias("doc_id")))
+            return _Node(cand, [])
         return self._empty()
 
     def _empty(self) -> _Node:

@@ -160,3 +160,16 @@ def test_field_boosts_scale_scores(docs_index, docs_df):
     assert set(base) == set(boosted)
     for d, s in base.items():
         assert boosted[d] == pytest.approx(2.0 * s, rel=1e-12)
+
+
+def test_exists_and_missing(spark_engine, docs_df):
+    got = {r["doc_id"] for r in
+           spark_engine.candidates({"exists": {"field": "email"}}).collect()}
+    want = {r["id"] for r in docs_df.where("email is not null").collect()}
+    assert got == want
+    missing = {r["doc_id"] for r in spark_engine.candidates(
+        {"bool": {"must": [{"match_all": {}}],
+                  "must_not": [{"exists": {"field": "email"}}]}}).collect()}
+    assert missing == {r["id"] for r in
+                       docs_df.where("email is null").collect()}
+    assert spark_engine.candidates({"exists": {"field": "zzz"}}).count() == 0
