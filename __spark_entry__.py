@@ -209,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_nchars"] = lambda s, d: _members(
         _engine(s, d), {"range": {"field": "n_chars", "gte": 100, "lte": 300}})
     q["bare_string_and"] = lambda s, d: _members(_engine(s, d), "data query")
+    q["exists_field"] = lambda s, d: _members(
+        _engine(s, d), {"bool": {"must": [{"exists": {"field": "lang"}}],
+                                 "must_not": [{"term": {"field": "text",
+                                               "value": "dup"}}]}})
     q["synonym_term"] = lambda s, d: SparkSearchEngine(
         _engine(s, d).index, _engine(s, d).docs,
         synonyms={"data": ["value"]}).candidates(
@@ -440,6 +444,12 @@ cl AS (SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS doc_
                          "WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id")
     o["bare_string_and"] = _members_sql(
         "list_contains(toks, 'data') AND list_contains(toks, 'query')")
+    o["exists_field"] = f"""
+WITH t AS (SELECT d.doc_id, lang, {TOK} AS toks FROM documents d)
+SELECT doc_id FROM t
+WHERE lang IS NOT NULL AND NOT list_contains(toks, 'dup')
+ORDER BY doc_id
+"""
     o["synonym_term"] = _members_sql(
         "list_contains(toks, 'data') OR list_contains(toks, 'value')")
     # email analyzer tokens of user{id}@ex{id%7}.com: full, local, domain,
