@@ -74,3 +74,37 @@ def test_windowed_event_counts_matches_batch(tmp_path, spark):
     assert got
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_sessionize_stream(tmp_path, spark):
+    """Custom stateful operator (applyInPandasWithState): sessions CLOSED by
+    the stream (gap exceeded inside the data) must match the batch
+    sessionizer's gap splits."""
+    from search_engine_spark.streaming.sessionize import sessionize_stream
+
+    src = str(tmp_path / "ev2")
+    rows = []
+    # user 1: three sessions (gaps of 2h); user 2: one long session
+    for k in range(3):
+        for j in range(4):
+            rows.append((len(rows), f"2024-01-01 {3 * k:02d}:{j:02d}:00", 1))
+    for j in range(10):
+        rows.append((len(rows), f"2024-01-01 05:{j:02d}:00", 2))
+    ev = spark.createDataFrame(rows, "event_id long, ts_s string, user_id long") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = sessionize_stream(stream)
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], str(r["session_start"]), r["n_events"])
+           for r in spark.sql("select * from sess").collect()}
+    # sessions closed BY GAP inside the data must always be emitted; the
+    # final open session per user is flushed by the processing-time timeout,
+    # which may or may not fire before availableNow terminates
+    must_have = {(1, "2024-01-01 00:00:00", 4), (1, "2024-01-01 03:00:00", 4)}
+    may_have = must_have | {(1, "2024-01-01 06:00:00", 4),
+                            (2, "2024-01-01 05:00:00", 10)}
+    assert must_have <= got <= may_have
