@@ -88,6 +88,9 @@ def _docs_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("("), (F.col("doc_id") % 700 + 200), F.lit(") "),
                  (F.col("doc_id") % 600 + 300), F.lit("-"),
                  (F.col("doc_id") % 9000 + 1000)).alias("phone_col"),
+        F.concat(F.lit("https://site"), F.col("doc_id") % 10,
+                 F.lit(".example/cat"), F.col("doc_id") % 3,
+                 F.lit("/p"), F.col("doc_id")).alias("url_col"),
         F.struct(F.col("lang"), F.col("source")).alias("meta"),
         F.struct(
             (((F.col("doc_id") * 7) % 120) - 60 + F.lit(0.25)).alias("lat"),
@@ -104,7 +107,8 @@ def _engine_ext(spark: SparkSession, sf_dir: str) -> SparkSearchEngine:
     config = IndexConfig(
         id_col="doc_id",
         fields={"text": "text", "email_col": "email",
-                "phone_col": "phone", "meta.lang": "keyword"},
+                "phone_col": "phone", "url_col": "url",
+                "meta.lang": "keyword"},
         n_buckets=8)
     idx = build_index(docs, config)
     idx.postings = idx.postings.cache()
@@ -221,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine_ext(s, d), {"term": {"field": "email_col", "value": "ex3"}})
     q["phone_segment"] = lambda s, d: _members(
         _engine_ext(s, d), {"term": {"field": "phone_col", "value": "305"}})
+    q["url_path_segment"] = lambda s, d: _members(
+        _engine_ext(s, d), {"term": {"field": "url_col", "value": "cat2"}})
     q["nested_keyword"] = lambda s, d: _members(
         _engine_ext(s, d), {"nested": {"path": "meta", "query": {
             "term": {"field": "lang", "value": "de"}}}})
@@ -462,6 +468,10 @@ ORDER BY doc_id
     o["phone_segment"] = ("SELECT doc_id FROM documents "
                           "WHERE doc_id % 700 = 105 OR doc_id % 600 = 5 "
                           "ORDER BY doc_id")
+    # url analyzer tokens of https://site{id%10}.example/cat{id%3}/p{id}:
+    # full, hostname, host labels, path segments -> 'cat2' iff doc_id%3=2
+    o["url_path_segment"] = ("SELECT doc_id FROM documents "
+                             "WHERE doc_id % 3 = 2 ORDER BY doc_id")
     o["nested_keyword"] = ("SELECT doc_id FROM documents "
                            "WHERE lang = 'de' ORDER BY doc_id")
     # derived location: lat=((id*7)%120)-60+0.25, lon=((id*13)%300)-150+0.25;
