@@ -131,3 +131,22 @@ def test_decode_blocks_batch_equals_per_block(blocks):
     assert np.array_equal(gd, cat(want_d))
     assert np.array_equal(gt, cat(want_t))
     assert np.array_equal(gl, cat(want_l))
+
+
+def test_head_term_skew_bounded_blocks(spark):
+    """Adversarial skew: one term in EVERY doc. Doc-aligned blocking must
+    bound every (term, blk) group at BLOCK_BITS capacity — no reducer ever
+    materializes a whole head-term posting list."""
+    from search_engine_spark.operators.postings_codec import BLOCK_BITS
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("common filler"),
+                 F.lit(" unique"), F.col("id").cast("string")).alias("text"))
+    idx = build_index(df, IndexConfig(id_col="doc_id",
+                                      fields={"text": "text"}, n_buckets=4))
+    blocks = build_blocks(idx)
+    row = (blocks.where(F.col("term") == "common")
+           .agg(F.max("n_docs").alias("mx"),
+                F.count(F.lit(1)).alias("n")).collect()[0])
+    assert row["mx"] <= (1 << BLOCK_BITS)
+    assert row["n"] >= 5000 // (1 << BLOCK_BITS)  # spread across many groups
