@@ -108,6 +108,81 @@ def extract_features(df: DataFrame, bin_col: str = "payload",
     return src.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for image resize: stretches/truncates the
+    byte stream to width*height bytes (real impl: PIL resize)."""
+    target = max(1, width * height)
+    if not payload:
+        return bytes(target)
+    reps = (target // len(payload)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32,
+                  bin_col: str = "payload", id_col: str = "doc_id",
+                  use_stub: bool = True) -> DataFrame:
+    """mapInPandas image-resize pipeline (STUBBED decode — PIL/opencv are
+    not in this container; the Spark-side contract — Arrow batch shape,
+    output schema, partition behavior — is real and tested)."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if not use_stub:
+                    decode_image(raw)  # raises NotImplementedError
+                out.append(fake_resize(raw, width, height))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "width": [width] * len(out),
+                                "height": [height] * len(out),
+                                "payload": out})
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  bin_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas video frame sampling: one output row per sampled frame
+    (doc_id, frame_idx, frame). The decode is a deterministic fake (evenly
+    spaced byte windows); swap for pyav/ffmpeg on a real cluster. Output
+    cardinality = n_frames x input rows — the 1:N generator shape video
+    pipelines need, with bounded Arrow batches."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(bin_col).alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                step = max(1, len(raw) // n_frames)
+                for j in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    frames.append(raw[j * step:(j + 1) * step] or b"\x00")
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame": frames})
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synth_payloads(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Deterministic binary column for tests: utf-8 bytes of the text with a

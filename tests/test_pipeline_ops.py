@@ -181,3 +181,24 @@ def test_clean_corpus_pipeline(corpus):
                            neardup_threshold=0.9).collect()}
     assert 100 in kept and 101 not in kept and 102 not in kept
     assert kept == {d for d, r in verdict.items() if r == ""}
+
+
+def test_multimodal_resize_and_frames(corpus):
+    payloads = multimodal.synth_payloads(corpus)
+    resized = multimodal.resize_images(payloads, width=8, height=4).collect()
+    assert len(resized) == corpus.count()
+    assert all(len(r["payload"]) == 32 and r["width"] == 8 and r["height"] == 4
+               for r in resized)
+    # deterministic: identical payloads resize identically
+    rmap = {r["doc_id"]: bytes(r["payload"]) for r in resized}
+    assert rmap[100] == rmap[102]
+
+    frames = multimodal.sample_frames(payloads, n_frames=3).collect()
+    assert len(frames) == 3 * corpus.count()          # 1:N generator shape
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2] for v in per_doc.values())
+
+    with pytest.raises(Exception):
+        multimodal.resize_images(payloads, use_stub=False).collect()
