@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["range_nchars"] = lambda s, d: _members(
         _engine(s, d), {"range": {"field": "n_chars", "gte": 100, "lte": 300}})
     q["bare_string_and"] = lambda s, d: _members(_engine(s, d), "data query")
+    q["suggest_prefix"] = lambda s, d: _engine(s, d).suggest("text", "s", size=10)
     q["exists_field"] = lambda s, d: _members(
         _engine(s, d), {"bool": {"must": [{"exists": {"field": "lang"}}],
                                  "must_not": [{"term": {"field": "text",
@@ -305,6 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), _qvec(s, d), k=10, exclude_id=0)
     q["sim_lsh_topk"] = lambda s, d: similarity.lsh_topk(
         _emb(s, d), _qvec(s, d), _planes(s, d), k=10, exclude_id=0)
+    q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _emb(s, d), _qvec(s, d), _planes(s, d), k=10, n_probe=2, exclude_id=0)
     q["dd_embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
         _emb(s, d), _planes(s, d), threshold=0.4).orderBy("a_id", "b_id")
 
@@ -450,6 +453,13 @@ cl AS (SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS doc_
                          "WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id")
     o["bare_string_and"] = _members_sql(
         "list_contains(toks, 'data') AND list_contains(toks, 'query')")
+    o["suggest_prefix"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS term FROM t)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM u WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
     o["exists_field"] = f"""
 WITH t AS (SELECT d.doc_id, lang, {TOK} AS toks FROM documents d)
 SELECT doc_id FROM t
@@ -671,6 +681,24 @@ SELECT e.vec_id AS vec_id, {round6_sql(_cos_sql('e.embedding', 'q.qv'))} AS cos
 FROM embeddings e JOIN b ON e.vec_id = b.vec_id, q, qb
 WHERE b.bucket = qb.bucket AND e.vec_id <> 0
 ORDER BY cos DESC, e.vec_id ASC LIMIT 10
+"""
+    o["sim_ivf_topk"] = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         WHERE vec_id BETWEEN 1 AND 8),
+probe AS (SELECT cid FROM cent, q
+          ORDER BY {_cos_sql('cent.ce', 'q.qv')} DESC, cid ASC LIMIT 2),
+ranked AS (SELECT e.vec_id, e.embedding, c.cid,
+                  row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid ASC)
+                    AS rn
+           FROM embeddings e CROSS JOIN cent c),
+assigned AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1)
+SELECT a.vec_id AS vec_id, {round6_sql(_cos_sql('a.embedding', 'q.qv'))} AS cos
+FROM assigned a JOIN probe p ON a.cid = p.cid, q
+WHERE a.vec_id <> 0
+ORDER BY cos DESC, a.vec_id ASC LIMIT 10
 """
     o["dd_embedding_neardup"] = f"""
 WITH {bucket_sql}

@@ -100,6 +100,56 @@ def lsh_topk(vectors: DataFrame, query_vec: list, planes: list, k: int = 10,
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def ivf_assign(vectors: DataFrame, centroids: list,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell): IVF coarse quantization — each vector joins the cell
+    of its max-cosine centroid (ties break to the lower centroid index).
+
+    ``centroids`` are deterministic python float-lists (e.g. fixed corpus
+    rows or an offline k-means); assignment is a pure column expression, and
+    at scale the vector table is written partitioned by ``cell`` so probes
+    read only the probed cells' partitions.
+    """
+    best_cos = None
+    cell = F.lit(0)
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        cos_i = cosine(F.col(vec_col), cc)
+        if best_cos is None:
+            best_cos, cell = cos_i, F.lit(0)
+        else:
+            better = cos_i > best_cos
+            cell = F.when(better, F.lit(i)).otherwise(cell)
+            best_cos = F.when(better, cos_i).otherwise(best_cos)
+    return vectors.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"),
+                          cell.cast("int").alias("cell"))
+
+
+def ivf_topk(vectors: DataFrame, query_vec: list, centroids: list,
+             k: int = 10, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_id: int | None = None) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` centroids nearest the query,
+    rank their cells' members by exact cosine. Recall grows with n_probe;
+    n_probe = len(centroids) degenerates to exact brute force."""
+    def py_cos(a, b):
+        dot_ = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dot_ / (na * nb)
+    order = sorted(range(len(centroids)),
+                   key=lambda i: (-py_cos(query_vec, centroids[i]), i))
+    probed = order[:n_probe]
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (assigned.where(F.col("cell").isin(probed))
+              .select("vec_id", round6(cosine(F.col("v"), q)).alias("cos")))
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def embedding_neardup_pairs(vectors: DataFrame, planes: list,
                             threshold: float = 0.9,
                             id_col: str = "vec_id",

@@ -129,6 +129,18 @@ class SparkSearchEngine:
         """Unscored membership semantics: DataFrame[doc_id]."""
         return self._compile(self._rewrite(query), scoring=False).cand
 
+    def suggest(self, field: str, prefix: str, size: int = 10) -> DataFrame:
+        """Autocomplete completions: dictionary terms with the prefix,
+        ranked by document frequency (df desc, term asc) — the README's
+        'prefix matching for autocomplete' as a first-class helper. A pure
+        term_stats scan: no postings touched."""
+        norm = str(prefix).lower()
+        return (self._dictionary(self._fields_for(field))
+                .where(F.col("term").startswith(norm))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(size))
+
     # ------------------------------------------------------------------
     # scoring
     # ------------------------------------------------------------------

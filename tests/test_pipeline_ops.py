@@ -202,3 +202,22 @@ def test_multimodal_resize_and_frames(corpus):
 
     with pytest.raises(Exception):
         multimodal.resize_images(payloads, use_stub=False).collect()
+
+
+def test_ivf_topk_recall(vectors):
+    rows = vectors.where(F.col("vec_id").between(1, 6)).orderBy("vec_id").collect()
+    cents = [[float(x) for x in r["embedding"]] for r in rows]
+    q = [float(x) for x in
+         vectors.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    bf = [r["vec_id"] for r in
+          similarity.brute_force_topk(vectors, q, k=10, exclude_id=0).collect()]
+    ivf = [r["vec_id"] for r in
+           similarity.ivf_topk(vectors, q, cents, k=10, n_probe=2,
+                               exclude_id=0).collect()]
+    # clustered corpus: probing 2 of 6 cells should recover most of top-10
+    assert len(set(ivf) & set(bf)) >= 7
+    # full probe degenerates to exact brute force
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(vectors, q, cents, k=10,
+                                n_probe=len(cents), exclude_id=0).collect()]
+    assert full == bf

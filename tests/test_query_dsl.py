@@ -173,3 +173,11 @@ def test_exists_and_missing(spark_engine, docs_df):
     assert missing == {r["id"] for r in
                        docs_df.where("email is null").collect()}
     assert spark_engine.candidates({"exists": {"field": "zzz"}}).count() == 0
+
+
+def test_suggest_prefix(spark_engine):
+    rows = spark_engine.suggest("name", "app", size=5).collect()
+    assert rows, "expected completions for 'app'"
+    assert all(r["term"].startswith("app") for r in rows)
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
