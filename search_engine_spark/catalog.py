@@ -71,14 +71,41 @@ class IndexCatalog:
         with open(os.path.join(self._dir(name), META)) as fh:
             return json.load(fh)
 
+    def _delete_state(self, name: str) -> tuple:
+        """Fingerprint of the index's delete state: meta mtime + tombstone
+        file listing. The cached engine binds its tombstone anti-join at
+        load time, so any tombstone change must invalidate the cache."""
+        d = self._dir(name)
+        parts: list = []
+        meta_path = os.path.join(d, META)
+        if os.path.isfile(meta_path):
+            parts.append(os.path.getmtime(meta_path))
+        tomb_dir = os.path.join(d, "tombstones")
+        if os.path.isdir(tomb_dir):
+            parts.append(tuple(sorted(os.listdir(tomb_dir))))
+        return tuple(parts)
+
+    def delete_docs(self, name: str, doc_ids: list) -> dict:
+        """Tombstone docs in a named index; pops the cached engine so the
+        next query sees the post-delete view (SearchEngine.ts:265-283)."""
+        from .operators.delete import delete_docs
+        meta = delete_docs(self.spark, self._dir(name), doc_ids)
+        self._engines.pop(name, None)
+        return meta
+
     def engine(self, docs: DataFrame, name: str = DEFAULT_INDEX,
                **engine_kwargs) -> SparkSearchEngine:
-        """Search engine over a named index (tombstone-aware load)."""
-        if name not in self._engines:
+        """Search engine over a named index (tombstone-aware load). The
+        cache is keyed on the delete-state fingerprint: out-of-band
+        delete_docs() calls on the same index dir invalidate it."""
+        state = self._delete_state(name)
+        cached = self._engines.get(name)
+        if cached is None or cached[0] != state:
             from .operators.delete import load_index_with_deletes
             idx = load_index_with_deletes(self.spark, self._dir(name))
-            self._engines[name] = SparkSearchEngine(idx, docs, **engine_kwargs)
-        return self._engines[name]
+            self._engines[name] = (
+                state, SparkSearchEngine(idx, docs, **engine_kwargs))
+        return self._engines[name][1]
 
     def search(self, docs: DataFrame, query, name: str = DEFAULT_INDEX,
                size: int = 10, from_: int = 0) -> DataFrame:

@@ -61,6 +61,10 @@ def load_index_with_deletes(spark: SparkSession, index_dir: str) -> InvertedInde
         idx.doc_stats = idx.doc_stats.join(tomb, "doc_id", "anti")
         # df must shrink for terms whose postings died with the docs
         idx.term_stats = build_term_stats(idx.postings)
+        # expose the tombstone frame so block-index readers (wand_topk,
+        # ServingIndex) can apply the same merge-on-read filter — the blocks
+        # table is immutable and still contains the deleted docs' payloads
+        idx.tombstones = tomb
     return idx
 
 

@@ -81,6 +81,9 @@ class InvertedIndex:
         self.total_docs = total_docs
         self.avg_dl = avg_dl
         self.config = config
+        # set by delete.load_index_with_deletes when tombstones exist:
+        # block-index readers must filter decoded postings against it
+        self.tombstones: DataFrame | None = None
 
     @property
     def text_fields(self) -> list:

@@ -148,16 +148,15 @@ def encode_blocks_batch(docs_list: list, tfs_list: list,
         return o
 
     ho = offsets(hdr_len)
-    # per-row byte extents in the flat value buffers
-    zeros = np.zeros(n_rows, dtype=np.int64)
-    row_d = np.add.reduceat(d_len, starts) if total else zeros
-    row_t = np.add.reduceat(t_len, starts) if total else zeros
-    row_l = np.add.reduceat(l_len, starts) if total else zeros
-    # reduceat quirk: rows with count 0 would grab the next row's slice
-    if total:
-        row_d[counts == 0] = 0
-        row_t[counts == 0] = 0
-        row_l[counts == 0] = 0
+    # per-row byte extents via cumulative offsets: extent(i) =
+    # cum[start+count] - cum[start]. Exact for count-0 rows anywhere
+    # (reduceat would grab the next row's slice for a mid empty row and
+    # index out of bounds for a trailing one).
+    d_cum, t_cum, l_cum = offsets(d_len), offsets(t_len), offsets(l_len)
+    ends_v = starts + counts
+    row_d = d_cum[ends_v] - d_cum[starts]
+    row_t = t_cum[ends_v] - t_cum[starts]
+    row_l = l_cum[ends_v] - l_cum[starts]
     do = offsets(row_d)
     to = offsets(row_t)
     lo = offsets(row_l)

@@ -126,6 +126,9 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
     secs = time.time() - t0
     metrics = {
         "path": path,
+        # collection avgdl the block-max metadata was computed with — readers
+        # scale UBs by max(1, avgdl_now/avgdl_build) if avgdl drifts (deletes)
+        "avg_dl": index.avg_dl,
         "n_blocks": int(row["n_blocks"]),
         "n_postings": int(row["n_postings"] or 0),
         "n_terms": int(row["n_terms"]),
@@ -145,15 +148,42 @@ def load_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, BLOCKS))
 
 
+MAX_TOMBSTONES_FOR_WAND = 10_000_000
+
+
 def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
               terms: list, k: int = 10, n_partitions: int | None = None,
-              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+              k1: float = 1.2, b: float = 0.75,
+              build_avg_dl: float | None = None) -> DataFrame:
     """Exact BM25 top-k for an OR-of-terms query with block-max pruning.
 
     Returns DataFrame[doc_id, score] (k rows, score desc / doc_id asc).
+
+    Merge-on-read deletes: when the index was loaded tombstone-aware
+    (``index.tombstones`` set), the kernel drops tombstoned docs from every
+    decoded block, and idf comes from the already-recomputed term_stats —
+    results match the DSL path on the post-delete corpus exactly. Pass
+    ``build_avg_dl`` (blocks_meta.json ``avg_dl``) when the collection's
+    avgdl drifted since the blocks were written: stored per-block max_qnorm
+    upper bounds are scaled by max(1, avgdl_now/avgdl_build), which is a
+    proven-safe bound (qnorm grows at most linearly in the avgdl ratio), so
+    pruning stays exact under deletes without rebuilding the block table.
     """
     spark = blocks.sparkSession
     terms = sorted(set(terms))
+    tomb_arr = None
+    tdf = getattr(index, "tombstones", None)
+    if tdf is not None:
+        tomb_pdf = tdf.select("doc_id").limit(
+            MAX_TOMBSTONES_FOR_WAND + 1).toPandas()
+        if len(tomb_pdf) > MAX_TOMBSTONES_FOR_WAND:
+            raise ValueError(
+                f">{MAX_TOMBSTONES_FOR_WAND} tombstones — run "
+                "compact_deletes() before block-index queries")
+        tomb_arr = np.sort(tomb_pdf["doc_id"].to_numpy(dtype=np.int64))
+    ub_scale = 1.0
+    if build_avg_dl:
+        ub_scale = max(1.0, float(index.avg_dl) / float(build_avg_dl))
     n = float(index.total_docs)
     dfs = {r["term"]: r["df"] for r in index.term_stats
            .where((F.col("field") == field) & F.col("term").isin(terms))
@@ -174,7 +204,7 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
     idf_col = F.lit(0.0)
     for t, v in idf.items():
         idf_col = F.when(F.col("term") == t, F.lit(v)).otherwise(idf_col)
-    q = q.withColumn("ub_t", idf_col * F.col("max_qnorm"))
+    q = q.withColumn("ub_t", idf_col * F.col("max_qnorm") * F.lit(ub_scale))
     ub = q.groupBy("blk").agg(F.sum("ub_t").alias("blk_ub"))
     q = q.join(ub, "blk")
 
@@ -207,6 +237,15 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                 if pl is None:
                     continue
                 docs, tfs, dls = decode_block(pl)
+                if tomb_arr is not None and tomb_arr.size:
+                    # merge-on-read: drop deleted docs before scoring
+                    pos = np.searchsorted(tomb_arr, docs)
+                    pos[pos == tomb_arr.size] = 0
+                    live = tomb_arr[pos] != docs
+                    if not live.all():
+                        docs, tfs, dls = docs[live], tfs[live], dls[live]
+                    if docs.size == 0:
+                        continue
                 s = np.maximum(0.0, 1.0 * idf_b[t]
                                * bm25_qnorm(tfs, dls, avgdl, k1, b))
                 for d, sv in zip(docs.tolist(), s.tolist()):

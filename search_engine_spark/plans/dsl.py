@@ -283,7 +283,10 @@ class SparkSearchEngine:
             # missing-field = must_not exists) though its processor never
             # dispatches it; semantics: field present and non-null
             f = q["exists"].get("field")
-            if not f or f not in self.docs.columns and "." not in str(f):
+            if not f or not _schema_has_path(self.docs.schema, str(f)):
+                # nonexistent field (incl. dotted paths resolved against the
+                # schema) = no match, the reference's builder semantics —
+                # never an AnalysisException at query time
                 return self._empty()
             cand = (self.docs.where(F.col(f).isNotNull())
                     .select(F.col(self.id_col).alias("doc_id")))
@@ -340,10 +343,28 @@ class SparkSearchEngine:
                 cand = cand.distinct()
             return _Node(cand, pairs if scoring else [],
                          cand_is_scored_union=scoring)
-        matched = (self._dictionary(fields)
-                   .where(F.levenshtein(F.col("term"), F.lit(norm_value))
-                          <= fuzziness))
+        matched = self._fuzzy_dictionary(fields, norm_value, fuzziness)
         return self._terms_to_node(matched, scoring)
+
+    def _fuzzy_dictionary(self, fields: list, norm_value: str,
+                          fuzziness: int) -> DataFrame:
+        """Dictionary terms within edit distance ``fuzziness`` of the value.
+
+        Pruned in two cheap stages before the O(len²) edit-distance runs:
+        a token-length band (|len(term) − len(q)| ≤ fuzziness — a necessary
+        condition for the distance) and the thresholded ``levenshtein`` that
+        abandons a row as soon as the running distance exceeds the bound.
+        On a web-scale vocabulary this cuts the candidate set by ~an order
+        of magnitude before any full distance is computed (SURVEY §2.3 Q6).
+        """
+        qlen = len(norm_value)
+        band = F.length(F.col("term")).between(qlen - fuzziness,
+                                               qlen + fuzziness)
+        # thresholded levenshtein returns -1 when the distance exceeds the
+        # threshold — accept only [0, fuzziness]
+        dist = F.levenshtein(F.col("term"), F.lit(norm_value), fuzziness)
+        return (self._dictionary(fields)
+                .where(band & dist.between(0, fuzziness)))
 
     def _terms_to_node(self, matched: DataFrame, scoring: bool) -> _Node:
         pairs_rows = matched.select("field", "term").limit(
@@ -474,8 +495,7 @@ class SparkSearchEngine:
                     pos_frames.append(pf)
                     continue
             else:
-                matched = self._dictionary(fields).where(
-                    F.levenshtein(F.col("term"), F.lit(tok)) <= fuzziness)
+                matched = self._fuzzy_dictionary(fields, tok, fuzziness)
                 pf = self._postings_for(None, matched)
             pf = (pf.select("doc_id", F.explode("positions").alias("p"))
                   .groupBy("doc_id")
@@ -573,19 +593,36 @@ class SparkSearchEngine:
                 tagged = t if tagged is None else tagged.unionByName(t)
             union = tagged.select("doc_id").distinct()
             msm = bq.get("minimum_should_match")
-            if results is None or _is_empty(results):
-                # no mandatory clauses (or they matched nothing):
-                # union of should wins (QueryProcessor.ts:276-278)
+            if results is None:
+                # no mandatory clauses: union of should wins
                 results = union
-            elif msm:
-                # count of matching should clauses >= m (canonical B3;
-                # reference implements m==1 as plain intersection)
-                m = int(msm)
-                enough = (tagged.distinct().groupBy("doc_id")
-                          .agg(F.count(F.lit(1)).alias("n"))
-                          .where(F.col("n") >= m).select("doc_id"))
-                results = results.join(enough, "doc_id", "semi")
-            # else: scoring-only, membership unchanged
+            else:
+                mand = results
+                if msm:
+                    # count of matching should clauses >= m (canonical B3;
+                    # reference implements m==1 as plain intersection)
+                    m = int(msm)
+                    enough = (tagged.distinct().groupBy("doc_id")
+                              .agg(F.count(F.lit(1)).alias("n"))
+                              .where(F.col("n") >= m).select("doc_id"))
+                    mand = mand.join(enough, "doc_id", "semi")
+                # "should replaces EMPTY mandatory results"
+                # (QueryProcessor.ts:276-278) folded into ONE plan: a 1-row
+                # broadcast count of the pre-msm mandatory frame selects the
+                # branch at execution time — no driver-side emptiness probe
+                # job during compilation, and Catalyst's ReusedExchange
+                # shares the mandatory subtree between the count and the
+                # row branch. At 100 TB this saves a full posting-join pass
+                # per should+must query.
+                mc = results.agg(F.count(F.lit(1)).alias("_mc"))
+                branched = (
+                    mand.withColumn("_src", F.lit(0))
+                    .unionByName(union.withColumn("_src", F.lit(1)))
+                    .crossJoin(F.broadcast(mc)))
+                results = (branched.where(
+                    ((F.col("_mc") > 0) & (F.col("_src") == 0))
+                    | ((F.col("_mc") == 0) & (F.col("_src") == 1)))
+                    .select("doc_id"))
 
         for clause in must_not:
             node = self._compile(clause, scoring=False)
@@ -604,8 +641,15 @@ class SparkSearchEngine:
                      cand_is_scored_union=bool(pure_should) and scoring)
 
 
-def _is_empty(df: DataFrame) -> bool:
-    return df.limit(1).count() == 0
+def _schema_has_path(schema, path: str) -> bool:
+    """True iff ``path`` (dot-separated) resolves inside ``schema``."""
+    from pyspark.sql.types import StructType
+    cur = schema
+    for part in str(path).split("."):
+        if not isinstance(cur, StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
 
 
 def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:

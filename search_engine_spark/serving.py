@@ -34,8 +34,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .operators.index_build import META, bucket_of
-from .operators.postings_codec import (bm25_qnorm, decode_block,
-                                       decode_blocks_batch)
+from .operators.postings_codec import bm25_qnorm, decode_blocks_batch
 from .operators.wand import BLOCKS
 
 K1, B = 1.2, 0.75
@@ -55,6 +54,16 @@ class ServingIndex:
         if not os.path.isdir(blocks_dir):
             raise FileNotFoundError(
                 f"no block index at {blocks_dir} — run write_blocks() first")
+        # merge-on-read deletes: the immutable block table still holds
+        # tombstoned docs' payloads; decoded postings are filtered against
+        # the tombstone set so served results and df (hence idf/scores)
+        # match the DSL path's post-delete view exactly.
+        self._tombstones = None
+        tomb_dir = os.path.join(index_dir, "tombstones")
+        if os.path.isdir(tomb_dir):
+            t = pq.read_table(tomb_dir, columns=["doc_id"])
+            self._tombstones = np.unique(
+                np.asarray(t.column("doc_id"), dtype=np.int64))
         # bucket -> list of parquet files (tiny metadata, cached once)
         self._bucket_files: dict = {}
         for name in os.listdir(blocks_dir):
@@ -81,14 +90,24 @@ class ServingIndex:
         return out
 
     def postings(self, field: str, term: str):
-        """(doc_ids, tfs, dls) int64 arrays for one term (may be empty)."""
-        return decode_blocks_batch(self._term_blocks(field, term))
+        """(doc_ids, tfs, dls) int64 arrays for one term (may be empty);
+        tombstoned docs are filtered out (merge-on-read)."""
+        docs, tfs, dls = decode_blocks_batch(self._term_blocks(field, term))
+        t = self._tombstones
+        if t is not None and t.size and docs.size:
+            pos = np.searchsorted(t, docs)
+            pos[pos == t.size] = 0
+            live = t[pos] != docs
+            if not live.all():
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
+        return docs, tfs, dls
 
     def df(self, field: str, term: str) -> int:
+        """Post-delete document frequency (matches the DSL path's
+        tombstone-recomputed term_stats)."""
         key = (field, term)
         if key not in self._df_cache:
-            self._df_cache[key] = int(sum(
-                decode_block(p)[0].size for p in self._term_blocks(field, term)))
+            self._df_cache[key] = int(self.postings(field, term)[0].size)
         return self._df_cache[key]
 
     # -- scoring ------------------------------------------------------------

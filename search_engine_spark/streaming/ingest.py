@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.index_build import (MANIFEST, RUNS, IndexConfig,
-                                     build_postings)
+                                     build_doc_stats, build_postings)
 
 
 def stream_index_runs(pages_stream: DataFrame, index_dir: str,
@@ -46,10 +46,18 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
         run_path = os.path.join(index_dir, RUNS, f"stream_batch={batch_id}")
         postings = build_postings(batch_df, config)
         postings.write.mode("overwrite").parquet(run_path)
-        ids = batch_df.select(F.col(config.id_col)).distinct().count()
+        # per-batch doc_stats via the SAME build_doc_stats as the batch path
+        # (scalar fields only, zero-token docs kept with dl=0,
+        # SearchEngine.ts:894-898) so streaming and batch builds of one
+        # corpus produce identical total_docs/avg_dl and hence BM25 scores
+        ds_path = os.path.join(index_dir, RUNS,
+                               f"doc_stats_stream_batch={batch_id}")
+        ds = build_doc_stats(batch_df, config)
+        ds.write.mode("overwrite").parquet(ds_path)
+        ids = ds.count()
         entry = {
             "chunk": f"stream_batch={batch_id}", "status": "committed",
-            "n_docs": ids, "run_path": run_path,
+            "n_docs": ids, "run_path": run_path, "doc_stats_path": ds_path,
             "seconds": time.time() - t0,
             "lineage": {"source": "stream", "batch_id": batch_id},
         }
@@ -73,12 +81,14 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
                                          TERM_STATS, _bucket_col,
                                          build_term_stats)
     mdir = os.path.join(index_dir, MANIFEST)
-    run_paths = []
+    run_paths, ds_paths = [], []
     for name in sorted(os.listdir(mdir)):
         with open(os.path.join(mdir, name)) as fh:
             entry = json.load(fh)
         if entry.get("status") == "committed":
             run_paths.append(entry["run_path"])
+            if entry.get("doc_stats_path"):
+                ds_paths.append(entry["doc_stats_path"])
     runs = spark.read.parquet(*run_paths)
     (runs.withColumn("bucket", _bucket_col(config))
      .repartition(config.n_buckets, "bucket")
@@ -86,11 +96,16 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, POSTINGS)))
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
-    # doc_stats from the merged postings (scalar fields; streaming corpus
-    # docs must carry unique ids across batches)
-    scalar = [f for f in config.fields]
-    dl = (postings_r.where(F.col("field").isin(scalar))
-          .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
+    # doc_stats = union of the per-batch build_doc_stats runs (scalar-field
+    # token counts incl. zero-token docs — identical to the batch path;
+    # streaming corpus docs must carry unique ids across batches). Falls
+    # back to postings-derived dl only for pre-doc_stats-run layouts, where
+    # array fields cannot be told apart (documented divergence).
+    if ds_paths:
+        dl = spark.read.parquet(*ds_paths)
+    else:
+        dl = (postings_r.where(F.col("field").isin(list(config.fields)))
+              .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
     dl.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
     build_term_stats(postings_r).write.mode("overwrite").parquet(
         os.path.join(index_dir, TERM_STATS))
