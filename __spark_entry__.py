@@ -218,6 +218,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, d), {"bool": {"must": [{"exists": {"field": "lang"}}],
                                  "must_not": [{"term": {"field": "text",
                                                "value": "dup"}}]}})
+    def _stemmed_de(s, d):
+        """Index-time German Snowball stemming (T11): docs indexed with
+        stem_lang='de'; membership of the stemmed term 'tabl' (= de-stem of
+        'table'). Oracle maps tokens through the REFERENCE-generated stem
+        table (tests/golden/stem_docs_vocab_de.json, produced by executing
+        src/lib/stemmers/de.js) — pinning engine-vs-reference parity."""
+        key = (_session_key(s), "stem_de", d)
+        if key not in _CACHE:
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8, stem_lang="de")
+            idx = build_index(_docs(s, d), cfg)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, _docs(s, d))
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "tabl"}})
+    q["stemmed_match_de"] = _stemmed_de
     q["synonym_term"] = lambda s, d: SparkSearchEngine(
         _engine(s, d).index, _engine(s, d).docs,
         synonyms={"data": ["value"]}).candidates(
@@ -308,6 +326,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), _qvec(s, d), _planes(s, d), k=10, exclude_id=0)
     q["sim_ivf_topk"] = lambda s, d: similarity.ivf_topk(
         _emb(s, d), _qvec(s, d), _planes(s, d), k=10, n_probe=2, exclude_id=0)
+
+    def _ann_dir(s, d):
+        """Bucket+cell-partitioned vector artifact (built once per sf)."""
+        key = (_session_key(s), "ann", d)
+        if key not in _CACHE:
+            import tempfile
+            out = tempfile.mkdtemp(prefix="se_ann_")
+            planes = _planes(s, d)
+            similarity.write_vectors(_emb(s, d), out, planes=planes,
+                                     centroids=planes)
+            _CACHE[key] = out
+        return _CACHE[key]
+
+    # persisted-artifact ANN: identical semantics to the scan paths (same
+    # oracles) but reads ONLY the probed bucket/cell partitions
+    q["sim_lsh_persisted"] = lambda s, d: similarity.lsh_topk_persisted(
+        s, _ann_dir(s, d), _qvec(s, d), k=10, exclude_id=0)
+    q["sim_ivf_persisted"] = lambda s, d: similarity.ivf_topk_persisted(
+        s, _ann_dir(s, d), _qvec(s, d), k=10, n_probe=2, exclude_id=0)
     q["dd_embedding_neardup"] = lambda s, d: similarity.embedding_neardup_pairs(
         _emb(s, d), _planes(s, d), threshold=0.4).orderBy("a_id", "b_id")
 
@@ -468,6 +505,22 @@ ORDER BY doc_id
 """
     o["synonym_term"] = _members_sql(
         "list_contains(toks, 'data') OR list_contains(toks, 'value')")
+    # German-stemmed index: map each token through the reference-generated
+    # Snowball-de stem table (tests/golden/stem_docs_vocab_de.json covers the
+    # corpus's full 30-token vocabulary), then exact membership of 'tabl'
+    import json as _json
+    import os as _os
+    _vocab_de = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "stem_docs_vocab_de.json")))
+    _stem_case = ("CASE x " + " ".join(
+        f"WHEN '{w}' THEN '{st}'" for w, st in sorted(_vocab_de.items()))
+        + " ELSE x END")
+    o["stemmed_match_de"] = (
+        f"WITH t AS (SELECT doc_id, list_transform({TOK}, x -> {_stem_case})"
+        " AS stoks FROM documents) "
+        "SELECT doc_id FROM t WHERE list_contains(stoks, 'tabl') "
+        "ORDER BY doc_id")
     # email analyzer tokens of user{id}@ex{id%7}.com: full, local, domain,
     # domain labels -> 'ex3' hits exactly doc_id % 7 = 3
     o["email_domain_label"] = ("SELECT doc_id FROM documents "
@@ -700,6 +753,10 @@ FROM assigned a JOIN probe p ON a.cid = p.cid, q
 WHERE a.vec_id <> 0
 ORDER BY cos DESC, a.vec_id ASC LIMIT 10
 """
+    # persisted ANN reads the same partitioning the scan paths compute, so
+    # they share those oracles verbatim
+    o["sim_lsh_persisted"] = o["sim_lsh_topk"]
+    o["sim_ivf_persisted"] = o["sim_ivf_topk"]
     o["dd_embedding_neardup"] = f"""
 WITH {bucket_sql}
 SELECT a.vec_id AS a_id, b2.vec_id AS b_id,

@@ -1,0 +1,626 @@
+"""Pure-Python Snowball stemmers: German, French, Spanish (SURVEY T11).
+
+Implemented from the published Snowball algorithm descriptions
+(snowballstem.org/algorithms/{german,french,spanish}/stemmer.html) — NOT
+translated from the reference's generated JS (src/lib/stemmers/{de,fr,es}.js,
+which is machine-compiled Snowball). Behavior is pinned against golden
+vectors produced by executing the reference's stemmers on wide word lists
+(tests/golden/stem_*.json), so index-time stemming here agrees with the
+reference engine's output for these languages.
+
+Like the English Porter stemmer (analysis/stemmer.py), these run inside
+Arrow-batched pandas UDFs with a per-batch memo cache — pure string work,
+vectorized per batch, never row-at-a-time.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared region helpers (standard Snowball R1/R2/RV definitions)
+# ---------------------------------------------------------------------------
+
+
+def _r_std(word: str, vowels: str, start: int = 0) -> int:
+    """Standard region start: position after the first non-vowel that
+    follows a vowel, scanning from ``start``; len(word) if none."""
+    n = len(word)
+    i = start
+    while i < n and word[i] not in vowels:
+        i += 1
+    while i < n and word[i] in vowels:
+        i += 1
+    return min(i + 1, n) if i < n else n
+
+
+def _r1_r2(word: str, vowels: str) -> tuple:
+    r1 = _r_std(word, vowels)
+    r2 = _r_std(word, vowels, r1)
+    return r1, r2
+
+
+
+def _longest_in(w: str, sufs: list, limit: int) -> str | None:
+    """Longest suffix of ``w`` (from ``sufs``, pre-sorted longest-first)
+    whose start position is >= ``limit`` — Snowball's ``setlimit tomark pV
+    for ([substring] among(...))``: the match itself is confined to the
+    region, so a shorter in-region suffix beats a longer out-of-region one."""
+    for suf in sufs:
+        if w.endswith(suf) and len(w) - len(suf) >= limit:
+            return suf
+    return None
+
+
+# ---------------------------------------------------------------------------
+# German
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = "aeiouyäöü"
+_DE_S_END = "bdfghklmnrt"
+_DE_ST_END = "bdfghklmnt"
+
+
+def _de_prelude(w: str) -> str:
+    w = w.replace("ß", "ss")
+    out = list(w)
+    for i in range(1, len(out) - 1):
+        if out[i] in "uy" and out[i - 1] in _DE_VOWELS \
+                and out[i + 1] in _DE_VOWELS:
+            out[i] = out[i].upper()
+    return "".join(out)
+
+
+def german_stem(word: str) -> str:
+    """Snowball German stemmer."""
+    w = _de_prelude(word.lower())
+    r1, r2 = _r1_r2(w, _DE_VOWELS)
+    r1 = max(r1, min(3, len(w)))  # region before R1 must hold >= 3 letters
+
+    def in_r1(pos: int) -> bool:
+        return pos >= r1
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1: longest of (a) em ern er, (b) e en es, (c) s (valid s-ending)
+    for suf in ("ern", "em", "er", "en", "es", "e", "s"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("ern", "em", "er"):
+                if in_r1(pos):
+                    w = w[:pos]
+            elif suf in ("e", "en", "es"):
+                if in_r1(pos):
+                    w = w[:pos]
+                    if w.endswith("niss"):
+                        w = w[:-1]
+            else:  # s
+                if in_r1(pos) and pos > 0 and w[pos - 1] in _DE_S_END:
+                    w = w[:pos]
+            break
+
+    # step 2: longest of en er est | st (valid st-ending, >=3 letters before)
+    for suf in ("est", "en", "er", "st"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf == "st":
+                if in_r1(pos) and pos > 3 and w[pos - 1] in _DE_ST_END:
+                    w = w[:pos]
+            else:
+                if in_r1(pos):
+                    w = w[:pos]
+            break
+
+    # step 3: d-suffixes
+    for suf in ("isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"):
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in ("end", "ung"):
+                if in_r2(pos):
+                    w = w[:pos]
+                    if w.endswith("ig") and in_r2(len(w) - 2) \
+                            and not w.endswith("eig"):
+                        w = w[:-2]
+            elif suf in ("ig", "ik", "isch"):
+                if in_r2(pos) and not (pos > 0 and w[pos - 1] == "e"):
+                    w = w[:pos]
+            elif suf in ("lich", "heit"):
+                if in_r2(pos):
+                    w = w[:pos]
+                    for pre in ("er", "en"):
+                        if w.endswith(pre) and in_r1(len(w) - 2):
+                            w = w[:-2]
+                            break
+            else:  # keit
+                if in_r2(pos):
+                    w = w[:pos]
+                    for pre in ("lich", "ig"):
+                        if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                            w = w[:-len(pre)]
+                            break
+            break
+
+    # postlude: unmark U/Y, strip umlauts
+    tbl = str.maketrans({"U": "u", "Y": "y", "ä": "a", "ö": "o", "ü": "u"})
+    return w.translate(tbl)
+
+
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouyâàëéêèïîôûù"
+
+
+def _fr_prelude(w: str) -> str:
+    """Mark u/i between vowels and y next to a vowel as consonants (U/I/Y),
+    u after q as U, and replace ë → He, ï → Hi (the revised-algorithm
+    diaeresis marking; H is a consonant, restored in the postlude).
+
+    Left-to-right single pass: the left context is the PROCESSED output
+    (so the e of an He counts as a vowel), the right context the original."""
+    out: list = []
+    n = len(w)
+    for i, c in enumerate(w):
+        prev_v = bool(out) and out[-1] in _FR_VOWELS
+        next_v = i + 1 < n and w[i + 1] in _FR_VOWELS
+        if c == "u":
+            if out and out[-1] == "q":
+                out.append("U")
+            elif prev_v and next_v:
+                out.append("U")
+            else:
+                out.append("u")
+        elif c == "i":
+            out.append("I" if prev_v and next_v else "i")
+        elif c == "y":
+            out.append("Y" if prev_v or next_v else "y")
+        elif c == "ë":
+            out.extend("He")
+        elif c == "ï":
+            out.extend("Hi")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _fr_rv(w: str) -> int:
+    n = len(w)
+    if n >= 3 and w[0] in _FR_VOWELS and w[1] in _FR_VOWELS:
+        return 3
+    if w[:3] in ("par", "col", "tap"):
+        return 3
+    i = 1
+    while i < n and w[i] not in _FR_VOWELS:
+        i += 1
+    return min(i + 1, n)
+
+
+def french_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's cases
+    """Snowball French stemmer."""
+    w = _fr_prelude(word.lower())
+    rv = _fr_rv(w)
+    r1, r2 = _r1_r2(w, _FR_VOWELS)
+
+    def in_r2(pos):
+        return pos >= r2
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_rv(pos):
+        return pos >= rv
+
+    orig = w
+    step1_done = False        # a suffix was removed in step 1
+    found_ment = False        # amment/emment/ment(s) was seen
+    # step 1 — longest-suffix dispatch
+    sufs = sorted([
+        "ance", "iqUe", "isme", "able", "iste", "eux", "ances", "iqUes",
+        "ismes", "ables", "istes", "atrice", "ateur", "ation", "atrices",
+        "ateurs", "ations", "logie", "logies", "usion", "ution", "usions",
+        "utions", "ence", "ences", "ement", "ements", "ité", "ités", "if",
+        "ive", "ifs", "ives", "eaux", "aux", "euse", "euses", "issement",
+        "issements", "amment", "emment", "ment", "ments",
+    ], key=len, reverse=True)
+    for suf in sufs:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("ance", "iqUe", "isme", "able", "iste", "eux",
+                   "ances", "iqUes", "ismes", "ables", "istes"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+        elif suf in ("atrice", "ateur", "ation",
+                     "atrices", "ateurs", "ations"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("ic"):
+                    if in_r2(len(w) - 2):
+                        w = w[:-2]
+                    else:
+                        w = w[:-2] + "iqU"
+        elif suf in ("logie", "logies"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+                step1_done = True
+        elif suf in ("usion", "ution", "usions", "utions"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+                step1_done = True
+        elif suf in ("ence", "ences"):
+            if in_r2(pos):
+                w = w[:pos] + "ent"
+                step1_done = True
+        elif suf in ("ement", "ements"):
+            if in_rv(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith("eus"):
+                    p = len(w) - 3
+                    if in_r2(p):
+                        w = w[:p]
+                    elif in_r1(p):
+                        w = w[:p] + "eux"
+                elif w.endswith("abl") and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif w.endswith("iqU") and in_r2(len(w) - 3):
+                    w = w[:-3]
+                elif w.endswith("ièr") and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+                elif w.endswith("Ièr") and in_rv(len(w) - 3):
+                    w = w[:-3] + "i"
+        elif suf in ("ité", "ités"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("abil"):
+                    p = len(w) - 4
+                    w = w[:p] if in_r2(p) else w[:p] + "abl"
+                elif w.endswith("ic"):
+                    p = len(w) - 2
+                    w = w[:p] if in_r2(p) else w[:p] + "iqU"
+                elif w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("if", "ive", "ifs", "ives"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic"):
+                        p = len(w) - 2
+                        w = w[:p] if in_r2(p) else w[:p] + "iqU"
+        elif suf == "eaux":
+            w = w[:pos] + "eau"
+            step1_done = True
+        elif suf == "aux":
+            if in_r1(pos):
+                w = w[:pos] + "al"
+                step1_done = True
+        elif suf in ("euse", "euses"):
+            if in_r2(pos):
+                w = w[:pos]
+                step1_done = True
+            elif in_r1(pos):
+                w = w[:pos] + "eux"
+                step1_done = True
+        elif suf in ("issement", "issements"):
+            if in_r1(pos) and pos > 0 and w[pos - 1] not in _FR_VOWELS:
+                w = w[:pos]
+                step1_done = True
+        elif suf == "amment":
+            if in_rv(pos):
+                w = w[:pos] + "ant"
+                found_ment = True
+        elif suf == "emment":
+            if in_rv(pos):
+                w = w[:pos] + "ent"
+                found_ment = True
+        elif suf in ("ment", "ments"):
+            if pos > 0 and w[pos - 1] in _FR_VOWELS and in_rv(pos - 1):
+                w = w[:pos]
+                found_ment = True
+        break
+
+    # step 2a: verb suffixes beginning i — only if step 1 removed nothing,
+    # or one of the *ment endings was involved
+    do_2a = (not step1_done) or found_ment
+    step2_done = False
+    if do_2a:
+        sufs2a = sorted([
+            "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+            "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+            "irions", "irons", "iront", "is", "issaIent", "issais",
+            "issait", "issant", "issante", "issantes", "issants", "isse",
+            "issent", "isses", "issez", "issiez", "issions", "issons",
+            "it"], key=len, reverse=True)
+        suf = _longest_in(w, sufs2a, rv)
+        if suf is not None:
+            pos = len(w) - len(suf)
+            # preceded by a true non-vowel: H (the mark of a ë/ï) doesn't
+            # count — Hi is really the vowel ï
+            if pos > 0 and w[pos - 1] not in _FR_VOWELS \
+                    and w[pos - 1] != "H" and in_rv(pos - 1):
+                w = w[:pos]
+                step2_done = True
+        # step 2b: only if 2a was tried but removed nothing
+        if not step2_done:
+            sufs2b = sorted([
+                "ions", "é", "ée", "ées", "és", "èrent", "er", "era",
+                "erai", "eraIent", "erais", "erait", "eras", "erez",
+                "eriez", "erions", "erons", "eront", "ez", "iez", "âmes",
+                "ât", "âtes", "a", "ai", "aIent", "ais", "ait", "ant",
+                "ante", "antes", "ants", "as", "asse", "assent", "asses",
+                "assiez", "assions"], key=len, reverse=True)
+            suf = _longest_in(w, sufs2b, rv)
+            if suf is not None:
+                pos = len(w) - len(suf)
+                if suf == "ions":
+                    if in_r2(pos):
+                        w = w[:pos]
+                        step2_done = True
+                elif suf in ("é", "ée", "ées", "és", "èrent", "er", "era",
+                             "erai", "eraIent", "erais", "erait", "eras",
+                             "erez", "eriez", "erions", "erons", "eront",
+                             "ez", "iez"):
+                    w = w[:pos]
+                    step2_done = True
+                else:
+                    w = w[:pos]
+                    step2_done = True
+                    if w.endswith("e") and in_rv(len(w) - 1):
+                        w = w[:-1]
+
+    altered = w != orig
+    if altered:
+        # step 3
+        if w.endswith("Y"):
+            w = w[:-1] + "i"
+        elif w.endswith("ç"):
+            w = w[:-1] + "c"
+    else:
+        # step 4
+        if w.endswith("s") and len(w) >= 2:
+            p = w[-2]
+            blocked = p in "aiouès" and not (
+                p == "i" and len(w) >= 3 and w[-3] == "H")  # Hi (was ï)
+            if not blocked:
+                w = w[:-1]
+        sufs4 = ("ière", "Ière", "ion", "ier", "Ier", "e")
+        suf = _longest_in(w, list(sufs4), rv)
+        if suf is not None:
+            pos = len(w) - len(suf)
+            if suf == "ion":
+                if in_r2(pos) and pos > 0 and w[pos - 1] in "st" \
+                        and in_rv(pos - 1):
+                    w = w[:pos]
+            elif suf in ("ier", "ière", "Ier", "Ière"):
+                w = w[:pos] + "i"
+            else:  # e
+                w = w[:pos]
+
+    # step 5: un-double
+    for end in ("enn", "onn", "ett", "ell", "eill"):
+        if w.endswith(end):
+            w = w[:-1]
+            break
+
+    # step 6: un-accent — é/è followed only by non-vowels to the end
+    # (marked I/U/Y are consonants for this test: not in the v grouping)
+    i = len(w) - 1
+    seen_nonvowel = False
+    while i >= 0:
+        c = w[i]
+        if c in "éè":
+            if seen_nonvowel:
+                w = w[:i] + "e" + w[i + 1:]
+            break
+        if c in _FR_VOWELS:
+            break
+        seen_nonvowel = True
+        i -= 1
+
+    # postlude: unmark I/U/Y, restore He → ë / Hi → ï, drop stray H
+    w = w.replace("He", "ë").replace("Hi", "ï").replace("H", "")
+    return w.translate(str.maketrans({"I": "i", "U": "u", "Y": "y"}))
+
+
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiouáéíóúü"
+_ES_UNACCENT = str.maketrans({"á": "a", "é": "e", "í": "i", "ó": "o",
+                              "ú": "u"})
+
+
+def _es_rv(w: str) -> int:
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in _ES_VOWELS:
+        i = 2
+        while i < n and w[i] not in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in _ES_VOWELS and w[1] in _ES_VOWELS:
+        i = 2
+        while i < n and w[i] in _ES_VOWELS:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+_ES_PRONOUNS = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                "nos", "me", "se", "la", "le", "lo")
+_ES_PRON_PRE_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_ES_PRON_PRE_B = ("iendo", "ando", "ar", "er", "ir")
+
+
+def spanish_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's cases
+    """Snowball Spanish stemmer."""
+    w = word.lower()
+    rv = _es_rv(w)
+    r1, r2 = _r1_r2(w, _ES_VOWELS)
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    def in_rv(pos):
+        return pos >= rv
+
+    # step 0: attached pronoun
+    for pr in _ES_PRONOUNS:
+        if not w.endswith(pr):
+            continue
+        base = len(w) - len(pr)
+        stem = w[:base]
+        done = False
+        for pre in _ES_PRON_PRE_A:
+            if stem.endswith(pre) and in_rv(len(stem) - len(pre)):
+                w = stem.translate(_ES_UNACCENT)
+                done = True
+                break
+        if not done:
+            for pre in _ES_PRON_PRE_B:
+                if stem.endswith(pre) and in_rv(len(stem) - len(pre)):
+                    w = stem
+                    done = True
+                    break
+        if not done and stem.endswith("yendo") \
+                and stem[-6:-5] == "u" and in_rv(len(stem) - 5):
+            w = stem
+        break
+
+    orig = w
+    # step 1: standard suffix removal (longest match)
+    sufs1 = sorted([
+        "anza", "anzas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "able", "ables", "ible", "ibles", "ista", "istas", "oso", "osa",
+        "osos", "osas", "amiento", "amientos", "imiento", "imientos",
+        "adora", "ador", "ación", "adoras", "adores", "aciones", "ante",
+        "antes", "ancia", "ancias", "logía", "logías", "ución", "uciones",
+        "encia", "encias", "amente", "mente", "idad", "idades", "iva",
+        "ivo", "ivas", "ivos"], key=len, reverse=True)
+    for suf in sufs1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("anza", "anzas", "ico", "ica", "icos", "icas", "ismo",
+                   "ismos", "able", "ables", "ible", "ibles", "ista",
+                   "istas", "oso", "osa", "osos", "osas", "amiento",
+                   "amientos", "imiento", "imientos"):
+            if in_r2(pos):
+                w = w[:pos]
+        elif suf in ("adora", "ador", "ación", "adoras", "adores",
+                     "aciones", "ante", "antes", "ancia", "ancias"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logía", "logías"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("ución", "uciones"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("encia", "encias"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("ante", "able", "ible"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idad", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        else:  # iva ivo ivas ivos
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        break
+
+    if w == orig:
+        # step 2a: verb suffixes beginning y (preceded by u)
+        done2a = False
+        sufs2a = sorted(["ya", "ye", "yan", "yen", "yeron", "yendo", "yo",
+                         "yó", "yas", "yes", "yais", "yamos"],
+                        key=len, reverse=True)
+        suf = _longest_in(w, sufs2a, rv)
+        if suf is not None:
+            pos = len(w) - len(suf)
+            if pos > 0 and w[pos - 1] == "u":  # the u need not be in RV
+                w = w[:pos]
+                done2a = True
+        if not done2a:
+            # step 2b: ONE longest-match over all verb suffixes; the
+            # gu-undoubling applies only when the matched suffix is one of
+            # en/es/éis/emos
+            gu_group = {"en", "es", "éis", "emos"}
+            sufs2b = sorted([
+                "arían", "arías", "arán", "arás", "aríais", "aría",
+                "aréis", "aríamos", "aremos", "ará", "aré", "erían",
+                "erías", "erán", "erás", "eríais", "ería", "eréis",
+                "eríamos", "eremos", "erá", "eré", "irían", "irías",
+                "irán", "irás", "iríais", "iría", "iréis", "iríamos",
+                "iremos", "irá", "iré", "aba", "ada", "ida", "ía",
+                "ara", "iera", "ad", "ed", "id", "ase", "iese",
+                "aste", "iste", "an", "aban", "ían", "aran", "ieran",
+                "asen", "iesen", "aron", "ieron", "ado", "ido",
+                "ando", "iendo", "ió", "ar", "er", "ir", "as",
+                "abas", "adas", "idas", "ías", "aras", "ieras",
+                "ases", "ieses", "ís", "áis", "abais", "íais",
+                "arais", "ierais", "aseis", "ieseis", "asteis",
+                "isteis", "ados", "idos", "amos", "ábamos", "íamos",
+                "imos", "áramos", "iéramos", "iésemos", "ásemos",
+                "en", "es", "éis", "emos"],
+                key=len, reverse=True)
+            suf = _longest_in(w, sufs2b, rv)
+            if suf is not None:
+                w = w[:len(w) - len(suf)]
+                if suf in gu_group and w.endswith("gu"):
+                    w = w[:-1]
+
+    # step 3: residual suffix (match confined to RV)
+    suf = _longest_in(w, ["os", "a", "o", "á", "í", "ó", "e", "é"], rv)
+    if suf is not None:
+        pos = len(w) - len(suf)
+        w = w[:pos]
+        if suf in ("e", "é") and w.endswith("gu") and in_rv(len(w) - 1):
+            w = w[:-1]
+
+    return w.translate(_ES_UNACCENT)
+
+
+SNOWBALL = {"de": german_stem, "german": german_stem,
+            "fr": french_stem, "french": french_stem,
+            "es": spanish_stem, "spanish": spanish_stem}

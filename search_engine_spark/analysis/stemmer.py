@@ -4,8 +4,10 @@ The reference ships 26 Snowball stemmers but stemming is OFF by default
 (Tokenizer.ts:97, src/index.ts:97), so no default-config behavior depends on
 it. This module provides the same opt-in hook with a pure-Python English
 Porter stemmer (Porter 1980, the classic public algorithm — Snowball
-"english" is its descendant); other languages raise NotImplementedError
-until a stemmer library is available on the cluster.
+"english" is its descendant) plus Snowball German/French/Spanish
+(analysis/snowball.py, golden-pinned against the reference's stemmer
+output); other languages raise NotImplementedError until a stemmer library
+is available on the cluster.
 
 Usage: ``stem_tokens(tokens_col, lang="en")`` wraps a token array column in
 an Arrow pandas UDF (stemming is pure string work; vectorized per batch).
@@ -144,18 +146,26 @@ def porter_stem(word: str) -> str:
     return w
 
 
-def stem_word(word: str, lang: str = "en") -> str:
+def _stemmer_for(lang: str):
     if lang in ("en", "english"):
-        return porter_stem(word)
-    raise NotImplementedError(
-        f"stemmer for lang={lang!r} requires a Snowball library on the "
-        "cluster (reference default is stemming OFF, Tokenizer.ts:97)")
+        return porter_stem
+    from .snowball import SNOWBALL
+    fn = SNOWBALL.get(lang)
+    if fn is None:
+        raise NotImplementedError(
+            f"stemmer for lang={lang!r} requires a Snowball library on the "
+            "cluster (reference default is stemming OFF, Tokenizer.ts:97); "
+            "built in: en, de, fr, es")
+    return fn
+
+
+def stem_word(word: str, lang: str = "en") -> str:
+    return _stemmer_for(lang)(word)
 
 
 def stem_tokens(tokens: Column, lang: str = "en") -> Column:
     """Arrow-vectorized stemming filter over an array<string> column."""
-    if lang not in ("en", "english"):
-        raise NotImplementedError(f"stemmer for lang={lang!r} not available")
+    fn = _stemmer_for(lang)
 
     @F.pandas_udf(ArrayType(StringType()))
     def _stem(s: pd.Series) -> pd.Series:
@@ -167,7 +177,7 @@ def stem_tokens(tokens: Column, lang: str = "en") -> Column:
             out = []
             for t in toks:
                 if t not in cache:
-                    cache[t] = porter_stem(t)
+                    cache[t] = fn(t)
                 out.append(cache[t])
             return out
         return s.map(one)

@@ -80,3 +80,73 @@ def shingles_sql(tokens_expr: str, n: int = 3) -> str:
     return (f"CASE WHEN len({tokens_expr}) >= {n} THEN "
             f"list_transform(generate_series(1, len({tokens_expr}) - {n - 1}), "
             f"i -> {parts}) ELSE [] END")
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (seed 42) — the exact hash behind Spark's built-in ``xxhash64``.
+# Used for the index's term-bucket partitioning: the JVM side is one
+# codegen'd xxhash64() call per posting row (vs ~10x costlier md5+conv for
+# h60), and this pure-Python twin lets the driver / serving process compute
+# a term's bucket with NO Spark job, preserving driver-side partition
+# pruning. Bit-parity with F.xxhash64 is pinned by tests.
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+_XP1, _XP2, _XP3, _XP4, _XP5 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
+                                0x165667B19E3779F9, 0x85EBCA77C2B2AE63,
+                                0x27D4EB2F165667C5)
+
+
+def _xrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xround(acc: int, inp: int) -> int:
+    return (_xrotl((acc + inp * _XP2) & _M64, 31) * _XP1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` as a SIGNED 64-bit int == Spark ``xxhash64`` on the
+    same UTF-8 string (Spark's default seed is 42)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xround(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xround(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xround(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xround(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_xrotl(v1, 1) + _xrotl(v2, 7)
+             + _xrotl(v3, 12) + _xrotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xround(0, v)) * _XP1 + _XP4) & _M64
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xround(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_xrotl(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _XP1) & _M64
+        h = (_xrotl(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_xrotl(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    return xxh64(s.encode("utf-8"), seed)

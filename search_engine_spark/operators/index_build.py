@@ -64,6 +64,10 @@ class IndexConfig:
     n_buckets: int = 32
     positions: bool = True
     stopwords: tuple = ()
+    #: opt-in index-time stemming (reference default OFF, Tokenizer.ts:97);
+    #: "en" | "de" | "fr" | "es" — applied after analysis, 1:1 per token so
+    #: positions and dl are unchanged (analysis/stemmer.py routing)
+    stem_lang: str | None = None
 
     def analyzer_for(self, field: str) -> str:
         return FIELD_TYPE_ANALYZER.get(self.fields[field], "standard")
@@ -109,6 +113,12 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     analyzer and positions RESTART per element; addToken dedups positions, so
     tf = |unique positions| — replicated downstream via collect_set(pos).
     """
+    def _maybe_stem(toks):
+        if config.stem_lang:
+            from ..analysis.stemmer import stem_tokens
+            return stem_tokens(toks, config.stem_lang)
+        return toks
+
     parts = []
     for f in config.fields:
         if _is_array_field(docs, f):
@@ -118,14 +128,15 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                 exploded.select(
                     "doc_id",
                     F.lit(f).alias("field"),
-                    F.posexplode(tokens_for(F.col("_elem"), "standard",
-                                            stopwords=config.stopwords))
+                    F.posexplode(_maybe_stem(
+                        tokens_for(F.col("_elem"), "standard",
+                                   stopwords=config.stopwords)))
                      .alias("pos", "term"),
                 )
             )
         else:
-            toks = tokens_for(F.col(f), config.analyzer_for(f),
-                              stopwords=config.stopwords)
+            toks = _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
+                                          stopwords=config.stopwords))
             # materialize the token array in a Project BEFORE the generator:
             # Generate consumes a plain attribute, so the analyzer chain runs
             # once inside whole-stage codegen (with subexpression
@@ -218,11 +229,14 @@ def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
 
 
 def _bucket_col(config: IndexConfig):
-    """Term-hash bucket via the portable h60 convention (functions/hashing):
-    the driver can compute a term's bucket in pure Python (hashlib.md5) and
-    push bucket IN-list predicates into the scan without running a job."""
-    from ..functions.hashing import h60
-    return F.pmod(h60(F.concat_ws(":", F.col("field"), F.col("term"))),
+    """Term-hash bucket: ``pmod(xxhash64(field:term), B)``.
+
+    xxhash64 is Spark's cheapest codegen'd hash (one call per posting row —
+    ~10x cheaper than the md5+conv chain h60 uses), and the pure-Python
+    XXH64 twin (functions/hashing.xxh64_str, bit-parity-tested) lets the
+    driver and the Spark-free serving process compute a term's bucket with
+    NO job and push bucket IN-list predicates into the scan."""
+    return F.pmod(F.xxhash64(F.concat_ws(":", F.col("field"), F.col("term"))),
                   F.lit(config.n_buckets)).cast("int").alias("bucket")
 
 
@@ -252,10 +266,9 @@ def assign_doc_ids(docs: DataFrame, key_col: str = "url",
 
 
 def bucket_of(field: str, term: str, n_buckets: int) -> int:
-    """Pure-Python twin of :func:`_bucket_col`."""
-    import hashlib
-    h = int(hashlib.md5(f"{field}:{term}".encode()).hexdigest()[:15], 16)
-    return h % n_buckets
+    """Pure-Python twin of :func:`_bucket_col` (pmod of signed xxhash64)."""
+    from ..functions.hashing import xxh64_str
+    return xxh64_str(f"{field}:{term}") % n_buckets
 
 
 # ---------------------------------------------------------------------------
@@ -268,15 +281,27 @@ def bucket_of(field: str, term: str, n_buckets: int) -> int:
 def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     """Single-shot persisted build. Returns build metrics.
 
-    The corpus is tokenized exactly ONCE (the postings write); doc_stats and
-    term_stats are derived from the written postings table — cheap
-    column-pruned scans instead of re-running the analyzer over 100 TB.
+    ONE shuffle end-to-end: the groupBy's map-side partial aggregation
+    already ships final posting rows, so instead of a second repartition on
+    ``bucket``, the aggregated partitions are sorted locally by
+    (bucket, field, term, doc_id) — satisfying the dynamic-partition
+    writer's required ordering with no extra sort — and written
+    ``partitionBy(bucket)``. Each reduce task emits per-bucket files whose
+    rows are term-sorted, so parquet min/max zone maps on ``term`` still
+    prune point lookups to 1-2 row groups per file; AQE's partition
+    coalescing bounds files-per-bucket (~64 MB targets). Versus the
+    two-shuffle layout this removes a full pass over the postings at the
+    cost of reduce-task-many files per bucket — the right trade at 100 TB,
+    where the second shuffle dwarfs extra file footers.
+
+    The corpus is tokenized exactly ONCE; doc_stats and term_stats are
+    derived from the written postings table (column-pruned scans), and
+    n_postings = Σ df comes free from term_stats — no extra count pass.
     """
     spark = docs.sparkSession
     t0 = time.time()
-    postings = build_postings(docs, config).withColumn("bucket", _bucket_col(config))
-    (postings.repartition(config.n_buckets, "bucket")
-     .sortWithinPartitions("field", "term", "doc_id")
+    postings = build_postings(docs, config).select("*", _bucket_col(config))
+    (postings.sortWithinPartitions("bucket", "field", "term", "doc_id")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, POSTINGS)))
 
@@ -289,7 +314,8 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
 
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
     stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    n_postings = postings_r.count()
+    n_postings = int(spark.read.parquet(os.path.join(index_dir, TERM_STATS))
+                     .agg(F.sum("df")).collect()[0][0] or 0)
     elapsed = time.time() - t0
     meta = {
         "total_docs": int(stats["n"]),
@@ -299,6 +325,8 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "fields": config.fields,
         "n_buckets": config.n_buckets,
         "positions": config.positions,
+        "stem_lang": config.stem_lang,
+        "bucket_fn": "xxh64:42",
         "build_seconds": elapsed,
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
         "postings_per_sec": n_postings / elapsed if elapsed else None,
@@ -312,7 +340,9 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     with open(os.path.join(index_dir, META)) as fh:
         meta = json.load(fh)
     config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
-                         n_buckets=meta["n_buckets"], positions=meta["positions"])
+                         n_buckets=meta["n_buckets"],
+                         positions=meta["positions"],
+                         stem_lang=meta.get("stem_lang"))
     return InvertedIndex(
         spark.read.parquet(os.path.join(index_dir, POSTINGS)),
         spark.read.parquet(os.path.join(index_dir, DOC_STATS)),

@@ -25,8 +25,12 @@ engine following the same order reproduces the sums bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
 from ..functions.portable import round6
 
 
@@ -153,21 +157,144 @@ def ivf_topk(vectors: DataFrame, query_vec: list, centroids: list,
 def embedding_neardup_pairs(vectors: DataFrame, planes: list,
                             threshold: float = 0.9,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            max_bucket_size: int = 10_000) -> DataFrame:
     """(a_id, b_id, cos): near-duplicate vector pairs, LSH-bucket-blocked.
 
     Pairs are generated only within an LSH bucket (linear candidate
     generation, like MinHash bands for text), then exactly verified by
-    cosine >= threshold. Bucket count scales with plane count to keep
-    per-bucket cross products bounded.
+    cosine >= threshold. ``max_bucket_size`` caps degenerate buckets
+    (zero/boilerplate embeddings all signing into one bucket) so a single
+    hot key can never go O(n²) — the same guardrail as the MinHash path's
+    ``max_band_size`` (operators/dedup.py); capped buckets are dropped and
+    their docs pair only through multi-probe/other planes.
     """
     bucketed = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sized = bucketed.join(
+        bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")),
+        "bucket").where(F.col("n") <= max_bucket_size).drop("n")
+    a, b = sized.alias("a"), sized.alias("b")
     pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     return (pairs.select(F.col("a.vec_id").alias("a_id"),
                          F.col("b.vec_id").alias("b_id"),
                          round6(cosine(F.col("a.v"), F.col("b.v"))).alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN artifacts: the vector table written partitioned by LSH bucket
+# and/or IVF cell, with the (deterministic) planes/centroids saved alongside.
+# Query-time reads prune to the probed partitions — O(corpus/2^planes) or
+# O(probed cells) scan volume instead of a full pass, the property that makes
+# the ANN *query* path survive 10^12 vectors (the candidate generation was
+# always linear; this fixes the per-query cost).
+# ---------------------------------------------------------------------------
+
+VECTORS = "vectors"
+ANN_PARAMS = "ann_params.json"
+
+
+def write_vectors(vectors: DataFrame, out_dir: str,
+                  planes: list | None = None,
+                  centroids: list | None = None,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> dict:
+    """Persist the vector table partitioned by ``bucket`` (hyperplane LSH)
+    and/or ``cell`` (IVF coarse quantization), plus the parameters that
+    define the partitioning. At least one of planes/centroids is required.
+
+    On a real deployment this is an Iceberg table with identity partitioning
+    on the derived column; probes then hit Iceberg partition pruning. Here:
+    plain parquet ``bucket=N/``/``cell=N/`` dirs + Catalyst partition
+    pruning (asserted by tests via input_file_name()).
+    """
+    if not planes and not centroids:
+        raise ValueError("write_vectors needs planes and/or centroids")
+    out = vectors.select(F.col(id_col).alias("vec_id"),
+                         F.col(vec_col).alias("embedding"))
+    part_cols = []
+    if planes:
+        out = out.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+        part_cols.append("bucket")
+    if centroids:
+        assigned = ivf_assign(out, centroids, id_col="vec_id",
+                              vec_col="embedding")
+        out = out.join(assigned.select("vec_id", "cell"), "vec_id")
+        part_cols.append("cell")
+    (out.write.mode("overwrite").partitionBy(*part_cols)
+     .parquet(os.path.join(out_dir, VECTORS)))
+    params = {"planes": planes, "centroids": centroids,
+              "id_col": id_col, "vec_col": vec_col,
+              "partition_cols": part_cols}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ANN_PARAMS), "w") as fh:
+        json.dump(params, fh)
+    return params
+
+
+def load_vector_params(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, ANN_PARAMS)) as fh:
+        return json.load(fh)
+
+
+def _py_cos(a: list, b: list) -> float:
+    dot_ = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = sum(float(x) * float(x) for x in a) ** 0.5
+    nb = sum(float(y) * float(y) for y in b) ** 0.5
+    return dot_ / (na * nb)
+
+
+def query_bucket(query_vec: list, planes: list) -> int:
+    """Pure-Python twin of :func:`lsh_bucket` for the query vector —
+    computed driver-side, no Spark job."""
+    qb = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s > 0:
+            qb |= 1 << i
+    return qb
+
+
+def probed_cells(query_vec: list, centroids: list, n_probe: int) -> list:
+    """The n_probe centroid indices nearest the query (cos desc, idx asc)."""
+    order = sorted(range(len(centroids)),
+                   key=lambda i: (-_py_cos(query_vec, centroids[i]), i))
+    return order[:n_probe]
+
+
+def lsh_topk_persisted(spark: SparkSession, out_dir: str, query_vec: list,
+                       k: int = 10, exclude_id: int | None = None) -> DataFrame:
+    """ANN top-k over the persisted bucket-partitioned table: the query's
+    bucket is computed driver-side (pure Python) and pushed as a partition
+    predicate — the scan reads ONLY that bucket's files."""
+    params = load_vector_params(out_dir)
+    qb = query_bucket(query_vec, params["planes"])
+    vecs = spark.read.parquet(os.path.join(out_dir, VECTORS))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (vecs.where(F.col("bucket") == F.lit(qb))
+              .select("vec_id",
+                      round6(cosine(F.col("embedding"), q)).alias("cos")))
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk_persisted(spark: SparkSession, out_dir: str, query_vec: list,
+                       k: int = 10, n_probe: int = 2,
+                       exclude_id: int | None = None) -> DataFrame:
+    """IVF ANN top-k over the persisted cell-partitioned table: probe cells
+    chosen driver-side, pushed as a partition IN-list — only the probed
+    cells' partitions are scanned (never a full ivf_assign recompute)."""
+    params = load_vector_params(out_dir)
+    probed = probed_cells(query_vec, params["centroids"], n_probe)
+    vecs = spark.read.parquet(os.path.join(out_dir, VECTORS))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = (vecs.where(F.col("cell").isin(probed))
+              .select("vec_id",
+                      round6(cosine(F.col("embedding"), q)).alias("cos")))
+    if exclude_id is not None:
+        scored = scored.where(F.col("vec_id") != exclude_id)
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)

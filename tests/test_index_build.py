@@ -66,15 +66,30 @@ def test_write_load_roundtrip(tmp_path, spark, docs_df, docs_index):
     assert loaded.total_docs == docs_index.total_docs
     assert abs(loaded.avg_dl - docs_index.avg_dl) < 1e-12
     assert loaded.postings.count() == docs_index.postings.count()
-    # bucket partitioning: every row's bucket matches the portable h60
-    # convention (so the driver can compute buckets in pure Python)
-    from search_engine_spark.functions.hashing import h60
+    # bucket partitioning: every row's bucket matches the xxh64 convention
+    # (so the driver can compute buckets in pure Python, functions/hashing)
     bad = loaded.postings.where(
         F.col("bucket") != F.pmod(
-            h60(F.concat_ws(":", F.col("field"), F.col("term"))),
+            F.xxhash64(F.concat_ws(":", F.col("field"), F.col("term"))),
             F.lit(8)).cast("int"))
     assert bad.count() == 0
     # spot-check the Python twin agrees
     from search_engine_spark.operators.index_build import bucket_of
     row = loaded.postings.limit(1).collect()[0]
     assert bucket_of(row["field"], row["term"], 8) == row["bucket"]
+
+
+def test_xxh64_python_twin_matches_spark(spark):
+    """Driver-side bucket pruning depends on bit-parity between
+    functions.hashing.xxh64_str and Spark's xxhash64 (seed 42)."""
+    import random
+    from search_engine_spark.functions.hashing import xxh64_str
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789:ümö-愛 "
+    vals = ["", "a", "text:za"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 80)))
+        for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", F.xxhash64("s").alias("h")).collect()
+    for r in rows:
+        assert xxh64_str(r["s"]) == r["h"], r["s"]
