@@ -236,6 +236,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _members(_CACHE[key],
                         {"term": {"field": "text", "value": "tabl"}})
     q["stemmed_match_de"] = _stemmed_de
+
+    def _stopwords_auto(s, d):
+        from search_engine_spark.analysis.stopwords import auto_stopwords
+        eng = _engine(s, d)
+        return auto_stopwords(eng.index.term_stats, eng.index.total_docs,
+                              threshold=0.5)
+    q["stopwords_autodetect"] = _stopwords_auto
+    q["synonym_multiword"] = lambda s, d: SparkSearchEngine(
+        _engine(s, d).index, _engine(s, d).docs,
+        synonyms={"data": ["big table"]}).candidates(
+            {"term": {"field": "text", "value": "data"}}).orderBy("doc_id")
     q["synonym_term"] = lambda s, d: SparkSearchEngine(
         _engine(s, d).index, _engine(s, d).docs,
         synonyms={"data": ["value"]}).candidates(
@@ -505,6 +516,17 @@ ORDER BY doc_id
 """
     o["synonym_term"] = _members_sql(
         "list_contains(toks, 'data') OR list_contains(toks, 'value')")
+    o["synonym_multiword"] = _members_sql(
+        "list_contains(toks, 'data') OR "
+        "(list_contains(toks, 'big') AND list_contains(toks, 'table'))")
+    o["stopwords_autodetect"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+u AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+d AS (SELECT term, count(*)::BIGINT AS df FROM u GROUP BY term),
+g AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, df FROM d, g WHERE df::DOUBLE / g.n >= 0.5::DOUBLE
+ORDER BY term
+"""
     # German-stemmed index: map each token through the reference-generated
     # Snowball-de stem table (tests/golden/stem_docs_vocab_de.json covers the
     # corpus's full 30-token vocabulary), then exact membership of 'tabl'

@@ -28,6 +28,30 @@ TYPE_ANALYZER = {
 #: types that are tokenized into the inverted index (SearchEngine.ts:892)
 INDEXED_TYPES = ("text", "keyword", "email", "url", "phone")
 
+#: the full field-type whitelist (valueObjects/FieldType.ts:23-40) — the
+#: reference's FieldType value object rejects anything else at construction
+VALID_FIELD_TYPES = frozenset({
+    "text", "keyword", "number", "integer", "float", "double", "long",
+    "short", "byte", "boolean", "date", "geo_point", "email", "url",
+    "phone", "object",
+})
+
+
+def validate_fields(fields: dict) -> None:
+    """Reject unknown field types in an explicit mapping — the reference
+    validates user-supplied mappings against its type whitelist
+    (FieldType.ts:44-52, MappingsManager.ts:164-200); a typo'd type must
+    fail loudly instead of silently routing to the standard analyzer."""
+    if not isinstance(fields, dict):
+        raise TypeError(f"fields must be a dict, got {type(fields).__name__}")
+    for name, ftype in fields.items():
+        if not name or not isinstance(name, str):
+            raise ValueError(f"invalid field name: {name!r}")
+        if ftype not in VALID_FIELD_TYPES:
+            raise ValueError(
+                f"invalid field type {ftype!r} for field {name!r}; "
+                f"must be one of: {', '.join(sorted(VALID_FIELD_TYPES))}")
+
 _EMAIL = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}$")
 _URL = re.compile(r"^https?://.+")
 _DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")

@@ -69,6 +69,12 @@ class IndexConfig:
     #: positions and dl are unchanged (analysis/stemmer.py routing)
     stem_lang: str | None = None
 
+    def __post_init__(self):
+        # explicit-mappings validation (FieldType.ts whitelist): a typo'd
+        # field type fails at config time, never silently defaults
+        from ..analysis.mappings import validate_fields
+        validate_fields(self.fields)
+
     def analyzer_for(self, field: str) -> str:
         return FIELD_TYPE_ANALYZER.get(self.fields[field], "standard")
 

@@ -334,13 +334,36 @@ class SparkSearchEngine:
         wildcard) pay the dictionary round-trip."""
         fields = self._fields_for(field)
         if fuzziness == 0:
+            # S6 synonym hook: accepts a dict or a synonyms.SynonymEngine;
+            # single-token synonyms extend the exact-term IN-list, multi-word
+            # synonyms are analyzed and expanded as AND-of-tokens candidates
             values = [norm_value]
-            for syn in self.synonyms.get(norm_value, ()):  # S6 synonym hook
-                values.append(str(syn).lower())
+            multi: list = []
+            for syn in self.synonyms.get(norm_value, ()):
+                toks = pyan.standard(str(syn).lower())
+                if len(toks) > 1:
+                    multi.append(toks)
+                else:
+                    values.append(toks[0] if toks else str(syn).lower())
             pairs = [(f, v) for f in fields for v in values]
             cand = self._postings_for(pairs).select("doc_id")
             if len(pairs) > 1:
                 cand = cand.distinct()
+            if multi:
+                all_pairs = list(pairs)
+                for toks in multi:
+                    mc = None
+                    for t in toks:
+                        tc = self._postings_for(
+                            [(f, t) for f in fields]).select("doc_id")
+                        if len(fields) > 1:
+                            tc = tc.distinct()
+                        mc = tc if mc is None else mc.join(tc, "doc_id", "semi")
+                    cand = cand.unionByName(mc).distinct()
+                    all_pairs += [(f, t) for f in fields for t in toks]
+                # candidate set is NOT the scored-doc union here (multi-word
+                # members hold ALL their tokens; the union is broader)
+                return _Node(cand, all_pairs if scoring else [])
             return _Node(cand, pairs if scoring else [],
                          cand_is_scored_union=scoring)
         matched = self._fuzzy_dictionary(fields, norm_value, fuzziness)

@@ -1,0 +1,179 @@
+"""Thin HTTP facade over the catalog + serving layer (server.ts parity).
+
+The reference's primary entry point is an Express app (server.ts:226-267
+``POST /search/:indexName``) with request clamping
+(PerformanceOptimizations.ts:183-213). This module provides the same
+surface over the Spark engine as a stdlib ``http.server`` app — a facade,
+not a serving architecture: heavy lifting stays in the engine/catalog, and
+genuinely interactive deployments front the Spark-free ``ServingIndex``
+(serving.py) instead.
+
+Endpoints (request/response shapes mirror server.ts):
+- ``GET  /``                     health + index listing
+- ``POST /search/<index>``       body {query, from, size, aggregations}
+- ``POST /index``                body {indexName, docsPath, fields?}
+- ``GET  /performance``          process metrics
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from .catalog import IndexCatalog
+from .operators.index_build import IndexConfig
+
+#: request clamps (PerformanceOptimizations.ts:183-213)
+MAX_SIZE = 100
+MAX_FROM = 10_000
+MAX_AGG_TERMS = 50
+
+
+def clamp_options(body: dict) -> dict:
+    """size ≤ 100, from ≤ 10000, terms-agg size ≤ 50 — the reference's
+    optimizeSearchOptions, applied before any work is scheduled."""
+    size = int(body.get("size") or 10)
+    from_ = int(body.get("from") or 0)
+    out = {"size": min(size, MAX_SIZE), "from": min(max(from_, 0), MAX_FROM)}
+    aggs = body.get("aggregations") or body.get("aggs") or {}
+    clamped_aggs = {}
+    for name, cfg in aggs.items():
+        cfg = dict(cfg)
+        terms = cfg.get("terms")
+        if isinstance(terms, dict) and int(terms.get("size") or 10) > MAX_AGG_TERMS:
+            cfg["terms"] = {**terms, "size": MAX_AGG_TERMS}
+        clamped_aggs[name] = cfg
+    out["aggregations"] = clamped_aggs
+    return out
+
+
+class SearchService:
+    """Catalog-backed search service the HTTP handler delegates to."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.catalog = IndexCatalog(spark, root)
+        self._docs: dict = {}           # index name -> docs DataFrame
+        self._queries = 0
+        self._t0 = time.time()
+
+    def create_index(self, name: str, docs_path: str,
+                     fields: dict | None = None,
+                     id_col: str = "doc_id", overwrite: bool = False) -> dict:
+        docs = self.spark.read.parquet(docs_path)
+        cfg = IndexConfig(id_col=id_col,
+                          fields=fields or {"text": "text"})
+        meta = self.catalog.create_index(name, docs, cfg,
+                                         overwrite=overwrite)
+        self._docs[name] = docs
+        return meta
+
+    def register_docs(self, name: str, docs) -> None:
+        self._docs[name] = docs
+
+    def search(self, name: str, body: dict) -> dict:
+        if not self.catalog.index_exists(name):
+            raise KeyError(name)
+        opts = clamp_options(body)
+        docs = self._docs.get(name)
+        if docs is None:
+            raise RuntimeError(f"no docs table registered for index {name!r}")
+        eng = self.catalog.engine(docs, name)
+        t0 = time.time()
+        query = body.get("query") or {"match_all": {}}
+        top = eng.search(query, size=opts["size"], from_=opts["from"])
+        hits = [{"doc_id": r["doc_id"], "score": r["score"]}
+                for r in top.collect()]
+        total = eng.candidates(query).count()
+        aggregations = {}
+        for agg_name, cfg in opts["aggregations"].items():
+            terms = cfg.get("terms")
+            if isinstance(terms, dict) and terms.get("field"):
+                from .operators.aggregations import terms_agg
+                rows = terms_agg(docs, terms["field"],
+                                 size=int(terms.get("size") or 10)).collect()
+                aggregations[agg_name] = {
+                    "buckets": [{"key": r["value"],
+                                 "doc_count": r["doc_count"]} for r in rows]}
+        self._queries += 1
+        return {
+            "hits": hits, "total": total,
+            "from": opts["from"], "size": opts["size"],
+            "aggregations": aggregations, "facets": {},
+            "_performance": {
+                "queryTime": f"{round((time.time() - t0) * 1000)}ms",
+            },
+        }
+
+    def health(self) -> dict:
+        return {"status": "ok", "indices": self.catalog.list_indexes(),
+                "uptime": time.time() - self._t0}
+
+    def performance(self) -> dict:
+        return {"queries": self._queries,
+                "uptime": time.time() - self._t0,
+                "spark": {"app_id": self.spark.sparkContext.applicationId}}
+
+
+def make_server(service: SearchService, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """ThreadingHTTPServer bound to ``service``; port 0 = ephemeral."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            if not n:
+                return {}
+            try:
+                return json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return {}
+
+        def do_GET(self):
+            if self.path == "/":
+                self._json(200, service.health())
+            elif self.path == "/performance":
+                self._json(200, service.performance())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                if self.path.startswith("/search/"):
+                    name = self.path[len("/search/"):].strip("/")
+                    try:
+                        self._json(200, service.search(name, self._body()))
+                    except KeyError:
+                        self._json(404, {
+                            "error": f"Index '{name}' not found"})
+                elif self.path == "/index":
+                    b = self._body()
+                    meta = service.create_index(
+                        b["indexName"], b["docsPath"],
+                        fields=b.get("fields"),
+                        id_col=b.get("idCol", "doc_id"),
+                        overwrite=bool(b.get("overwrite")))
+                    self._json(200, {"indexName": b["indexName"],
+                                     "meta": meta})
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception:  # noqa: BLE001 — 500 like server.ts
+                traceback.print_exc()
+                self._json(500, {"error": "Internal server error"})
+
+    return ThreadingHTTPServer((host, port), Handler)

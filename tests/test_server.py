@@ -1,0 +1,84 @@
+"""HTTP facade: endpoint shapes, clamps, 404s (server.ts parity)."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from search_engine_spark.server import (MAX_AGG_TERMS, MAX_FROM, MAX_SIZE,
+                                        SearchService, clamp_options,
+                                        make_server)
+from search_engine_spark.sources.synth import synth_pages
+
+
+def test_clamp_options():
+    o = clamp_options({"size": 5000, "from": 99999, "aggregations": {
+        "langs": {"terms": {"field": "lang", "size": 500}}}})
+    assert o["size"] == MAX_SIZE and o["from"] == MAX_FROM
+    assert o["aggregations"]["langs"]["terms"]["size"] == MAX_AGG_TERMS
+    d = clamp_options({})
+    assert d == {"size": 10, "from": 0, "aggregations": {}}
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory, spark):
+    root = str(tmp_path_factory.mktemp("srv_root"))
+    pages_dir = str(tmp_path_factory.mktemp("srv_pages") / "pages")
+    pages = synth_pages(spark, 120).cache()
+    pages.write.parquet(pages_dir)
+    svc = SearchService(spark, root)
+    httpd = make_server(svc)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, pages_dir
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_server_end_to_end(served):
+    base, pages_dir = served
+    code, health = _get(base + "/")
+    assert code == 200 and health["status"] == "ok"
+
+    code, out = _post(base + "/index", {
+        "indexName": "web", "docsPath": pages_dir,
+        "fields": {"text": "text"}})
+    assert code == 200 and out["meta"]["total_docs"] == 120
+
+    code, res = _post(base + "/search/web", {
+        "query": {"match": {"field": "text", "value": "za"}},
+        "size": 5,
+        "aggregations": {"langs": {"terms": {"field": "lang", "size": 3}}}})
+    assert code == 200
+    assert len(res["hits"]) <= 5 and res["total"] >= len(res["hits"])
+    assert res["hits"] == sorted(
+        res["hits"], key=lambda h: (-h["score"], h["doc_id"]))
+    assert len(res["aggregations"]["langs"]["buckets"]) <= 3
+
+    # clamps applied server-side
+    code, res = _post(base + "/search/web", {"size": 5000})
+    assert code == 200 and res["size"] == 100
+
+    # unknown index -> 404 (server.ts:258-261)
+    code, res = _post(base + "/search/nope", {})
+    assert code == 404 and "not found" in res["error"]
+
+    code, _ = _get(base + "/performance")
+    assert code == 200
