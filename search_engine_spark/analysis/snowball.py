@@ -1,7 +1,7 @@
-"""Pure-Python Snowball stemmers: German, French, Spanish (SURVEY T11).
+"""Pure-Python Snowball stemmers: de, fr, es, pt, it (SURVEY T11).
 
 Implemented from the published Snowball algorithm descriptions
-(snowballstem.org/algorithms/{german,french,spanish}/stemmer.html) — NOT
+(snowballstem.org/algorithms/*/stemmer.html) — NOT
 translated from the reference's generated JS (src/lib/stemmers/{de,fr,es}.js,
 which is machine-compiled Snowball). Behavior is pinned against golden
 vectors produced by executing the reference's stemmers on wide word lists
@@ -624,3 +624,321 @@ def spanish_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's cases
 SNOWBALL = {"de": german_stem, "german": german_stem,
             "fr": french_stem, "french": french_stem,
             "es": spanish_stem, "spanish": spanish_stem}
+
+
+# ---------------------------------------------------------------------------
+# Portuguese
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = "aeiouáéíóúâêô"
+
+
+def _pt_rv(w: str) -> int:
+    return _es_like_rv(w, _PT_VOWELS)  # same scheme as Spanish
+
+
+_PT_STEP2 = sorted([
+    "ada", "ida", "ia", "aria", "eria", "iria", "ará", "ara", "erá", "era",
+    "irá", "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei",
+    "arei", "erei", "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
+    "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem", "essem",
+    "issem", "ado", "ido", "ando", "endo", "indo", "ara~o", "era~o",
+    "ira~o", "ar", "er", "ir", "as", "adas", "idas", "ias", "arias",
+    "erias", "irias", "arás", "aras", "erás", "eras", "irás", "avas", "es",
+    "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses", "esses",
+    "isses", "astes", "estes", "istes", "is", "ais", "eis", "íeis",
+    "aríeis", "eríeis", "iríeis", "áreis", "areis", "éreis", "ereis",
+    "íreis", "ireis", "ásseis", "ésseis", "ísseis", "áveis", "ados",
+    "idos", "ámos", "amos", "íamos", "aríamos", "eríamos", "iríamos",
+    "áramos", "éramos", "íramos", "ávamos", "emos", "aremos", "eremos",
+    "iremos", "ássemos", "êssemos", "íssemos", "imos", "armos", "ermos",
+    "irmos", "eu", "iu", "ou", "ira", "iras"], key=len, reverse=True)
+
+
+def portuguese_stem(word: str) -> str:  # noqa: C901 — mirrors the spec
+    """Snowball Portuguese stemmer."""
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _pt_rv(w)
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    def in_rv(pos):
+        return pos >= rv
+
+    orig = w
+    # step 1: standard suffix removal (longest match, region per group)
+    sufs1 = sorted([
+        "eza", "ezas", "ico", "ica", "icos", "icas", "ismo", "ismos",
+        "ável", "ível", "ista", "istas", "oso", "osa", "osos", "osas",
+        "amento", "amentos", "imento", "imentos", "adora", "ador",
+        "aça~o", "adoras", "adores", "aço~es", "ante", "antes", "ância",
+        "logia", "logias", "uça~o", "uço~es", "ência", "ências",
+        "amente", "mente", "idade", "idades", "iva", "ivo", "ivas",
+        "ivos", "ira", "iras"], key=len, reverse=True)
+    for suf in sufs1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("logia", "logias"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("uça~o", "uço~es"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("ência", "ências"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "ad"):
+                        if w.endswith(pre) and in_r2(len(w) - 2):
+                            w = w[:-2]
+                            break
+        elif suf == "mente":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("ante", "avel", "ível"):
+                    if w.endswith(pre) and in_r2(len(w) - 4):
+                        w = w[:-4]
+                        break
+        elif suf in ("idade", "idades"):
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        elif suf in ("iva", "ivo", "ivas", "ivos"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("ira", "iras"):
+            if in_rv(pos) and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+        else:
+            if in_r2(pos):
+                w = w[:pos]
+        break
+
+    # step 2: verb suffixes — only if step 1 removed nothing
+    if w == orig:
+        suf = _longest_in(w, _PT_STEP2, rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+
+    changed = w != orig
+    if changed:
+        # step 3: final i preceded by c
+        if w.endswith("i") and in_rv(len(w) - 1) and len(w) >= 2 \
+                and w[-2] == "c":
+            w = w[:-1]
+    else:
+        # step 4: residual suffix
+        suf = _longest_in(w, ["os", "a", "i", "o", "á", "í", "ó"], rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+
+    # step 5: residual form (always)
+    if w and w[-1] in "eéê" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if (w.endswith("gu") or w.endswith("ci")) and in_rv(len(w) - 1):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+# ---------------------------------------------------------------------------
+# Italian
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = "aeiouàèìòù"
+_IT_ACUTE = str.maketrans({"á": "à", "é": "è", "í": "ì", "ó": "ò", "ú": "ù"})
+
+_IT_PRONOUNS = sorted([
+    "ci", "gli", "la", "le", "li", "lo", "mi", "ne", "si", "ti", "vi",
+    "sene", "gliela", "gliele", "glieli", "glielo", "gliene", "mela",
+    "mele", "meli", "melo", "mene", "tela", "tele", "teli", "telo",
+    "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+    "veli", "velo", "vene"], key=len, reverse=True)
+
+_IT_STEP2 = sorted([
+    "ammo", "ando", "ano", "are", "arono", "asse", "assero", "assi",
+    "assimo", "ata", "ate", "ati", "ato", "ava", "avamo", "avano",
+    "avate", "avi", "avo", "emmo", "enda", "ende", "endi", "endo",
+    "erà", "erai", "eranno", "ere", "erebbe", "erebbero", "erei",
+    "eremmo", "eremo", "ereste", "eresti", "erete", "erò", "erono",
+    "essero", "ete", "eva", "evamo", "evano", "evate", "evi", "evo",
+    "Yamo", "iamo", "immo", "irà", "irai", "iranno", "ire", "irebbe",
+    "irebbero", "irei", "iremmo", "iremo", "ireste", "iresti", "irete",
+    "irò", "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
+    "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
+    "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar",
+    "ir"], key=len, reverse=True)
+
+
+def _it_prelude(w: str) -> str:
+    w = w.translate(_IT_ACUTE)
+    out: list = []
+    n = len(w)
+    for i, c in enumerate(w):
+        prev_v = bool(out) and out[-1] in _IT_VOWELS
+        next_v = i + 1 < n and w[i + 1] in _IT_VOWELS
+        if c == "u":
+            if out and out[-1] == "q":
+                out.append("U")
+            elif prev_v and next_v:
+                out.append("U")
+            else:
+                out.append("u")
+        elif c == "i":
+            out.append("I" if prev_v and next_v else "i")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def italian_stem(word: str) -> str:  # noqa: C901 — mirrors the spec
+    """Snowball Italian stemmer."""
+    w = _it_prelude(word.lower())
+    rv = _es_like_rv(w, _IT_VOWELS)
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    def in_rv(pos):
+        return pos >= rv
+
+    # step 0: attached pronoun — after ando/endo (delete) or ar/er/ir (-> e)
+    suf = _longest_in(w, _IT_PRONOUNS, rv)
+    if suf is not None:
+        base = len(w) - len(suf)
+        stem = w[:base]
+        for pre in ("ando", "endo"):
+            if stem.endswith(pre) and in_rv(len(stem) - 4):
+                w = stem
+                break
+        else:
+            for pre in ("ar", "er", "ir"):
+                if stem.endswith(pre) and in_rv(len(stem) - 2):
+                    w = stem + "e"
+                    break
+
+    orig = w
+    # step 1: standard suffixes
+    sufs1 = sorted([
+        "anza", "anze", "ico", "ica", "ici", "iche", "ichi", "ismo",
+        "ismi", "abile", "abili", "ibile", "ibili", "ista", "iste",
+        "isti", "istà", "istè", "istì", "oso", "osa", "osi", "ose",
+        "mente", "atrice", "atrici", "ante", "anti", "azione", "azioni",
+        "atore", "atori", "logia", "logie", "uzione", "uzioni", "usione",
+        "usioni", "enza", "enze", "amento", "amenti", "imento", "imenti",
+        "amente", "ità", "ivo", "iva", "ivi", "ive"],
+        key=len, reverse=True)
+    for suf in sufs1:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("azione", "azioni", "atore", "atori"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+        elif suf in ("logia", "logie"):
+            if in_r2(pos):
+                w = w[:pos] + "log"
+        elif suf in ("uzione", "uzioni", "usione", "usioni"):
+            if in_r2(pos):
+                w = w[:pos] + "u"
+        elif suf in ("enza", "enze"):
+            if in_r2(pos):
+                w = w[:pos] + "ente"
+        elif suf in ("amento", "amenti", "imento", "imenti"):
+            if in_rv(pos):
+                w = w[:pos]
+        elif suf == "amente":
+            if in_r1(pos):
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                else:
+                    for pre in ("os", "ic", "abil"):
+                        if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                            w = w[:-len(pre)]
+                            break
+        elif suf == "ità":
+            if in_r2(pos):
+                w = w[:pos]
+                for pre in ("abil", "ic", "iv"):
+                    if w.endswith(pre) and in_r2(len(w) - len(pre)):
+                        w = w[:-len(pre)]
+                        break
+        elif suf in ("ivo", "iva", "ivi", "ive"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+        else:
+            if in_r2(pos):
+                w = w[:pos]
+        break
+
+    # step 2: verb suffixes — only if step 1 removed nothing
+    if w == orig:
+        suf = _longest_in(w, _IT_STEP2, rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+
+    # step 3a: final vowel, then a preceding i
+    if w and w[-1] in "aeioàèìò" and in_rv(len(w) - 1):
+        w = w[:-1]
+        if w.endswith("i") and in_rv(len(w) - 1):
+            w = w[:-1]
+    # step 3b: ch/gh -> c/g
+    if (w.endswith("ch") or w.endswith("gh")) and in_rv(len(w) - 2):
+        w = w[:-1]
+
+    return w.translate(str.maketrans({"I": "i", "U": "u"}))
+
+
+def _es_like_rv(w: str, vowels: str) -> int:
+    """Spanish-style RV over an arbitrary vowel set (shared by it/pt/es)."""
+    n = len(w)
+    if n < 3:
+        return n
+    if w[1] not in vowels:
+        i = 2
+        while i < n and w[i] not in vowels:
+            i += 1
+        return min(i + 1, n)
+    if w[0] in vowels and w[1] in vowels:
+        i = 2
+        while i < n and w[i] in vowels:
+            i += 1
+        return min(i + 1, n)
+    return 3
+
+
+SNOWBALL.update({"pt": portuguese_stem, "portuguese": portuguese_stem,
+                 "it": italian_stem, "italian": italian_stem})

@@ -4,9 +4,9 @@ The reference ships 26 Snowball stemmers but stemming is OFF by default
 (Tokenizer.ts:97, src/index.ts:97), so no default-config behavior depends on
 it. This module provides the same opt-in hook with a pure-Python English
 Porter stemmer (Porter 1980, the classic public algorithm — Snowball
-"english" is its descendant) plus Snowball German/French/Spanish
-(analysis/snowball.py, golden-pinned against the reference's stemmer
-output); other languages raise NotImplementedError until a stemmer library
+"english" is its descendant) plus Snowball German/French/
+Spanish/Portuguese/Italian (analysis/snowball.py, golden-pinned against
+the reference's stemmer output); other languages raise NotImplementedError until a stemmer library
 is available on the cluster.
 
 Usage: ``stem_tokens(tokens_col, lang="en")`` wraps a token array column in
@@ -155,7 +155,7 @@ def _stemmer_for(lang: str):
         raise NotImplementedError(
             f"stemmer for lang={lang!r} requires a Snowball library on the "
             "cluster (reference default is stemming OFF, Tokenizer.ts:97); "
-            "built in: en, de, fr, es")
+            "built in: en, de, fr, es, pt, it")
     return fn
 
 

@@ -108,6 +108,11 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
     import time
     path = os.path.join(index_dir, BLOCKS)
     t0 = time.time()
+    # The blocks table is the SERVING artifact: unlike the row-store
+    # postings (single-shuffle write, multi-file buckets), it pays one
+    # extra small shuffle (compressed payloads, ~5 B/posting) to get
+    # exactly ONE globally term-sorted file per bucket — a point lookup
+    # then decodes 1-2 row groups instead of one per reduce-task file.
     (build_blocks(index)
      .repartition(index.config.n_buckets, "bucket")
      .sortWithinPartitions("field", "term", "blk")

@@ -74,19 +74,54 @@ class ServingIndex:
                     os.path.join(d, f) for f in sorted(os.listdir(d))
                     if f.endswith(".parquet")]
         self._df_cache: dict = {}
+        self._pf_cache: dict = {}
 
     # -- postings access ----------------------------------------------------
 
+    def _file_handle(self, path: str):
+        """(ParquetFile, per-row-group (field_min, field_max, term_min,
+        term_max)) — footer parsed ONCE per file and cached, so a bucket
+        holding many reduce-task files costs its footers only on first
+        touch. The single-shuffle build writes several term-sorted files
+        per bucket; cached stats keep per-query work at O(matching row
+        groups) regardless of file count."""
+        h = self._pf_cache.get(path)
+        if h is None:
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            fi, ti = names.index("field"), names.index("term")
+            stats = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                fs, ts = rg.column(fi).statistics, rg.column(ti).statistics
+                if fs is None or ts is None or not fs.has_min_max \
+                        or not ts.has_min_max:
+                    stats.append(None)  # unprunable: always read
+                else:
+                    stats.append((fs.min, fs.max, ts.min, ts.max))
+            h = (pf, stats)
+            self._pf_cache[path] = h
+        return h
+
     def _term_blocks(self, field: str, term: str):
         """All (payload bytes) for one (field, term): pruned bucket dir +
-        parquet row-group predicate pushdown on the sorted term column."""
+        cached row-group zone maps on the sorted (field, term) columns."""
+        import pyarrow.compute as pc
         b = bucket_of(field, term, self.n_buckets)
         out = []
         for path in self._bucket_files.get(b, ()):
-            t = pq.read_table(
-                path, columns=["payload"],
-                filters=[("field", "=", field), ("term", "=", term)])
-            out.extend(t.column("payload").to_pylist())
+            pf, stats = self._file_handle(path)
+            rgs = [i for i, s in enumerate(stats)
+                   if s is None or (s[0] <= field <= s[1]
+                                    and s[2] <= term <= s[3])]
+            if not rgs:
+                continue
+            t = pf.read_row_groups(rgs, columns=["field", "term", "payload"])
+            mask = pc.and_(pc.equal(t.column("field"), field),
+                           pc.equal(t.column("term"), term))
+            out.extend(t.filter(mask).column("payload").to_pylist())
         return out
 
     def postings(self, field: str, term: str):
