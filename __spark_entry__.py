@@ -237,6 +237,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "tabl"}})
     q["stemmed_match_de"] = _stemmed_de
 
+    def _stemmed_auto(s, d):
+        """Per-document language-routed stemming (stem_lang='auto' over the
+        corpus lang column, Stemmer.ts routing): en/de/fr/es docs stem with
+        their language's Snowball, zh (unsupported) passes through
+        unstemmed. Membership of 'tabl' = stem of 'table' in all four
+        supported languages — zh docs containing 'table' must NOT match."""
+        key = (_session_key(s), "stem_auto", d)
+        if key not in _CACHE:
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8, stem_lang="auto")
+            idx = build_index(_docs(s, d), cfg)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, _docs(s, d))
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "tabl"}})
+    q["stemmed_auto_lang"] = _stemmed_auto
+
     def _stopwords_auto(s, d):
         from search_engine_spark.analysis.stopwords import auto_stopwords
         eng = _engine(s, d)
@@ -542,6 +561,26 @@ ORDER BY term
         f"WITH t AS (SELECT doc_id, list_transform({TOK}, x -> {_stem_case})"
         " AS stoks FROM documents) "
         "SELECT doc_id FROM t WHERE list_contains(stoks, 'tabl') "
+        "ORDER BY doc_id")
+    # language-ROUTED stemming: per-doc stem table chosen by the lang
+    # column (en/de/fr/es reference-generated maps; zh = identity)
+    _vocab_all = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "stem_docs_vocab_all.json")))
+    _lang_cases = {
+        lg: ("CASE x " + " ".join(
+            f"WHEN '{w}' THEN '{st}'" for w, st in sorted(m.items()))
+            + " ELSE x END")
+        for lg, m in _vocab_all.items()}
+    _routed = ("CASE lang "
+               + " ".join(f"WHEN '{lg}' THEN {case}"
+                          for lg, case in sorted(_lang_cases.items()))
+               + " ELSE x END")
+    o["stemmed_auto_lang"] = (
+        f"WITH t AS (SELECT doc_id, lang, {TOK} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, list_transform(toks, x -> {_routed}) AS stoks"
+        " FROM t) "
+        "SELECT doc_id FROM s WHERE list_contains(stoks, 'tabl') "
         "ORDER BY doc_id")
     # email analyzer tokens of user{id}@ex{id%7}.com: full, local, domain,
     # domain labels -> 'ex3' hits exactly doc_id % 7 = 3

@@ -1,4 +1,4 @@
-"""Pure-Python Snowball stemmers: de, fr, es, pt, it (SURVEY T11).
+"""Pure-Python Snowball stemmers: de/fr/es/pt/it/sv/no/da/nl/ru (SURVEY T11).
 
 Implemented from the published Snowball algorithm descriptions
 (snowballstem.org/algorithms/*/stemmer.html) — NOT
@@ -942,3 +942,379 @@ def _es_like_rv(w: str, vowels: str) -> int:
 
 SNOWBALL.update({"pt": portuguese_stem, "portuguese": portuguese_stem,
                  "it": italian_stem, "italian": italian_stem})
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian trio (Swedish / Norwegian / Danish) — shared shape: R1 with
+# the 3-letter minimum, one big a-suffix step, an st/undouble step, a small
+# d-suffix step.
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = "aeiouyäåö"
+_SV_S_END = "bcdfghjklmnoprtvy"
+_SV_STEP1 = sorted([
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast"], key=len, reverse=True)
+
+
+def _r1_min3(w: str, vowels: str) -> int:
+    r1 = _r_std(w, vowels)
+    return max(r1, min(3, len(w)))
+
+
+def swedish_stem(word: str) -> str:
+    """Snowball Swedish stemmer."""
+    w = word.lower()
+    r1 = _r1_min3(w, _SV_VOWELS)
+
+    # step 1: longest a-suffix in R1, or s after a valid s-ending
+    suf = _longest_in(w, _SV_STEP1, r1)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in _SV_S_END:
+        w = w[:-1]
+
+    # step 2: penultimate-consonant endings lose the last letter
+    for end in ("dd", "gd", "nn", "dt", "gt", "kt", "tt"):
+        if w.endswith(end) and len(w) - 2 >= r1:
+            w = w[:-1]
+            break
+
+    # step 3: one R1-limited among — delete lig/ig/els,
+    # fullt -> full, löst -> lös
+    suf = _longest_in(w, ["fullt", "löst", "lig", "els", "ig"], r1)
+    if suf in ("fullt", "löst"):
+        w = w[:-1]
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+    return w
+
+
+_NO_VOWELS = "aeiouyæåø"
+_NO_S_END = "bcdfghjlmnoprtvyz"
+_NO_STEP1 = sorted([
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+    "erte", "ert", "s"], key=len, reverse=True)
+
+
+def norwegian_stem(word: str) -> str:
+    """Snowball Norwegian stemmer."""
+    w = word.lower()
+    r1 = _r1_min3(w, _NO_VOWELS)
+
+    suf = _longest_in(w, _NO_STEP1, r1)
+    if suf is not None:
+        pos = len(w) - len(suf)
+        if suf == "s":
+            # valid s-ending: the listed consonants, or k not after a vowel
+            p = w[pos - 1] if pos > 0 else ""
+            ok = p in _NO_S_END or (
+                p == "k" and (pos < 2 or w[pos - 2] not in _NO_VOWELS))
+            if ok:
+                w = w[:pos]
+        elif suf in ("erte", "ert"):
+            w = w[:pos] + "er"
+        else:
+            w = w[:pos]
+
+    # step 2: dt / vt lose the t
+    if (w.endswith("dt") or w.endswith("vt")) and len(w) - 2 >= r1:
+        w = w[:-1]
+
+    # step 3
+    suf = _longest_in(w, sorted(
+        ["leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov", "elov",
+         "slov", "hetslov"], key=len, reverse=True), r1)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+    return w
+
+
+_DA_VOWELS = "aeiouyæåø"
+_DA_S_END = "abcdfghjklmnoprtvyzå"
+_DA_STEP1 = sorted([
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer", "heds",
+    "es", "endes", "erendes", "enes", "ernes", "eres", "ens", "hedens",
+    "erens", "ers", "ets", "erets", "et", "eret"], key=len, reverse=True)
+
+
+def danish_stem(word: str) -> str:
+    """Snowball Danish stemmer."""
+    w = word.lower()
+    r1 = _r1_min3(w, _DA_VOWELS)
+
+    suf = _longest_in(w, _DA_STEP1, r1)
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) >= 2 \
+            and w[-2] in _DA_S_END:
+        w = w[:-1]
+
+    def step2(v: str) -> str:
+        for end in ("gd", "dt", "gt", "kt"):
+            if v.endswith(end) and len(v) - 2 >= r1:
+                return v[:-1]
+        return v
+
+    w = step2(w)
+
+    # step 3
+    if w.endswith("igst"):
+        w = w[:-2]
+    suf = _longest_in(w, sorted(["ig", "lig", "elig", "els", "løst"],
+                                key=len, reverse=True), r1)
+    if suf == "løst":
+        w = w[:-1]
+    elif suf is not None:
+        w = w[:len(w) - len(suf)]
+        w = step2(w)
+
+    # step 4: undouble a final double consonant in R1
+    if len(w) >= 2 and w[-1] == w[-2] and w[-1] not in _DA_VOWELS \
+            and len(w) - 1 >= r1:
+        w = w[:-1]
+    return w
+
+
+SNOWBALL.update({"sv": swedish_stem, "swedish": swedish_stem,
+                 "no": norwegian_stem, "norwegian": norwegian_stem,
+                 "da": danish_stem, "danish": danish_stem})
+
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouyè"
+_NL_UNACCENT = str.maketrans({"ä": "a", "ë": "e", "ï": "i", "ö": "o",
+                              "ü": "u", "á": "a", "é": "e", "í": "i",
+                              "ó": "o", "ú": "u"})
+
+
+def _nl_prelude(w: str) -> str:
+    w = w.translate(_NL_UNACCENT)
+    out: list = []
+    n = len(w)
+    for i, c in enumerate(w):
+        prev_v = bool(out) and out[-1] in _NL_VOWELS
+        next_v = i + 1 < n and w[i + 1] in _NL_VOWELS
+        if c == "y" and (i == 0 or prev_v):
+            out.append("Y")
+        elif c == "i" and prev_v and next_v:
+            out.append("I")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def dutch_stem(word: str) -> str:  # noqa: C901 — mirrors the spec
+    """Snowball Dutch stemmer."""
+    w = _nl_prelude(word.lower())
+    r1, r2 = _r1_r2(w, _NL_VOWELS)
+    r1 = max(r1, min(3, len(w)))
+
+    def in_r1(pos):
+        return pos >= r1
+
+    def in_r2(pos):
+        return pos >= r2
+
+    def valid_s(pos):
+        return pos > 0 and w[pos - 1] not in _NL_VOWELS and w[pos - 1] != "j"
+
+    def valid_en(v, pos):
+        return (pos > 0 and v[pos - 1] not in _NL_VOWELS
+                and v[:pos][-3:] != "gem")
+
+    # step 1 (longest of heden | en ene | s se)
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "heden":
+            if in_r1(pos):
+                w = w[:pos] + "heid"
+        elif suf in ("en", "ene"):
+            if in_r1(pos) and valid_en(w, pos):
+                w = _nl_undouble(w[:pos])
+        else:
+            if in_r1(pos) and valid_s(pos):
+                w = w[:pos]
+        break
+
+    # step 2: final e after a non-vowel
+    e_removed = False
+    if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+            and w[-2] not in _NL_VOWELS:
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid (not after c), then a trailing en like step 1
+    if w.endswith("heid") and in_r2(len(w) - 4) and len(w) >= 5 \
+            and w[-5] != "c":
+        w = w[:-4]
+        if w.endswith("en") and in_r1(len(w) - 2) \
+                and valid_en(w, len(w) - 2):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: d-suffixes (longest)
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("ig") and in_r2(len(w) - 2) \
+                        and (len(w) < 3 or w[-3] != "e"):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if in_r2(pos) and not (pos > 0 and w[pos - 1] == "e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if in_r2(pos):
+                w = w[:pos]
+                if w.endswith("e") and in_r1(len(w) - 1) and len(w) >= 2 \
+                        and w[-2] not in _NL_VOWELS:
+                    w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            if in_r2(pos):
+                w = w[:pos]
+        else:  # bar
+            if in_r2(pos) and e_removed:
+                w = w[:pos]
+        break
+
+    # step 4: undouble vowel in C V V D (D a non-vowel other than I)
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (c not in _NL_VOWELS and d not in _NL_VOWELS and d != "I"
+                and v1 == v2 and v1 in "aeou"):
+            w = w[:-2] + w[-1]
+
+    return w.translate(str.maketrans({"I": "i", "Y": "y"}))
+
+
+# ---------------------------------------------------------------------------
+# Russian
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = "аеиоуыэюя"
+
+_RU_PGERUND_1 = sorted(["в", "вши", "вшись"], key=len, reverse=True)
+_RU_PGERUND_2 = sorted(["ив", "ивши", "ившись", "ыв", "ывши", "ывшись"],
+                       key=len, reverse=True)
+_RU_ADJ = sorted(["ее", "ие", "ые", "ое", "ими", "ыми", "ей", "ий", "ый",
+                  "ой", "ем", "им", "ым", "ом", "его", "ого", "ему",
+                  "ому", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею"],
+                 key=len, reverse=True)
+_RU_PART_1 = sorted(["ем", "нн", "вш", "ющ", "щ"], key=len, reverse=True)
+_RU_PART_2 = sorted(["ивш", "ывш", "ующ"], key=len, reverse=True)
+_RU_VERB_1 = sorted(["ла", "на", "ете", "йте", "ли", "й", "л", "ем", "н",
+                     "ло", "но", "ет", "ют", "ны", "ть", "ешь", "нно"],
+                    key=len, reverse=True)
+_RU_VERB_2 = sorted(["ила", "ыла", "ена", "ейте", "уйте", "ите", "или",
+                     "ыли", "ей", "уй", "ил", "ыл", "им", "ым", "ен",
+                     "ило", "ыло", "ено", "ят", "ует", "уют", "ит", "ыт",
+                     "ены", "ить", "ыть", "ишь", "ую", "ю"],
+                    key=len, reverse=True)
+_RU_NOUN = sorted(["а", "ев", "ов", "ие", "ье", "е", "иями", "ями", "ами",
+                   "еи", "ии", "и", "ией", "ей", "ой", "ий", "й", "иям",
+                   "ям", "ием", "ем", "ам", "ом", "о", "у", "ах", "иях",
+                   "ях", "ы", "ь", "ию", "ью", "ю", "ия", "ья", "я"],
+                  key=len, reverse=True)
+
+
+def _ru_rv(w: str) -> int:
+    for i, c in enumerate(w):
+        if c in _RU_VOWELS:
+            return i + 1
+    return len(w)
+
+
+def _ru_del_grouped(w: str, g1: list, g2: list, rv: int):
+    """Delete the longest group-2 suffix, or a group-1 suffix preceded by
+    а/я (the а/я stays). Returns (new_word, deleted?)."""
+    s2 = _longest_in(w, g2, rv)
+    s1 = _longest_in(w, g1, rv)
+    # Snowball among takes the longest matching pattern overall; group-1
+    # patterns implicitly include the preceding а/я
+    len2 = len(s2) if s2 else -1
+    len1 = (len(s1) + 1) if s1 and len(w) - len(s1) > 0 \
+        and w[len(w) - len(s1) - 1] in "ая" \
+        and len(w) - len(s1) - 1 >= rv else -1
+    if len2 < 0 and len1 < 0:
+        return w, False
+    if len2 >= len1:
+        return w[:len(w) - len(s2)], True
+    return w[:len(w) - len(s1)], True
+
+
+def russian_stem(word: str) -> str:
+    """Snowball Russian stemmer."""
+    w = word.lower().replace("ё", "е")
+    rv = _ru_rv(w)
+    r1, r2 = _r1_r2(w, _RU_VOWELS)
+
+    # step 1: perfective gerund, else (reflexive then adjectival|verb|noun)
+    w2, done = _ru_del_grouped(w, _RU_PGERUND_1, _RU_PGERUND_2, rv)
+    if done:
+        w = w2
+    else:
+        suf = _longest_in(w, ["сь", "ся"], rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+        # adjectival: adjective, optionally preceded by a participle
+        suf = _longest_in(w, _RU_ADJ, rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+            w2, _ = _ru_del_grouped(w, _RU_PART_1, _RU_PART_2, rv)
+            w = w2
+        else:
+            w2, done = _ru_del_grouped(w, _RU_VERB_1, _RU_VERB_2, rv)
+            if done:
+                w = w2
+            else:
+                suf = _longest_in(w, _RU_NOUN, rv)
+                if suf is not None:
+                    w = w[:len(w) - len(suf)]
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational (in R2)
+    suf = _longest_in(w, ["ость", "ост"], max(rv, r2))
+    if suf is not None:
+        w = w[:len(w) - len(suf)]
+
+    # step 4 — three ALTERNATIVES: undouble нн, OR superlative ейш(е)
+    # (then undouble нн), OR delete a final ь
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        suf = _longest_in(w, ["ейше", "ейш"], rv)
+        if suf is not None:
+            w = w[:len(w) - len(suf)]
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+SNOWBALL.update({"nl": dutch_stem, "dutch": dutch_stem,
+                 "ru": russian_stem, "russian": russian_stem})

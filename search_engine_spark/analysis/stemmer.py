@@ -3,11 +3,14 @@
 The reference ships 26 Snowball stemmers but stemming is OFF by default
 (Tokenizer.ts:97, src/index.ts:97), so no default-config behavior depends on
 it. This module provides the same opt-in hook with a pure-Python English
-Porter stemmer (Porter 1980, the classic public algorithm — Snowball
-"english" is its descendant) plus Snowball German/French/
-Spanish/Portuguese/Italian (analysis/snowball.py, golden-pinned against
-the reference's stemmer output); other languages raise NotImplementedError until a stemmer library
-is available on the cluster.
+Porter stemmer (the Snowball "porter" variant the reference's en.js
+compiles — Porter 1980 plus its documented bli/logi/sion-tion departures)
+and ten more Snowball languages (analysis/snowball.py:
+de/fr/es/pt/it/sv/no/da/nl/ru), all golden-pinned against the reference's
+compiled stemmer output; the remaining 15 languages raise
+NotImplementedError until a stemmer library is available on the cluster.
+``stem_tokens_by_lang`` routes per document by a lang column
+(IndexConfig.stem_lang="auto").
 
 Usage: ``stem_tokens(tokens_col, lang="en")`` wraps a token array column in
 an Arrow pandas UDF (stemming is pure string work; vectorized per batch).
@@ -68,7 +71,10 @@ _STEP2 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
           ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
           ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
           ("iveness", "ive"), ("fulness", "ful"), ("ousness", "ous"),
-          ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble")]
+          ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+          # Snowball porter departures (porter.sbl; present in the
+          # reference's compiled en.js — golden-pinned):
+          ("bli", "ble"), ("logi", "log")]
 _STEP3 = [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
           ("ical", "ic"), ("ful", ""), ("ness", "")]
 _STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
@@ -76,7 +82,8 @@ _STEP4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
 
 
 def porter_stem(word: str) -> str:
-    """Porter (1980) English stemmer."""
+    """Porter English stemmer, Snowball-porter variant (matches the
+    reference's en.js bit-for-bit on 7,135 golden vectors)."""
     w = word.lower()
     if len(w) <= 2:
         return w
@@ -123,7 +130,9 @@ def porter_stem(word: str) -> str:
             if _measure(stem) > 0:
                 w = stem + rep
             break
-    # step 4 ("ion" additionally requires the stem to end in s/t)
+    # step 4 (Snowball-porter formulation: 'sion'/'tion' are whole
+    # suffixes deleted when they lie in R2 ⟺ m(stem) > 1 — adoption →
+    # adop, matching the reference's en.js, NOT the paper's *S/*T ION rule)
     for suf in _STEP4:
         if w.endswith(suf):
             stem = w[: -len(suf)]
@@ -131,9 +140,9 @@ def porter_stem(word: str) -> str:
                 w = stem
             break
     else:
-        if w.endswith("ion") and _measure(w[:-3]) > 1 \
-                and w[:-3].endswith(("s", "t")):
-            w = w[:-3]
+        if (w.endswith("tion") or w.endswith("sion")) \
+                and _measure(w[:-4]) > 1:
+            w = w[:-4]
     # step 5a
     if w.endswith("e"):
         stem = w[:-1]
@@ -155,7 +164,7 @@ def _stemmer_for(lang: str):
         raise NotImplementedError(
             f"stemmer for lang={lang!r} requires a Snowball library on the "
             "cluster (reference default is stemming OFF, Tokenizer.ts:97); "
-            "built in: en, de, fr, es, pt, it")
+            "built in: en, de, fr, es, pt, it, sv, no, da, nl, ru")
     return fn
 
 
@@ -183,3 +192,46 @@ def stem_tokens(tokens: Column, lang: str = "en") -> Column:
         return s.map(one)
 
     return _stem(tokens)
+
+
+def supported_langs() -> tuple:
+    from .snowball import SNOWBALL
+    return ("en",) + tuple(sorted(k for k in SNOWBALL if len(k) == 2))
+
+
+def stem_tokens_by_lang(tokens: Column, lang: Column) -> Column:
+    """Per-ROW language-routed stemming over (array<string>, lang) columns —
+    the Spark twin of the reference Stemmer's per-word language routing
+    (Stemmer.ts:43-127 with autoDetectLanguage; here the corpus's ``lang``
+    column IS the detection, matching the input schema's lang field).
+
+    Tokens of docs in an unsupported language pass through UNstemmed (the
+    reference falls back the same way when a stemmer is missing). Cache is
+    keyed (lang, token) per Arrow batch — a multilingual batch still pays
+    each distinct token once."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _stem(s: pd.Series, lg: pd.Series) -> pd.Series:
+        from .snowball import SNOWBALL
+        cache: dict = {}
+        out = []
+        for toks, one_lang in zip(s, lg):
+            if toks is None:
+                out.append([])
+                continue
+            lang_key = (one_lang or "").lower()
+            fn = porter_stem if lang_key in ("en", "english") \
+                else SNOWBALL.get(lang_key)
+            if fn is None:
+                out.append(list(toks))
+                continue
+            row = []
+            for t in toks:
+                k = (lang_key, t)
+                if k not in cache:
+                    cache[k] = fn(t)
+                row.append(cache[k])
+            out.append(row)
+        return pd.Series(out)
+
+    return _stem(tokens, lang)

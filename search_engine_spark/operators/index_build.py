@@ -64,16 +64,23 @@ class IndexConfig:
     n_buckets: int = 32
     positions: bool = True
     stopwords: tuple = ()
-    #: opt-in index-time stemming (reference default OFF, Tokenizer.ts:97);
-    #: "en" | "de" | "fr" | "es" — applied after analysis, 1:1 per token so
-    #: positions and dl are unchanged (analysis/stemmer.py routing)
+    #: opt-in index-time stemming (reference default OFF, Tokenizer.ts:97):
+    #: a language code ("en"/"de"/"fr"/"es"/"pt"/"it") stems every field
+    #: with that stemmer; "auto" routes PER DOCUMENT by ``stem_lang_col``
+    #: (the corpus lang column — Stemmer.ts's language routing with the
+    #: column as the detector). 1:1 per token, so positions and dl are
+    #: unchanged (analysis/stemmer.py).
     stem_lang: str | None = None
+    stem_lang_col: str = "lang"
 
     def __post_init__(self):
         # explicit-mappings validation (FieldType.ts whitelist): a typo'd
         # field type fails at config time, never silently defaults
         from ..analysis.mappings import validate_fields
         validate_fields(self.fields)
+        if self.stem_lang not in (None, "auto"):
+            from ..analysis.stemmer import _stemmer_for
+            _stemmer_for(self.stem_lang)  # fail fast on unknown language
 
     def analyzer_for(self, field: str) -> str:
         return FIELD_TYPE_ANALYZER.get(self.fields[field], "standard")
@@ -120,6 +127,13 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     tf = |unique positions| — replicated downstream via collect_set(pos).
     """
     def _maybe_stem(toks):
+        if config.stem_lang == "auto":
+            if config.stem_lang_col not in docs.columns:
+                raise ValueError(
+                    f"stem_lang='auto' needs the {config.stem_lang_col!r} "
+                    "column on the corpus (IndexConfig.stem_lang_col)")
+            from ..analysis.stemmer import stem_tokens_by_lang
+            return stem_tokens_by_lang(toks, F.col(config.stem_lang_col))
         if config.stem_lang:
             from ..analysis.stemmer import stem_tokens
             return stem_tokens(toks, config.stem_lang)
@@ -128,8 +142,10 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     parts = []
     for f in config.fields:
         if _is_array_field(docs, f):
+            extra = ([F.col(config.stem_lang_col)]
+                     if config.stem_lang == "auto" else [])
             exploded = docs.select(F.col(config.id_col).alias("doc_id"),
-                                   F.explode(f).alias("_elem"))
+                                   F.explode(f).alias("_elem"), *extra)
             parts.append(
                 exploded.select(
                     "doc_id",
@@ -332,6 +348,7 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "n_buckets": config.n_buckets,
         "positions": config.positions,
         "stem_lang": config.stem_lang,
+        "stem_lang_col": config.stem_lang_col,
         "bucket_fn": "xxh64:42",
         "build_seconds": elapsed,
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
@@ -348,7 +365,8 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
                          n_buckets=meta["n_buckets"],
                          positions=meta["positions"],
-                         stem_lang=meta.get("stem_lang"))
+                         stem_lang=meta.get("stem_lang"),
+                         stem_lang_col=meta.get("stem_lang_col", "lang"))
     return InvertedIndex(
         spark.read.parquet(os.path.join(index_dir, POSTINGS)),
         spark.read.parquet(os.path.join(index_dir, DOC_STATS)),
