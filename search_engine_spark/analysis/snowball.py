@@ -1318,3 +1318,5 @@ def russian_stem(word: str) -> str:
 
 SNOWBALL.update({"nl": dutch_stem, "dutch": dutch_stem,
                  "ru": russian_stem, "russian": russian_stem})
+
+from . import snowball_ext  # noqa: E402,F401  — registers sk/uk/bg/... routes
