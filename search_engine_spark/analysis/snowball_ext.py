@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from .snowball import SNOWBALL
+from .snowball import SNOWBALL, _es_like_rv, _longest_in, _r1_r2
 
 # ---------------------------------------------------------------------------
 # Sanskrit (reference: light suffix stripper, sk.js)
@@ -306,3 +306,469 @@ SNOWBALL.update({"id": indonesian_stem, "indonesian": indonesian_stem})
 # Swedish/Danish; 'no' is shared).
 SNOWBALL.setdefault("se", SNOWBALL["sv"])
 SNOWBALL.setdefault("dk", SNOWBALL["da"])
+
+
+# ---------------------------------------------------------------------------
+# Romanian (Snowball romanian algorithm, pre-2015 revision: cedilla forms
+# ş/ţ = U+015F/U+0163, no comma-below normalization — matching ro.js)
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aăâeiîou"
+
+
+def _ro_prelude(w: str) -> str:
+    # intervocalic u/i -> U/I; scanning resumes after each replacement
+    out = list(w)
+    i, n = 0, len(w)
+    while i < n - 2:
+        if out[i] in _RO_VOWELS and out[i + 1] in "ui" \
+                and out[i + 2] in _RO_VOWELS:
+            out[i + 1] = "U" if out[i + 1] == "u" else "I"
+            i += 2
+        else:
+            i += 1
+    return "".join(out)
+
+
+# step 0 (R1): suffix -> replacement; None = delete; 'ile' additionally
+# requires not being preceded by 'ab'
+_RO_STEP0 = {"ul": None, "ului": None, "aua": "a",
+             "ea": "e", "ele": "e", "elor": "e",
+             "ii": "i", "iua": "i", "iei": "i", "iile": "i", "iilor": "i",
+             "ilor": "i", "ile": "i", "atei": "at",
+             "aţie": "aţi", "aţia": "aţi"}
+_RO_STEP0_SUFS = sorted(_RO_STEP0, key=len, reverse=True)
+
+# step 1 (R1, repeated): combining suffix -> shorter suffix
+_RO_COMBO = {}
+for _sufs, _rep in (
+        (("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+        (("ibilitate",), "ibil"),
+        (("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+        (("icala", "iciva", "icale", "icive", "icali", "icivi", "ical",
+          "iciv", "icală", "icivă", "icitate", "icitati", "icităi",
+          "icităţi", "icator", "icatori"), "ic"),
+        (("ativa", "ative", "ativi", "ativ", "ativă", "aţiune", "atoare",
+          "ator", "atori", "ătoare", "ător", "ători"), "at"),
+        (("itiva", "itive", "itivi", "itiv", "itivă", "iţiune", "itoare",
+          "itor", "itori"), "it")):
+    for _s in _sufs:
+        _RO_COMBO[_s] = _rep
+_RO_COMBO_SUFS = sorted(_RO_COMBO, key=len, reverse=True)
+
+# step 2 (R2): 1 = delete, "ist" = replace, "ţ" = iune/iuni rule
+_RO_STEP2_DELETE = (
+    "ica", "abila", "ibila", "oasa", "ata", "ita", "anta", "uta", "iva",
+    "ic", "ice", "abile", "ibile", "oase", "ate", "itate", "ite", "ante",
+    "ute", "ive", "ici", "abili", "ibili", "atori", "osi", "ati", "itati",
+    "iti", "anti", "uti", "ivi", "ităi", "oşi", "ităţi", "abil", "ibil",
+    "ator", "os", "at", "it", "ant", "ut", "iv",
+    "ică", "abilă", "ibilă", "oasă", "ată", "ită", "antă", "ută", "ivă")
+_RO_STEP2_IST = ("isme", "iste", "isti", "işti", "ism", "ista", "istă",
+                 "ist")
+_RO_STEP2_IUNE = ("iune", "iuni")
+_RO_STEP2_SUFS = sorted(_RO_STEP2_DELETE + _RO_STEP2_IST + _RO_STEP2_IUNE,
+                        key=len, reverse=True)
+
+# step 3 (RV-limited): verb suffixes; True = needs preceding non-vowel/'u'
+_RO_VERB = {}
+for _s in ("ea", "ia", "esc", "ăsc", "ind", "ând", "are", "ere", "ire",
+           "âre", "ase", "ise", "use", "âse", "eşte", "ăşte", "eze", "ai",
+           "eai", "iai", "eşti", "ăşti", "ui", "ezi", "âi", "aşi", "aseşi",
+           "iseşi", "useşi", "âseşi", "işi", "uşi", "âşi", "eaţi", "iaţi",
+           "arăţi", "aserăţi", "iserăţi", "userăţi", "âserăţi", "irăţi",
+           "urăţi", "ârăţi", "am", "eam", "iam", "asem", "isem", "usem",
+           "âsem", "arăm", "aserăm", "iserăm", "userăm", "âserăm", "irăm",
+           "urăm", "ârăm", "au", "eau", "iau", "indu", "ându", "ez",
+           "ească", "ară", "aseră", "iseră", "useră", "âseră", "iră",
+           "ură", "âră", "ează"):
+    _RO_VERB[_s] = True
+for _s in ("se", "sese", "sei", "seşi", "seseşi", "aţi", "eţi", "iţi",
+           "âţi", "serăţi", "seserăţi", "em", "sesem", "im", "âm", "ăm",
+           "serăm", "seserăm", "seră", "seseră"):
+    _RO_VERB[_s] = False
+_RO_VERB_SUFS = sorted(_RO_VERB, key=len, reverse=True)
+
+_RO_FINAL_VOWELS = ("ie", "a", "e", "i", "ă")
+
+
+def romanian_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's steps
+    w = _ro_prelude(word)
+    rv = _es_like_rv_ro(w)
+    r1, r2 = _r1_r2(w, _RO_VOWELS)
+
+    # step 0
+    for suf in _RO_STEP0_SUFS:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if pos >= r1:
+            if suf == "ile" and w.endswith("abile"):
+                break  # 'ile' preceded by 'ab': condition fails, no change
+            rep = _RO_STEP0[suf]
+            w = w[:pos] + (rep or "")
+        break
+
+    removed = False
+    # step 1: combining suffixes, repeated. Longest match is structural:
+    # an out-of-R1 longest match fails the step with no shorter fallback.
+    while True:
+        replaced = False
+        for suf in _RO_COMBO_SUFS:
+            if w.endswith(suf):
+                if len(w) - len(suf) >= r1:
+                    w = w[:len(w) - len(suf)] + _RO_COMBO[suf]
+                    removed = True
+                    replaced = True
+                break
+        if not replaced:
+            break
+
+    # step 2: standard suffixes (R2)
+    for suf in _RO_STEP2_SUFS:
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if pos >= r2:
+            if suf in _RO_STEP2_IUNE:
+                # the 'ţ' lookbehind is NOT R2-confined (no setlimit here)
+                if w[pos - 1:pos] == "ţ":
+                    w = w[:pos - 1] + "t"
+                    removed = True
+            elif suf in _RO_STEP2_IST:
+                w = w[:pos] + "ist"
+                removed = True
+            else:
+                w = w[:pos]
+                removed = True
+        break
+
+    # step 3: verb suffixes, only if steps 1-2 removed nothing;
+    # matching is CONFINED to RV (setlimit tomark pV)
+    if not removed:
+        suf = _longest_in(w, _RO_VERB_SUFS, rv)
+        if suf is not None:
+            pos = len(w) - len(suf)
+            if _RO_VERB[suf]:
+                if pos - 1 >= rv and (w[pos - 1] not in _RO_VOWELS
+                                      or w[pos - 1] == "u"):
+                    w = w[:pos]
+            else:
+                w = w[:pos]
+
+    # step 4: final vowel (longest of a/e/i/ie/ă, bracket in RV)
+    for suf in _RO_FINAL_VOWELS:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= rv:
+                w = w[:len(w) - len(suf)]
+            break
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+def _es_like_rv_ro(w: str) -> int:
+    return _es_like_rv(w, _RO_VOWELS)
+
+
+SNOWBALL.update({"ro": romanian_stem, "romanian": romanian_stem})
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (Snowball hungarian algorithm)
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aáeéiíoóöőuúüű"
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = sorted(("bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj",
+                      "kk", "ll", "lly", "mm", "nn", "nny", "pp", "rr",
+                      "ss", "ssz", "tt", "tty", "vv", "zz", "zzs"),
+                     key=len, reverse=True)
+
+_HU_CASE = ("ba", "ra", "be", "re", "ig", "nak", "nek", "val", "vel", "ul",
+            "nál", "nél", "ból", "ról", "tól", "ül", "ből", "ről", "től",
+            "n", "an", "ban", "en", "ben", "képpen", "on", "ön", "képp",
+            "kor", "t", "at", "et", "ként", "anként", "enként", "onként",
+            "ot", "ért", "öt", "hez", "hoz", "höz", "vá", "vé")
+_HU_CASE_SUFS = sorted(_HU_CASE, key=len, reverse=True)
+
+# suffix -> None (delete) | replacement
+_HU_SPECIAL = {"ánként": "a", "án": "a", "én": "e"}
+_HU_OTHER = {"astul": None, "estül": None, "ástul": "a", "éstül": "e",
+             "stul": None, "stül": None}
+_HU_OWNED = {"é": None, "ké": None, "aké": None, "eké": None, "oké": None,
+             "öké": None, "áké": "a", "éké": "e", "éé": "e",
+             "éi": None, "áéi": "a", "ééi": "e"}
+_HU_SING_OWNER = {
+    "a": None, "ja": None, "d": None, "ad": None, "ed": None, "od": None,
+    "öd": None, "ád": "a", "éd": "e", "e": None, "je": None, "nk": None,
+    "unk": None, "ünk": None, "ánk": "a", "énk": "e", "uk": None,
+    "juk": None, "ük": None, "jük": None, "ájuk": "a", "éjük": "e",
+    "m": None, "am": None, "em": None, "om": None, "ám": "a", "ém": "e",
+    "o": None, "á": "a", "é": "e"}
+_HU_PLUR_OWNER = {
+    "id": None, "aid": None, "jaid": None, "eid": None, "jeid": None,
+    "áid": "a", "éid": "e", "i": None, "ai": None, "jai": None,
+    "ei": None, "jei": None, "ái": "a", "éi": "e", "itek": None,
+    "eitek": None, "jeitek": None, "éitek": "e", "ik": None, "aik": None,
+    "jaik": None, "eik": None, "jeik": None, "áik": "a", "éik": "e",
+    "ink": None, "aink": None, "jaink": None, "eink": None, "jeink": None,
+    "áink": "a", "éink": "e", "aitok": None, "jaitok": None, "áitok": "a",
+    "im": None, "aim": None, "jaim": None, "eim": None, "jeim": None,
+    "áim": "a", "éim": "e"}
+_HU_PLURAL = {"k": None, "ak": None, "ek": None, "ok": None, "ök": None,
+              "ák": "a", "ék": "e"}
+
+for _t in (_HU_SPECIAL, _HU_OTHER, _HU_OWNED, _HU_SING_OWNER,
+           _HU_PLUR_OWNER, _HU_PLURAL):
+    _t["__sufs__"] = sorted((k for k in _t if k != "__sufs__"),
+                            key=len, reverse=True)
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not n:
+        return n
+    if w[0] in _HU_VOWELS:
+        i = 0
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for d in _HU_DIGRAPHS:
+            if w.startswith(d, i):
+                return min(i + len(d), n)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return min(i + 1, n)
+
+
+def _hu_ends_double(w: str):
+    for d in _HU_DOUBLES:
+        if w.endswith(d):
+            return d
+    return None
+
+
+def _hu_apply(w: str, table: dict, r1: int) -> str:
+    """Longest structural match + R1 check, delete or replace; no fallback."""
+    for suf in table["__sufs__"]:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if pos >= r1:
+                return w[:pos] + (table[suf] or "")
+            return w
+    return w
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    # step 1: instrumental case (al/el after double consonant, undouble)
+    for suf in ("al", "el"):
+        if w.endswith(suf):
+            pos = len(w) - 2
+            if pos >= r1 and _hu_ends_double(w[:pos]):
+                w = w[:pos]
+                w = w[:-2] + w[-1]    # undouble: drop 2nd-to-last char
+            break
+
+    # step 2: frequent cases, then final á/é -> a/e (v_ending, itself
+    # R1-checked: a pre-R1 á/é survives unconverted)
+    for suf in _HU_CASE_SUFS:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                w = w[:len(w) - len(suf)]
+                if w.endswith("á") and len(w) - 1 >= r1:
+                    w = w[:-1] + "a"
+                elif w.endswith("é") and len(w) - 1 >= r1:
+                    w = w[:-1] + "e"
+            break
+
+    w = _hu_apply(w, _HU_SPECIAL, r1)      # step 3
+    w = _hu_apply(w, _HU_OTHER, r1)        # step 4
+
+    # step 5: factive á/é after double consonant, undouble
+    for suf in ("á", "é"):
+        if w.endswith(suf):
+            pos = len(w) - 1
+            if pos >= r1 and _hu_ends_double(w[:pos]):
+                w = w[:pos]
+                w = w[:-2] + w[-1]
+            break
+
+    w = _hu_apply(w, _HU_OWNED, r1)        # step 6
+    w = _hu_apply(w, _HU_SING_OWNER, r1)   # step 7
+    w = _hu_apply(w, _HU_PLUR_OWNER, r1)   # step 8
+    w = _hu_apply(w, _HU_PLURAL, r1)       # step 9
+    return w
+
+
+SNOWBALL.update({"hu": hungarian_stem, "hungarian": hungarian_stem})
+
+
+# ---------------------------------------------------------------------------
+# Finnish (Snowball finnish algorithm)
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouyäö"          # V1
+_FI_V2 = "aeiouäö"               # V1 minus y (for the Vi condition)
+_FI_PARTICLE_END = _FI_VOWELS + "nt"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+
+_FI_PARTICLES = ("kään", "kaan", "sti", "han", "kin", "hän", "pa", "ko",
+                 "pä", "kö")
+_FI_P2_AN = ("lla", "na", "ssa", "lta", "sta", "ta")
+_FI_P2_AEN = ("llä", "nä", "ssä", "ltä", "stä", "tä")
+_FI_P2_EN = ("lle", "ine")
+
+# step-3 case endings: (suffix, kind) — kind: char = required preceding
+# char; "VI"/"LV" = guard; "del" = plain delete; "n"/"aä" = special
+_FI_CASES = [("seen", "LV"), ("siin", "VI"), ("tten", "VI"),
+             ("den", "VI"), ("tta", "e"), ("ttä", "e"),
+             ("han", "a"), ("hen", "e"), ("hin", "i"), ("hon", "o"),
+             ("hän", "ä"), ("hön", "ö"),
+             ("lla", "del"), ("ssa", "del"), ("lta", "del"), ("sta", "del"),
+             ("llä", "del"), ("ssä", "del"), ("ltä", "del"), ("stä", "del"),
+             ("lle", "del"), ("ine", "del"), ("ksi", "del"),
+             ("na", "del"), ("ta", "del"), ("nä", "del"), ("tä", "del"),
+             ("a", "aä"), ("ä", "aä"), ("n", "n")]
+_FI_CASES.sort(key=lambda e: len(e[0]), reverse=True)
+
+_FI_STEP4_COND = ("mma", "mpa", "mmi", "mpi", "mmä", "mpä")   # not after po
+_FI_STEP4_DEL = ("imma", "impa", "immi", "impi", "immä", "impä",
+                 "eja", "ejä")
+_FI_STEP4 = sorted(_FI_STEP4_COND + _FI_STEP4_DEL, key=len, reverse=True)
+
+
+def _fi_ends_lv(w: str) -> bool:
+    return w[-2:] in _FI_LONG
+
+
+def _fi_ends_vi(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == "i" and w[-2] in _FI_V2
+
+
+def finnish_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's steps
+    w = word
+    r1, r2 = _r1_r2(w, _FI_VOWELS)
+    ending_removed = False
+
+    # step 1: particles (match confined to R1; preceding-char check is not)
+    suf = _longest_in(w, _FI_PARTICLES, r1)
+    if suf == "sti":
+        if len(w) - 3 >= r2:
+            w = w[:-3]
+    elif suf is not None:
+        pos = len(w) - len(suf)
+        if pos >= 1 and w[pos - 1] in _FI_PARTICLE_END:
+            w = w[:pos]
+
+    # step 2: possessives (R1-confined match)
+    suf = _longest_in(w, ("nsa", "nsä", "mme", "nne", "ni", "si",
+                          "an", "en", "än"), r1)
+    if suf == "si":
+        if not w[:-2].endswith("k"):
+            w = w[:-2]
+    elif suf == "ni":
+        w = w[:-2]
+        if w.endswith("kse"):
+            w = w[:-1] + "i"
+    elif suf in ("nsa", "nsä", "mme", "nne"):
+        w = w[:-3]
+    elif suf == "an":
+        if any(w[:-2].endswith(p) for p in _FI_P2_AN):
+            w = w[:-2]
+    elif suf == "än":
+        if any(w[:-2].endswith(p) for p in _FI_P2_AEN):
+            w = w[:-2]
+    elif suf == "en":
+        if any(w[:-2].endswith(p) for p in _FI_P2_EN):
+            w = w[:-2]
+
+    # step 3: case endings (R1-confined; guard failure falls back to 'n')
+    for suf, kind in _FI_CASES:
+        if not w.endswith(suf) or len(w) - len(suf) < r1:
+            continue
+        pos = len(w) - len(suf)
+        if kind == "LV":
+            if not _fi_ends_lv(w[:pos]):
+                continue            # among fallback (-> 'n')
+            w = w[:pos]
+            ending_removed = True
+        elif kind == "VI":
+            if not _fi_ends_vi(w[:pos]):
+                continue
+            w = w[:pos]
+            ending_removed = True
+        elif kind == "del":
+            w = w[:pos]
+            ending_removed = True
+        elif kind == "n":
+            stem = w[:pos]
+            if _fi_ends_lv(stem) or stem.endswith("ie"):
+                stem = stem[:-1]
+            w = stem
+            ending_removed = True
+        elif kind == "aä":
+            if len(suf) == 1 and pos >= 2 and w[pos - 1] in _FI_VOWELS \
+                    and w[pos - 2] in _FI_CONS:
+                w = w[:pos]
+                ending_removed = True
+        else:  # required preceding char (han/hen/... tta/ttä)
+            if w[pos - 1:pos] == kind:
+                w = w[:pos]
+                ending_removed = True
+        break
+
+    # step 4: comparatives/superlatives (R2-confined)
+    suf = _longest_in(w, _FI_STEP4, r2)
+    if suf in _FI_STEP4_COND:
+        if not w[:-len(suf)].endswith("po"):
+            w = w[:-len(suf)]
+    elif suf is not None:
+        w = w[:-len(suf)]
+
+    # step 5: plurals
+    if ending_removed:
+        suf = _longest_in(w, ("i", "j"), r1)
+        if suf:
+            w = w[:-1]
+    else:
+        # final 't' in R1 preceded by a vowel that is itself in R1
+        if w.endswith("t") and len(w) - 1 >= r1 and len(w) >= 2 \
+                and w[-2] in _FI_VOWELS and (len(w) - 1) > r1:
+            w = w[:-1]
+            suf = _longest_in(w, ("imma", "mma"), r2)
+            if suf == "imma":
+                w = w[:-4]
+            elif suf == "mma" and not w[:-3].endswith("po"):
+                w = w[:-3]
+
+    # step 6: tidy
+    # a) long vowel at end (R1-confined): shorten
+    if len(w) - 2 >= r1 and _fi_ends_lv(w):
+        w = w[:-1]
+    # b) cons + {a,e,i,ä} at end, both in R1: drop the vowel
+    if len(w) >= 2 and w[-1] in "aeiä" and len(w) - 1 >= r1 \
+            and len(w) - 1 > r1 and w[-2] in _FI_CONS:
+        w = w[:-1]
+    # c) 'oj'/'uj': drop the j (both chars within R1)
+    if w[-2:] in ("oj", "uj") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # d) 'jo': drop the o (both chars within R1)
+    if w.endswith("jo") and len(w) - 2 >= r1:
+        w = w[:-1]
+    # e) double consonant before trailing vowels (NOT R1-confined): undouble
+    i = len(w)
+    while i > 0 and w[i - 1] in _FI_VOWELS:
+        i -= 1
+    if i >= 2 and w[i - 1] in _FI_CONS and w[i - 2] == w[i - 1]:
+        w = w[:i - 1] + w[i:]
+    return w
+
+
+SNOWBALL.update({"fi": finnish_stem, "finnish": finnish_stem})
