@@ -772,3 +772,185 @@ def finnish_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's steps
 
 
 SNOWBALL.update({"fi": finnish_stem, "finnish": finnish_stem})
+
+
+# ---------------------------------------------------------------------------
+# Hindi (Snowball hindi — Ramanathan & Rao lightweight stemmer: protect the
+# first character, strip the longest of 132 suffixes; a few entries require
+# a preceding Devanagari consonant, falling back to shorter entries)
+# ---------------------------------------------------------------------------
+
+_HI_PLAIN = (
+    'आँ', 'ाँ', 'इयाँ', 'आइयाँ', 'ाइयाँ', 'ियाँ', 'आं', 'उआं', 'ुआं', 'ईं',
+    'आईं', 'ाईं', 'एं', 'आएं', 'उएं', 'ाएं', 'अताएं', 'अनाएं', 'ुएं', 'ओं',
+    'आओं', 'उओं', 'ाओं', 'अताओं', 'अनाओं', 'ुओं', 'ां', 'इयां', 'आइयां',
+    'ाइयां', 'ियां', 'ीं', 'अतीं', 'आतीं', 'ातीं', 'ें', 'ों', 'इयों',
+    'आइयों', 'ाइयों', 'ियों', 'अ', 'आ', 'इ', 'ई', 'आई', 'ाई', 'उ', 'ऊ',
+    'ए', 'आए', 'इए', 'आइए', 'ाइए', 'ाए', 'िए', 'ओ', 'आओ', 'ाओ', 'अकर',
+    'आकर', 'ाकर', 'ा', 'ऊंगा', 'आऊंगा', 'ाऊंगा', 'ूंगा', 'एगा', 'आएगा',
+    'ाएगा', 'ेगा', 'अता', 'आता', 'ाता', 'अना', 'आना', 'ाना', 'आया', 'ाया',
+    'ि', 'ी', 'ऊंगी', 'आऊंगी', 'ाऊंगी', 'एंगी', 'आएंगी', 'ाएंगी', 'ूंगी',
+    'ेंगी', 'एगी', 'आएगी', 'ाएगी', 'ओगी', 'आओगी', 'ाओगी', 'ेगी', 'ोगी',
+    'अती', 'आती', 'ाती', 'अनी', 'ु', 'ू', 'े', 'एंगे', 'आएंगे', 'ाएंगे',
+    'ेंगे', 'ओगे', 'आओगे', 'ाओगे', 'ोगे', 'अते', 'आते', 'ाते', 'अने',
+    'आने', 'ाने', 'ो', '्',
+)
+_HI_GUARDED = (
+    'ताएं', 'नाएं', 'ताओं', 'नाओं', 'तीं', 'कर', 'ता', 'ना', 'ती', 'नी',
+    'ते', 'ने',
+)
+_HI_CONSONANTS = frozenset(
+    "कखगघङचछजझञटठडढणतथदधनऩपफबभमयरऱलळऴवशषसह़क़ख़ग़ज़ड़ढ़फ़य़")
+_HI_ALL = sorted(set(_HI_PLAIN) | set(_HI_GUARDED), key=len, reverse=True)
+
+
+def hindi_stem(word: str) -> str:
+    if not word:
+        return word
+    w = word
+    for suf in _HI_ALL:
+        pos = len(w) - len(suf)
+        if pos < 1 or not w.endswith(suf):
+            continue
+        if suf in _HI_GUARDED and not (
+                pos >= 2 and w[pos - 1] in _HI_CONSONANTS):
+            continue        # among guard fails -> fall back to shorter
+        return w[:pos]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Nepali (Snowball nepali: category-1 postpositions with the e-matra
+# exception, then repeat {conditional nasal/matra removal, category-3 verb
+# suffix removal})
+# ---------------------------------------------------------------------------
+
+_NP_CAT1 = (
+    'लाइ', 'लाई', 'सँग', 'संग', 'मार्फत', 'रत', 'का', 'मा', 'द्वारा', 'कि',
+    'पछि', 'की', 'ले', 'कै', 'सँगै', 'मै', 'को',
+)
+_NP_CAT1_COND = frozenset(['का', 'कि', 'की', 'कै', 'को'])
+_NP_CAT1_SUFS = sorted(_NP_CAT1, key=len, reverse=True)
+_NP_CAT3 = (
+    'थिए', 'छ', 'इछ', 'एछ', 'िछ', 'ेछ', 'नेछ', 'हुनेछ', 'इन्छ', 'िन्छ',
+    'हुन्छ', 'एका', 'इएका', 'िएका', 'ेका', 'नेका', 'दा', 'इदा', 'िदा',
+    'देखि', 'माथि', 'एकी', 'इएकी', 'िएकी', 'ेकी', 'देखी', 'थी', 'दी', 'छु',
+    'एछु', 'ेछु', 'नेछु', 'नु', 'हरु', 'हरू', 'छे', 'थे', 'ने', 'एकै',
+    'ेकै', 'नेकै', 'दै', 'इदै', 'िदै', 'एको', 'इएको', 'िएको', 'ेको',
+    'नेको', 'दो', 'इदो', 'िदो', 'यो', 'इयो', 'भयो', 'ियो', 'थियो', 'दियो',
+    'थ्यो', 'छौ', 'इछौ', 'एछौ', 'िछौ', 'ेछौ', 'नेछौ', 'यौ', 'थियौ', 'छ्यौ',
+    'थ्यौ', 'छन्', 'इछन्', 'एछन्', 'िछन्', 'ेछन्', 'नेछन्', 'लान्', 'छिन्',
+    'थिन्', 'पर्', 'इस्', 'थिइस्', 'छस्', 'इछस्', 'एछस्', 'िछस्', 'ेछस्',
+    'नेछस्', 'िस्', 'थिस्', 'छेस्', 'होस्',
+)
+_NP_CAT3_SUFS = sorted(_NP_CAT3, key=len, reverse=True)
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    # category 1: postpositions; का-family kept when preceded by ए or े
+    for suf in _NP_CAT1_SUFS:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in _NP_CAT1_COND:
+                if not (w.endswith("ए", 0, pos) or w.endswith("े", 0, pos)):
+                    w = w[:pos]
+            else:
+                w = w[:pos]
+            break
+    while True:
+        # conditional category 2: trailing nasal/matra after specific stems
+        if w.endswith(("ँ", "ं")):
+            if w[:-1].endswith(("यौ", "छौ", "नौ", "थे")):
+                w = w[:-1]
+        elif w.endswith("ै"):
+            if w[:-1].endswith("त्र"):
+                w = w[:-1]
+        # category 3: verb suffixes — repeat while one strips
+        for suf in _NP_CAT3_SUFS:
+            if w.endswith(suf):
+                w = w[:len(w) - len(suf)]
+                break
+        else:
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Armenian (Snowball armenian: all matching confined to RV = after the
+# first vowel; case endings additionally require R2; then verb, adjective,
+# and noun suffix tables apply in sequence)
+# ---------------------------------------------------------------------------
+
+_AM_VOWELS = "աեէըիուօ"
+_AM_ENDING = sorted((
+    'սա', 'վա', 'ամբ', 'դ', 'անդ', 'ությանդ', 'վանդ', 'ոջդ', 'երդ', 'ներդ',
+    'ուդ', 'ը', 'անը', 'ությանը', 'վանը', 'ոջը', 'երը', 'ները', 'ի', 'վի',
+    'երի', 'ների', 'անում', 'երում', 'ներում', 'ն', 'ան', 'ության', 'վան',
+    'ին', 'երին', 'ներին', 'ությանն', 'երն', 'ներն', 'ուն', 'ոջ',
+    'ությանս', 'վանս', 'ոջս', 'ով', 'անով', 'վով', 'երով', 'ներով', 'եր',
+    'ներ', 'ց', 'ից', 'վանից', 'ոջից', 'վից', 'երից', 'ներից', 'ցից', 'ոց',
+    'ուց',
+), key=len, reverse=True)
+_AM_VERB = sorted((
+    'ա', 'ացա', 'եցա', 'վե', 'ացրի', 'ացի', 'եցի', 'վեցի', 'ալ', 'ըալ',
+    'անալ', 'ենալ', 'ացնալ', 'ել', 'ըել', 'նել', 'ցնել', 'եցնել', 'չել',
+    'վել', 'ացվել', 'եցվել', 'տել', 'ատել', 'ոտել', 'կոտել', 'ված', 'ում',
+    'վում', 'ան', 'ցան', 'ացան', 'ացրին', 'ացին', 'եցին', 'վեցին', 'ալիս',
+    'ելիս', 'ավ', 'ացավ', 'եցավ', 'ալով', 'ելով', 'ար', 'ացար', 'եցար',
+    'ացրիր', 'ացիր', 'եցիր', 'վեցիր', 'աց', 'եց', 'ացրեց', 'ալուց',
+    'ելուց', 'ալու', 'ելու', 'աք', 'ցաք', 'ացաք', 'ացրիք', 'ացիք', 'եցիք',
+    'վեցիք', 'անք', 'ցանք', 'ացանք', 'ացրինք', 'ացինք', 'եցինք', 'վեցինք',
+), key=len, reverse=True)
+_AM_ADJ = sorted((
+    'րորդ', 'երորդ', 'ալի', 'ակի', 'որակ', 'եղ', 'ական', 'արան', 'են',
+    'եկեն', 'երեն', 'որէն', 'ին', 'գին', 'ովին', 'լայն', 'վուն', 'պես',
+    'իվ', 'ատ', 'ավետ', 'կոտ', 'բար',
+), key=len, reverse=True)
+_AM_NOUN = sorted((
+    'որդ', 'ույթ', 'ուհի', 'ցի', 'իլ', 'ակ', 'յակ', 'անակ', 'իկ', 'ուկ',
+    'ան', 'պան', 'ստան', 'արան', 'եղէն', 'յուն', 'ություն', 'ածո', 'իչ',
+    'ուս', 'ուստ', 'գար', 'վոր', 'ավոր', 'ոց', 'անօց', 'ու', 'ք', 'չեք',
+    'իք', 'ալիք', 'անիք', 'վածք', 'ույք', 'ենք', 'ոնք', 'ունք', 'մունք',
+    'իչք', 'արք',
+), key=len, reverse=True)
+
+
+def _am_gopast(w: str, j: int, want_vowel: bool):
+    """Snowball gopast: advance until ONE char matching the class is
+    passed; None when the scan runs off the end."""
+    n = len(w)
+    while j < n and (w[j] in _AM_VOWELS) != want_vowel:
+        j += 1
+    return j + 1 if j < n else None
+
+
+def armenian_stem(word: str) -> str:
+    w = word
+    n = len(w)
+    # pV: after first vowel; p2: standard R2 continued from pV
+    rv = p2 = n
+    j = _am_gopast(w, 0, True)
+    if j is not None:
+        rv = j
+        for want in (False, True, False):
+            j = _am_gopast(w, j, want)
+            if j is None:
+                break
+        else:
+            p2 = j
+    suf = _longest_in(w, _AM_ENDING, rv)
+    if suf and len(w) - len(suf) >= p2:
+        w = w[:len(w) - len(suf)]
+    for table in (_AM_VERB, _AM_ADJ, _AM_NOUN):
+        suf = _longest_in(w, table, rv)
+        if suf:
+            w = w[:len(w) - len(suf)]
+    return w
+
+
+SNOWBALL.update({
+    "in": hindi_stem, "hi": hindi_stem, "hindi": hindi_stem,
+    "np": nepali_stem, "ne": nepali_stem, "nepali": nepali_stem,
+    "am": armenian_stem, "hy": armenian_stem, "armenian": armenian_stem,
+})
