@@ -21,7 +21,8 @@ from __future__ import annotations
 
 import re
 
-from .snowball import SNOWBALL, _es_like_rv, _longest_in, _r1_r2
+from .snowball import (SNOWBALL, _es_like_rv, _longest_in, _r1_r2,
+                       _r_std)
 
 # ---------------------------------------------------------------------------
 # Sanskrit (reference: light suffix stripper, sk.js)
@@ -954,3 +955,171 @@ SNOWBALL.update({
     "np": nepali_stem, "ne": nepali_stem, "nepali": nepali_stem,
     "am": armenian_stem, "hy": armenian_stem, "armenian": armenian_stem,
 })
+
+
+# ---------------------------------------------------------------------------
+# Irish (Snowball irish: initial-mutation prefix cleanup, then noun /
+# derivational / verb suffix tables gated on pV / R1 / R2)
+# ---------------------------------------------------------------------------
+
+_IE_VOWELS = "aeiouáéíóú"
+
+# prefix -> replacement ('' = delete); longest match at word start
+_IE_PREFIXES = {"b'": "", "d'": "", "h-": "", "m'": "", "n-": "", "t-": "",
+                "bhf": "f", "d'fh": "f", "fh": "f", "sh": "s", "ts": "s",
+                "bh": "b", "mb": "b", "ch": "c", "gc": "c", "dh": "d",
+                "nd": "d", "gh": "g", "ng": "g", "bp": "p", "ph": "p",
+                "dt": "t", "th": "t", "mh": "m"}
+_IE_PREFIX_SUFS = sorted(_IE_PREFIXES, key=len, reverse=True)
+
+_IE_NOUN_R1 = ("íochta", "aíochta", "abh", "eabh", "ibh", "aibh", "amh",
+               "eamh", "imh", "aimh", "íocht", "aíocht")
+_IE_NOUN_R2 = ("ire", "aire", "irí", "airí")
+_IE_NOUN = sorted(_IE_NOUN_R1 + _IE_NOUN_R2, key=len, reverse=True)
+
+_IE_DERIV_R2 = ("achta", "eachta", "ach", "each", "acht", "eacht",
+                "achtúil", "eachtúil")
+_IE_DERIV_REP = {}
+for _sufs, _rep in ((("arcachta", "arcacht", "arcachtaí"), "arc"),
+                    (("gineach", "gineas", "ginis"), "gin"),
+                    (("grafaíochta", "grafaíoch", "grafaíocht",
+                      "grafaíochtaí"), "graf"),
+                    (("patacha", "paite", "patach", "pataigh"), "paite"),
+                    (("óideacha", "óideach", "óidigh"), "óid")):
+    for _s in _sufs:
+        _IE_DERIV_REP[_s] = _rep
+_IE_DERIV = sorted(_IE_DERIV_R2 + tuple(_IE_DERIV_REP), key=len,
+                   reverse=True)
+
+_IE_VERB_PV = ("imid", "aimid", "ímid", "aímid", "faidh", "fidh")
+_IE_VERB_R1 = ("adh", "eadh", "áil", "ain", "tear", "tar")
+_IE_VERB = sorted(_IE_VERB_PV + _IE_VERB_R1, key=len, reverse=True)
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    for pre in _IE_PREFIX_SUFS:
+        if w.startswith(pre):
+            w = _IE_PREFIXES[pre] + w[len(pre):]
+            break
+    # pV = after first vowel; R1/R2 standard
+    n = len(w)
+    pv = r1 = r2 = n
+    i = 0
+    while i < n and w[i] not in _IE_VOWELS:
+        i += 1
+    if i < n:
+        pv = i + 1
+        r1 = _r_std(w, _IE_VOWELS)
+        r2 = _r_std(w, _IE_VOWELS, r1)
+    # noun suffixes
+    for suf in _IE_NOUN:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            bound = r1 if suf in _IE_NOUN_R1 else r2
+            if pos >= bound:
+                w = w[:pos]
+            break
+    # derivational suffixes
+    for suf in _IE_DERIV:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            if suf in _IE_DERIV_REP:
+                w = w[:pos] + _IE_DERIV_REP[suf]
+            elif pos >= r2:
+                w = w[:pos]
+            break
+    # verb suffixes
+    for suf in _IE_VERB:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            bound = pv if suf in _IE_VERB_PV else r1
+            if pos >= bound:
+                w = w[:pos]
+            break
+    return w
+
+
+SNOWBALL.update({"ie": irish_stem, "ga": irish_stem, "irish": irish_stem})
+
+
+# ---------------------------------------------------------------------------
+# Lithuanian (Snowball lithuanian: R1 skips a leading 'a' on 7+-letter
+# words; conflict-fixup replacements, one noun/verb ending, repeated
+# derivational endings, č/dž and gd fixups)
+# ---------------------------------------------------------------------------
+
+_LT_VOWELS = "aeiouyąėęįūų"
+
+_LT_CONFLICT = {'ojime': 'ojimas', 'ėjime': 'ėjimas', 'avime': 'avimas', 'okate': 'okatė', 'aite': 'aitė', 'uote': 'uotė', 'asius': 'asys', 'okatės': 'okatė', 'aitės': 'aitė', 'uotės': 'uotė', 'esiu': 'esys'}
+_LT_CONFLICT_SUFS = sorted(_LT_CONFLICT, key=len, reverse=True)
+
+_LT_STEP1 = (
+    'tumeisi', 'tumėmės', 'tumėtės', 'enimis', 'iuosna', 'siuosi',
+    'telėti', 'terėti', 'tumeis', 'tumėme', 'tumėte', 'čiausi', 'enims',
+    'eniui', 'enyje', 'enyse', 'eriai', 'erimi', 'erims', 'eryje', 'eryse',
+    'iamės', 'iatės', 'iauti', 'inėti', 'iomis', 'iosna', 'iuose', 'iuosi',
+    'iuoti', 'kimės', 'siesi', 'simės', 'sitės', 'tumei', 'tumėm', 'tumėt',
+    'uosna', 'ėjosi', 'aisi', 'amės', 'asis', 'atės', 'ausi', 'auti',
+    'eisi', 'enie', 'enio', 'enis', 'eniu', 'enti', 'enys', 'eria', 'erie',
+    'erys', 'iais', 'iame', 'iams', 'iasi', 'iate', 'iaus', 'iems', 'iesi',
+    'imis', 'imės', 'inti', 'ioje', 'ioms', 'iose', 'ioti', 'iuje', 'iumi',
+    'iuos', 'kite', 'omis', 'omės', 'osna', 'otės', 'sime', 'site', 'tute',
+    'tųsi', 'uisi', 'umis', 'uose', 'uosi', 'uoti', 'ysis', 'ysna', 'čiau',
+    'ėmis', 'ėmės', 'ėsna', 'ėtės', 'ais', 'ame', 'ams', 'asi', 'ate',
+    'aus', 'ens', 'enį', 'ers', 'erį', 'erų', 'esi', 'iai', 'iam', 'ias',
+    'iat', 'iau', 'iem', 'ies', 'imi', 'ims', 'ion', 'ios', 'isi', 'ite',
+    'iui', 'iun', 'ius', 'iąs', 'oje', 'ome', 'oms', 'ose', 'osi', 'ote',
+    'oti', 'sim', 'sit', 'siu', 'tum', 'tųs', 'uje', 'umi', 'ums', 'uos',
+    'usi', 'yje', 'yse', 'yti', 'ąsi', 'ėje', 'ėjo', 'ėme', 'ėms', 'ėse',
+    'ėsi', 'ėte', 'ėti', 'ųsi', 'ai', 'am', 'an', 'as', 'at', 'au', 'ei',
+    'es', 'ia', 'ie', 'im', 'io', 'is', 'it', 'iu', 'ią', 'ių', 'ki', 'oj',
+    'om', 'on', 'os', 'ot', 'si', 'ti', 'ui', 'un', 'uo', 'us', 'ys', 'ąs',
+    'ėj', 'ėm', 'ėn', 'ės', 'ėt', 'įs', 'ūs', 'a', 'e', 'i', 'k', 'o', 's',
+    'u', 'y', 'ą', 'ė', 'ę', 'į', 'ų',
+)
+
+_LT_STEP2 = (
+    'utėait', 'siant', 'uliuk', 'učiuk', 'iais', 'iant', 'iaus', 'iuoj',
+    'iuos', 'iuot', 'ykšt', 'ykšč', 'zgan', 'ain', 'ais', 'ant', 'auj',
+    'aus', 'dam', 'dav', 'esn', 'iaj', 'ias', 'iau', 'iej', 'ies', 'ing',
+    'int', 'ioj', 'iok', 'iop', 'ios', 'iuk', 'iul', 'iąj', 'iąs', 'išk',
+    'iųj', 'jam', 'uoj', 'uos', 'uot', 'ėję', 'aj', 'am', 'oj', 'ok', 'op',
+    'os', 'ot', 'sv', 'yl', 'yt', 'ąj', 'ąs', 'ėj', 'ėl', 'ėt', 'ęs', 'šv',
+    'ųj', 'ę',
+)
+
+
+def _lt_fix_chdz(w: str) -> str:
+    if w.endswith("dž"):
+        return w[:-2] + "d"
+    if w.endswith("č"):
+        return w[:-1] + "t"
+    return w
+
+
+def lithuanian_stem(word: str) -> str:
+    w = word
+    start = 1 if w.startswith("a") and len(w) > 6 else 0
+    r1 = _r_std(w, _LT_VOWELS, start)
+
+    for suf in _LT_CONFLICT_SUFS:       # fix_conflicts (unrestricted)
+        if w.endswith(suf):
+            w = w[:len(w) - len(suf)] + _LT_CONFLICT[suf]
+            break
+    suf = _longest_in(w, _LT_STEP1, r1)
+    if suf:
+        w = w[:len(w) - len(suf)]
+    w = _lt_fix_chdz(w)
+    while True:
+        suf = _longest_in(w, _LT_STEP2, r1)
+        if not suf:
+            break
+        w = w[:len(w) - len(suf)]
+    w = _lt_fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w
+
+
+SNOWBALL.update({"lt": lithuanian_stem, "lithuanian": lithuanian_stem})
