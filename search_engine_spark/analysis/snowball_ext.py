@@ -1123,3 +1123,561 @@ def lithuanian_stem(word: str) -> str:
 
 
 SNOWBALL.update({"lt": lithuanian_stem, "lithuanian": lithuanian_stem})
+
+
+# ---------------------------------------------------------------------------
+# Turkish (Snowball turkish — Çilden's algorithm: vowel-harmony-checked
+# suffix chains over a backward cursor. _TrC models the cursor as a
+# distance-from-end so restores stay coherent across mid-chain deletions.)
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = "aeıioöuü"
+_TR_U = "ıiuü"
+_TR_HARMONY = {"a": "aıou", "e": "eiöü", "ı": "aı", "i": "ei",
+               "o": "ou", "ö": "öü", "u": "ou", "ü": "öü"}
+
+
+def _tr_tab(*items):
+    return tuple(sorted(items, key=len, reverse=True))
+
+
+_TR_POSS = _tr_tab("m", "n", "miz", "niz", "muz", "nuz", "müz", "nüz",
+                   "mız", "nız")
+_TR_LARI = _tr_tab("leri", "ları")
+_TR_NU = _tr_tab("ni", "nu", "nü", "nı")
+_TR_NUN = _tr_tab("in", "un", "ün", "ın")
+_TR_YA = _tr_tab("a", "e")
+_TR_NA = _tr_tab("na", "ne")
+_TR_DA = _tr_tab("da", "ta", "de", "te")
+_TR_NDA = _tr_tab("nda", "nde")
+_TR_DAN = _tr_tab("dan", "tan", "den", "ten")
+_TR_NDAN = _tr_tab("ndan", "nden")
+_TR_YLA = _tr_tab("la", "le")
+_TR_NCA = _tr_tab("ca", "ce")
+_TR_YUM = _tr_tab("im", "um", "üm", "ım")
+_TR_SUN = _tr_tab("sin", "sun", "sün", "sın")
+_TR_YUZ = _tr_tab("iz", "uz", "üz", "ız")
+_TR_SUNUZ = _tr_tab("siniz", "sunuz", "sünüz", "sınız")
+_TR_LAR = _tr_tab("lar", "ler")
+_TR_NUZ = _tr_tab("niz", "nuz", "nüz", "nız")
+_TR_DUR = _tr_tab("dir", "tir", "dur", "tur", "dür", "tür", "dır", "tır")
+_TR_CASINA = _tr_tab("casına", "cesine")
+_TR_YDU = _tr_tab("di", "ti", "dik", "tik", "duk", "tuk", "dük", "tük",
+                  "dık", "tık", "dim", "tim", "dum", "tum", "düm", "tüm",
+                  "dım", "tım", "din", "tin", "dun", "tun", "dün", "tün",
+                  "dın", "tın", "du", "tu", "dü", "tü", "dı", "tı")
+_TR_YSA = _tr_tab("sa", "se", "sak", "sek", "sam", "sem", "san", "sen")
+_TR_YMUS = _tr_tab("miş", "muş", "müş", "mış")
+
+
+class _TrC:
+    """Backward cursor; ``dfe`` = distance from end, ``bend`` = bracket."""
+    __slots__ = ("w", "dfe", "bend", "flag")
+
+    def __init__(self, w):
+        self.w = w
+        self.dfe = 0
+        self.bend = 0
+        self.flag = True
+
+    def pos(self):
+        return len(self.w) - self.dfe
+
+    def mark(self):
+        self.bend = self.dfe
+
+    def delete(self):
+        p = self.pos()
+        self.w = self.w[:p] + self.w[len(self.w) - self.bend:]
+        self.dfe = self.bend
+
+    def eq(self, s):
+        p = self.pos()
+        if p >= len(s) and self.w[p - len(s):p] == s:
+            self.dfe += len(s)
+            return True
+        return False
+
+    def among(self, table):
+        p = self.pos()
+        for s in table:
+            if p >= len(s) and self.w[p - len(s):p] == s:
+                self.dfe += len(s)
+                return True
+        return False
+
+
+def _tr_harmony(t):
+    """check_vowel_harmony: last vowel must have an earlier harmony mate."""
+    w, p = t.w, t.pos()
+    i = p
+    while i > 0 and w[i - 1] not in _TR_VOWELS:
+        i -= 1
+    if i == 0:
+        return False
+    req = _TR_HARMONY[w[i - 1]]
+    j = i - 1
+    while j > 0 and w[j - 1] not in req:
+        j -= 1
+    return j > 0
+
+
+def _tr_opt_letter(t, ch):
+    """mark_suffix_with_optional_{n,s,y}_consonant."""
+    w, p = t.w, t.pos()
+    if p >= 1 and w[p - 1] == ch:
+        if p >= 2 and w[p - 2] in _TR_VOWELS:
+            t.dfe += 1
+            return True
+        return False
+    return p >= 2 and w[p - 2] in _TR_VOWELS
+
+
+def _tr_opt_u(t):
+    """mark_suffix_with_optional_U_vowel."""
+    w, p = t.w, t.pos()
+    if p >= 1 and w[p - 1] in _TR_U:
+        if p >= 2 and w[p - 2] not in _TR_VOWELS:
+            t.dfe += 1
+            return True
+        return False
+    return p >= 2 and w[p - 2] not in _TR_VOWELS
+
+
+def _mk_poss(t):
+    return t.among(_TR_POSS) and _tr_opt_u(t)
+
+
+def _mk_su(t):
+    if not _tr_harmony(t):
+        return False
+    p = t.pos()
+    if p >= 1 and t.w[p - 1] in _TR_U:
+        t.dfe += 1
+        return _tr_opt_letter(t, "s")
+    return False
+
+
+def _mk_lari(t):
+    return t.among(_TR_LARI)
+
+
+def _mk_yum(t):
+    return _tr_harmony(t) and t.among(_TR_YUM) and _tr_opt_letter(t, "y")
+
+
+def _mk_sun(t):
+    return _tr_harmony(t) and t.among(_TR_SUN)
+
+
+def _mk_yuz(t):
+    return _tr_harmony(t) and t.among(_TR_YUZ) and _tr_opt_letter(t, "y")
+
+
+def _mk_lar(t):
+    return _tr_harmony(t) and t.among(_TR_LAR)
+
+
+def _mk_ydu(t):
+    return _tr_harmony(t) and t.among(_TR_YDU) and _tr_opt_letter(t, "y")
+
+
+def _mk_ysa(t):
+    return t.among(_TR_YSA) and _tr_opt_letter(t, "y")
+
+
+def _mk_ymus(t):
+    return _tr_harmony(t) and t.among(_TR_YMUS) and _tr_opt_letter(t, "y")
+
+
+def _mk_yken(t):
+    return t.eq("ken") and _tr_opt_letter(t, "y")
+
+
+def _mk_da(t):
+    return _tr_harmony(t) and t.among(_TR_DA)
+
+
+def _mk_nda(t):
+    return _tr_harmony(t) and t.among(_TR_NDA)
+
+
+def _mk_dan(t):
+    return _tr_harmony(t) and t.among(_TR_DAN)
+
+
+def _mk_ndan(t):
+    return _tr_harmony(t) and t.among(_TR_NDAN)
+
+
+def _mk_na(t):
+    return _tr_harmony(t) and t.among(_TR_NA)
+
+
+def _mk_nu(t):
+    return _tr_harmony(t) and t.among(_TR_NU)
+
+
+def _mk_nun(t):
+    return _tr_harmony(t) and t.among(_TR_NUN) and _tr_opt_letter(t, "n")
+
+
+def _mk_ya(t):
+    return _tr_harmony(t) and t.among(_TR_YA) and _tr_opt_letter(t, "y")
+
+
+def _mk_yla(t):
+    return _tr_harmony(t) and t.among(_TR_YLA) and _tr_opt_letter(t, "y")
+
+
+def _mk_nca(t):
+    return _tr_harmony(t) and t.among(_TR_NCA) and _tr_opt_letter(t, "n")
+
+
+def _mk_casina(t):
+    return t.among(_TR_CASINA)
+
+
+def _mk_sunuz(t):
+    return t.among(_TR_SUNUZ)
+
+
+def _mk_dur(t):
+    return _tr_harmony(t) and t.among(_TR_DUR)
+
+
+def _mk_nuz(t):
+    return _tr_harmony(t) and t.among(_TR_NUZ)
+
+
+def _mk_yu(t):
+    if not _tr_harmony(t):
+        return False
+    p = t.pos()
+    if p >= 1 and t.w[p - 1] in _TR_U:
+        t.dfe += 1
+        return _tr_opt_letter(t, "y")
+    return False
+
+
+def _tr_alt(t, *fns):
+    save = t.dfe
+    for fn in fns:
+        t.dfe = save
+        if fn(t):
+            return True
+    t.dfe = save
+    return False
+
+
+def _tr_poss_or_su(t):
+    save = t.dfe
+    if _mk_poss(t):
+        return True
+    t.dfe = save
+    return _mk_su(t)
+
+
+def _tr_opt_lar_ki(t):
+    """try([mark_lAr] delete stem_suffix_chain_before_ki-else-restore)."""
+    a = t.dfe
+    t.mark()
+    if _mk_lar(t):
+        t.delete()
+        if not _tr_ki(t):
+            t.dfe = a
+    else:
+        t.dfe = a
+
+
+def _tr_nominal(t):
+    """stem_nominal_verb_suffixes (w() in the compiled reference)."""
+    t.mark()
+    t.flag = True
+    a0 = t.dfe
+    while True:
+        if _tr_alt(t, _mk_ymus, _mk_ydu, _mk_ysa, _mk_yken):
+            break
+        t.dfe = a0
+        if _mk_casina(t):
+            _tr_alt(t, _mk_sunuz, _mk_lar, _mk_yum, _mk_sun, _mk_yuz)
+            if _mk_ymus(t):
+                break
+        t.dfe = a0
+        if _mk_lar(t):
+            t.delete()
+            a1 = t.dfe
+            t.mark()
+            if not _tr_alt(t, _mk_dur, _mk_ydu, _mk_ysa, _mk_ymus):
+                t.dfe = a1
+            t.flag = False
+            break
+        t.dfe = a0
+        if _mk_nuz(t):
+            if _tr_alt(t, _mk_ydu, _mk_ysa):
+                break
+        t.dfe = a0
+        if _tr_alt(t, _mk_sunuz, _mk_yuz, _mk_sun, _mk_yum):
+            t.delete()
+            a1 = t.dfe
+            t.mark()
+            if not _mk_ymus(t):
+                t.dfe = a1
+            break
+        t.dfe = a0
+        if not _mk_dur(t):
+            return                     # nothing matched: no delete at all
+        t.delete()
+        a1 = t.dfe
+        t.mark()
+        _tr_alt(t, _mk_sunuz, _mk_lar, _mk_yum, _mk_sun, _mk_yuz)
+        if not _mk_ymus(t):
+            t.dfe = a1
+        break
+    t.delete()
+
+
+def _tr_ki(t):
+    """stem_suffix_chain_before_ki (u() in the compiled reference)."""
+    t.mark()
+    if not t.eq("ki"):
+        return False
+    a0 = t.dfe
+    if _mk_da(t):
+        t.delete()
+        a = t.dfe
+        t.mark()
+        b0 = t.dfe
+        if _mk_lar(t):
+            t.delete()
+            a = t.dfe
+            if not _tr_ki(t):
+                t.dfe = a
+            return True
+        t.dfe = b0
+        if _mk_poss(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+        else:
+            t.dfe = b0
+        return True
+    t.dfe = a0
+    if _mk_nun(t):
+        t.delete()
+        a = t.dfe
+        t.mark()
+        b0 = t.dfe
+        if _mk_lari(t):
+            t.delete()
+            return True
+        t.dfe = b0
+        t.mark()
+        if _tr_poss_or_su(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return True
+        t.dfe = b0
+        if not _tr_ki(t):
+            t.dfe = a
+        return True
+    t.dfe = a0
+    if not _mk_nda(t):
+        return False
+    b0 = t.dfe
+    if _mk_lari(t):
+        t.delete()
+        return True
+    t.dfe = b0
+    if _mk_su(t):
+        t.delete()
+        _tr_opt_lar_ki(t)
+        return True
+    t.dfe = b0
+    return _tr_ki(t)
+
+
+def _tr_noun(t):  # noqa: C901 — mirrors the reference's branch structure
+    """stem_noun_suffixes (y() in the compiled reference)."""
+    a0 = t.dfe
+    t.mark()
+    if _mk_lar(t):                              # 1: lAr
+        t.delete()
+        a = t.dfe
+        if not _tr_ki(t):
+            t.dfe = a
+        return
+    t.dfe = a0
+    t.mark()
+    if _mk_nca(t):                              # 2: ncA
+        t.delete()
+        a = t.dfe
+        b0 = t.dfe
+        t.mark()
+        if _mk_lari(t):
+            t.delete()
+            return
+        t.dfe = b0
+        t.mark()
+        if _tr_poss_or_su(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return
+        t.dfe = b0
+        t.mark()
+        if _mk_lar(t):
+            t.delete()
+            if not _tr_ki(t):
+                t.dfe = a
+        else:
+            t.dfe = a
+        return
+    t.dfe = a0
+    t.mark()
+    if _tr_alt(t, _mk_nda, _mk_na):             # 3: ndA | nA
+        b0 = t.dfe
+        if _mk_lari(t):
+            t.delete()
+            return
+        t.dfe = b0
+        if _mk_su(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return
+        t.dfe = b0
+        if _tr_ki(t):
+            return
+    t.dfe = a0
+    t.mark()
+    if _tr_alt(t, _mk_ndan, _mk_nu):            # 4: ndAn | nU
+        b0 = t.dfe
+        if _mk_su(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return
+        t.dfe = b0
+        if _mk_lari(t):                         # matched but NOT deleted
+            return                              # (reference quirk)
+    t.dfe = a0
+    t.mark()
+    if _mk_dan(t):                              # 5: DAn
+        t.delete()
+        a = t.dfe
+        t.mark()
+        b0 = t.dfe
+        if _mk_poss(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return
+        t.dfe = b0
+        if _mk_lar(t):
+            t.delete()
+            a = t.dfe
+            if not _tr_ki(t):
+                t.dfe = a
+            return
+        t.dfe = b0
+        if not _tr_ki(t):
+            t.dfe = a
+        return
+    t.dfe = a0
+    t.mark()
+    if _tr_alt(t, _mk_nun, _mk_yla):            # 6: nUn | ylA
+        t.delete()
+        a = t.dfe
+        b0 = t.dfe
+        t.mark()
+        if _mk_lar(t):
+            t.delete()
+            if _tr_ki(t):
+                return
+        t.dfe = b0                              # lAr deletion (if any) stays
+        t.mark()
+        if _tr_poss_or_su(t):
+            t.delete()
+            _tr_opt_lar_ki(t)
+            return
+        t.dfe = b0
+        if not _tr_ki(t):
+            t.dfe = a
+        return
+    t.dfe = a0
+    t.mark()
+    if _mk_lari(t):                             # 7: lArI
+        t.delete()
+        return
+    t.dfe = a0
+    if _tr_ki(t):                               # 8: bare ki chain
+        return
+    t.dfe = a0
+    t.mark()
+    if _tr_alt(t, _mk_da, _mk_yu, _mk_ya):      # 9: DA | yU | yA
+        t.delete()
+        a = t.dfe
+        t.mark()
+        b1 = t.dfe
+        if _mk_poss(t):
+            t.delete()
+            b2 = t.dfe
+            t.mark()
+            if not _mk_lar(t):
+                t.dfe = b2
+        else:
+            t.dfe = b1
+            if not _mk_lar(t):
+                t.dfe = a
+                return
+        t.delete()
+        t.mark()
+        if not _tr_ki(t):
+            t.dfe = a
+        return
+    t.dfe = a0
+    t.mark()
+    if not _tr_poss_or_su(t):                   # 10: possessives | sU
+        return
+    t.delete()
+    _tr_opt_lar_ki(t)
+
+
+def turkish_stem(word: str) -> str:
+    w = word
+    if sum(1 for ch in w if ch in _TR_VOWELS) < 2:
+        return w                    # more_than_one_syllable fails
+    t = _TrC(w)
+    t.dfe = 0
+    _tr_nominal(t)
+    t.dfe = 0
+    if not t.flag:
+        return t.w                  # lAr verb branch: skip nouns + postlude
+    _tr_noun(t)
+    w = t.w
+    if w in ("ad", "soyad"):        # is_reserved_word: skip postlude
+        return w
+    # append_U_to_stems_ending_with_d_or_g
+    if w.endswith(("d", "g")):
+        i = len(w)
+        while i > 0 and w[i - 1] not in _TR_VOWELS:
+            i -= 1
+        if i > 0:
+            v = w[i - 1]
+            if v in "aı":
+                w += "ı"
+            elif v in "ei":
+                w += "i"
+            elif v in "ou":
+                w += "u"
+            else:
+                w += "ü"
+    # post_process_last_consonants
+    if w.endswith("b"):
+        w = w[:-1] + "p"
+    elif w.endswith("c"):
+        w = w[:-1] + "ç"
+    elif w.endswith("d"):
+        w = w[:-1] + "t"
+    elif w.endswith("ğ"):
+        w = w[:-1] + "k"
+    return w
+
+
+SNOWBALL.update({"tr": turkish_stem, "turkish": turkish_stem})
