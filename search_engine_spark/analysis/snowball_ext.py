@@ -3068,3 +3068,1219 @@ def arabic_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's flow
 
 
 SNOWBALL.update({"ar": arabic_stem, "arabic": arabic_stem})
+
+
+# ---------------------------------------------------------------------------
+# Tamil (Snowball tamil — Damodharan's algorithm: va-start and ending
+# fixups, question/pronoun prefixes, plural/question/command/um/common/
+# vetrumai/tense suffix chains with lookbehind guards)
+# ---------------------------------------------------------------------------
+
+_TA_VIRAMA = "்"
+_TA_A0 = "கஙசஞதநபமயவ"          # grantha-initial consonants
+_TA_IY = "ிீை"
+_TA_HARD = "கசடதபற"
+_TA_A6 = "யரலளழவ"
+_TA_A7 = "ஙஞணநனம"
+_TA_SIGNS = "ாிீுூெேை"          # dependent vowel signs
+_TA_INDEP = "அஆஇஈஉஊஎஏஐஒஓஔ"    # independent vowels
+_TA_PRON = "அஇஉ"
+
+
+def _ta_fix_va_start(w: str) -> str:
+    for pre, rep in (("வோ", "ஓ"), ("வொ", "ஒ"), ("வு", "உ"), ("வூ", "ஊ")):
+        if w.startswith(pre):
+            return rep + w[2:]
+    return w
+
+
+def _ta_fix_ending(w: str, found_vetrumai: bool):
+    """One fix_ending pass; returns (new_w, matched)."""
+    if len(w) <= 3:
+        return w, False
+    for suf in ("ந்த்", "ந்த", "ந்"):
+        if w.endswith(suf):
+            return w[:len(w) - len(suf)], True
+    if w.endswith("ய்") and len(w) >= 3 and w[-3] in _TA_IY:
+        return w[:-2], True
+    for suf in ("ட்ப்", "ட்க்"):
+        if w.endswith(suf):
+            return w[:len(w) - len(suf)] + "ள்", True
+    if w.endswith("ன்ற்"):
+        return w[:-4] + "ல்", True
+    if w.endswith("ற்க்"):
+        return w[:-4] + "ல்", True
+    if w.endswith("ட்ட்"):
+        return w[:-4] + "டு", True
+    if found_vetrumai and w.endswith("த்த்") \
+            and w[-5:-4] != "ை":
+        return w[:-4] + "ம்", True
+    for suf in ("ுக்க்", "ுக்"):
+        if w.endswith(suf):
+            return w[:len(w) - len(suf)] + _TA_VIRAMA, True
+    if len(w) >= 4 and w[-1] == _TA_VIRAMA and w[-2] in _TA_HARD \
+            and w[-3] == _TA_VIRAMA and w[-4] in _TA_HARD:
+        return w[:-4], True
+    if len(w) >= 2 and w[-1] == _TA_VIRAMA and w[-2] in _TA_HARD:
+        return w[:-2], True
+    if len(w) >= 3 and w[-1] == _TA_VIRAMA \
+            and (w[-2] in _TA_A6 or w[-2] in _TA_A7) \
+            and w[-3] == _TA_VIRAMA:
+        return w[:-3] + _TA_VIRAMA, True
+    for suf in ("வ்", "ய", "வ"):
+        if w.endswith(suf):
+            return w[:len(w) - len(suf)], True
+    if w.endswith("னு") and w[-3:-2] not in tuple(_TA_SIGNS):
+        return w[:-2], True
+    if w.endswith("ங்") and w[-3:-2] != "ை":
+        return w[:-2] + "ம்", True
+    if w.endswith("ங்"):
+        return w[:-2], True
+    if w and w[-1] == _TA_VIRAMA and len(w) >= 2 \
+            and (w[-2] in _TA_SIGNS or w[-2] == _TA_VIRAMA):
+        return w[:-1], True
+    return w, False
+
+
+def _ta_fix_endings(w: str, found_vetrumai: bool) -> str:
+    while True:
+        w, ok = _ta_fix_ending(w, found_vetrumai)
+        if not ok:
+            return w
+
+
+def tamil_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's steps
+    w = word
+    found_vetrumai = False
+    w, _ = _ta_fix_ending(w, found_vetrumai)
+    if len(w) <= 4:
+        return w
+
+    # remove_question_prefixes
+    if len(w) >= 3 and w[0] == "எ" and w[1] in _TA_A0 \
+            and w[2] == _TA_VIRAMA:
+        w = _ta_fix_va_start(w[3:])
+
+    # remove_pronoun_prefixes
+    if len(w) >= 3 and w[0] in _TA_PRON and w[1] in _TA_A0 \
+            and w[2] == _TA_VIRAMA:
+        w = _ta_fix_va_start(w[3:])
+
+    # remove_question_suffixes
+    if len(w) > 4:
+        if w[-1:] in ("ா", "ே", "ோ"):
+            w = w[:-1] + _TA_VIRAMA
+        w = _ta_fix_endings(w, found_vetrumai)
+
+    # remove_um
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + _TA_VIRAMA
+        w, _ = _ta_fix_ending(w, found_vetrumai)
+
+    # remove_common_word_endings
+    if len(w) > 4:
+        matched = False
+        for suf in ("ுடன்", "ில்லை", "ிடம்", "ின்றி", "ாகி", "ாகிய",
+                    "ென்று", "ுள்ள", "ுடைய", "ுடை", "ெனும்"):
+            if w.endswith(suf):
+                w = w[:len(w) - len(suf)] + _TA_VIRAMA
+                matched = True
+                break
+        if not matched and w.endswith("ல்ல") \
+                and w[-4:-3] not in tuple(_TA_SIGNS):
+            w = w[:-3] + _TA_VIRAMA
+            matched = True
+        if not matched:
+            for suf in ("ென", "ாகி"):
+                if w.endswith(suf):
+                    w = w[:len(w) - len(suf)] + _TA_VIRAMA
+                    matched = True
+                    break
+        if not matched:
+            for suf in sorted(("பட்ட", "பட்டண", "தான", "படிதான",
+                               "குரிய", "படி", "பற்றி", "படு", "விடு",
+                               "பட்டு", "விட்டு", "பட்டது", "ெல்லாம்"),
+                              key=len, reverse=True):
+                if w.endswith(suf):
+                    w = w[:len(w) - len(suf)]
+                    break
+        w = _ta_fix_endings(w, found_vetrumai)
+
+    # remove_vetrumai_urupukal
+    if len(w) > 4:
+        matched = False
+        if w.endswith("னை"):
+            w = w[:-2]
+            matched = True
+        if not matched:
+            if w.endswith("ினை") and w[-4:-3] not in tuple(_TA_HARD):
+                w = w[:-3] + _TA_VIRAMA
+                matched = True
+            elif w.endswith("ை") and not w.endswith("ினை") \
+                    and w[-2:-1] not in tuple(_TA_HARD):
+                w = w[:-1] + _TA_VIRAMA
+                matched = True
+            elif w.endswith("ை") and len(w) >= 3 \
+                    and w[-2] in _TA_HARD and w[-3] == _TA_VIRAMA:
+                w = w[:-1] + _TA_VIRAMA
+                matched = True
+        if not matched:
+            for suf in ("ொடு", "ோடு", "ில்", "ிற்", "ின்று", "ிருந்து",
+                        "வி" "ட", "ால்", "ுடை", "ாமல்", "ுள்"):
+                if w.endswith(suf):
+                    w = w[:len(w) - len(suf)] + _TA_VIRAMA
+                    matched = True
+                    break
+            if not matched and w.endswith("ின்") and w[-4:-3] != "ம":
+                w = w[:-3] + _TA_VIRAMA
+                matched = True
+            if not matched and len(w) >= 7 and w.endswith("ிடம்"):
+                w = w[:-4] + _TA_VIRAMA
+                matched = True
+            if not matched and w.endswith("ல்") \
+                    and w[-3:-2] not in tuple(_TA_SIGNS):
+                w = w[:-2] + _TA_VIRAMA
+                matched = True
+        if not matched:
+            for suf in ("கண்", "முன்", "மேல்", "மேற்", "கீழ்", "பின்"):
+                if w.endswith(suf):
+                    w = w[:len(w) - len(suf)]
+                    matched = True
+                    break
+            if not matched and w.endswith("து") \
+                    and w[-3:-2] not in tuple(_TA_SIGNS):
+                w = w[:-2]
+                matched = True
+        if not matched and w.endswith("ீ"):
+            w = w[:-1] + "ி"
+            matched = True
+        if matched:
+            found_vetrumai = True
+            if w.endswith("ின்"):
+                w = w[:-3] + _TA_VIRAMA
+            w = _ta_fix_endings(w, found_vetrumai)
+
+    # remove_plural_suffix
+    if len(w) > 4:
+        if w.endswith("ுங்கள்") and w[-7:-6] not in tuple(_TA_HARD):
+            w = w[:-6] + _TA_VIRAMA
+        elif w.endswith("ற்கள்"):
+            w = w[:-5] + "ல்"
+        elif w.endswith("ட்கள்"):
+            w = w[:-5] + "ள்"
+        elif w.endswith("கள்"):
+            w = w[:-3]
+
+    # remove_command_suffixes
+    if len(w) > 4 and w[-2:] in ("பி", "வி"):
+        w = w[:-2]
+
+    # remove_tense_suffixes
+    found = True
+    while found:
+        w, found, found_vetrumai = _ta_tense_suffix(w, found_vetrumai)
+    return w
+
+
+def _ta_tense_suffix(w: str, found_vetrumai: bool):
+    found = False
+    if len(w) <= 4:
+        return w, False, found_vetrumai
+    matched = False
+    for suf in ("கொண்டிர்", "படு"):
+        if w.endswith(suf):
+            w = w[:len(w) - len(suf)]
+            found = matched = True
+            break
+    if not matched:
+        for suf, guard in (
+                ("மார்", None), ("மின்", None), ("னன்", None),
+                ("னான்", None), ("னாள்", None), ("னார்", None),
+                ("வன்", "indep"), ("னள்", None), ("வள்", None),
+                ("னர்", None), ("வர்", None), ("ன", None), ("ப", None),
+                ("க", None), ("த", None), ("ய", None), ("பன்", None),
+                ("பள்", None), ("பர்", None), ("து", "signs"),
+                ("ிற்று", None), ("பம்", None), ("னம்", None),
+                ("தும்", None), ("றும்", None), ("கும்", None),
+                ("னென்", None), ("னை", None), ("வை", None)):
+            if w.endswith(suf):
+                pre = w[len(w) - len(suf) - 1:len(w) - len(suf)]
+                if guard == "indep" and pre in tuple(_TA_INDEP):
+                    continue
+                if guard == "signs" and pre in tuple(_TA_SIGNS):
+                    continue
+                w = w[:len(w) - len(suf)]
+                found = matched = True
+                break
+    if not matched:
+        for suf, guard in (
+                ("ான்", "notcha"), ("ாள்", None), ("ார்", None),
+                ("ேன்", None), ("ா", None), ("ாம்", None), ("ெம்", None),
+                ("ேம்", None), ("ோம்", None), ("கும்", None),
+                ("தும்", None), ("டும்", None), ("றும்", None),
+                ("ாய்", None), ("னென்", None), ("னிர்", None),
+                ("ீர்", None), ("ீயர்", None)):
+            if w.endswith(suf):
+                pre = w[len(w) - len(suf) - 1:len(w) - len(suf)]
+                if guard == "notcha" and pre == "ச":
+                    continue
+                w = w[:len(w) - len(suf)] + _TA_VIRAMA
+                found = matched = True
+                break
+    if not matched:
+        for suf in ("கு", "து"):
+            if w.endswith(suf) and w[-3:-2] == _TA_VIRAMA:
+                w = w[:-2]
+                found = True
+                break
+    for suf in ("ாநின்ற்", "கின்ற்", "ாநின்ற", "கின்ற", "கிற்", "கிற"):
+        if w.endswith(suf):
+            w = w[:len(w) - len(suf)]
+            found = True
+            break
+    w = _ta_fix_endings(w, found_vetrumai)
+    return w, found, found_vetrumai
+
+
+SNOWBALL.update({"ta": tamil_stem, "tamil": tamil_stem})
+
+
+# ---------------------------------------------------------------------------
+# Greek (Snowball greek — Smirnov's adaptation of the Ntais algorithm.
+# Implemented over a faithful backward-cursor state machine (_GrS) that
+# reproduces the reference runtime's bracket semantics exactly, including
+# stale-bracket slice failures that skip a step's exception block.)
+# ---------------------------------------------------------------------------
+
+_GR_LOWER = {'Ά': 'α', 'Έ': 'ε', 'Ή': 'η', 'Ί': 'ι', 'Ό': 'ο', 'Ύ': 'υ', 'Ώ': 'ω', 'ΐ': 'η', 'Α': 'α', 'Β': 'β', 'Γ': 'γ', 'Δ': 'δ', 'Ε': 'ε', 'Ζ': 'ζ', 'Η': 'η', 'Θ': 'θ', 'Ι': 'ι', 'Κ': 'κ', 'Λ': 'λ', 'Μ': 'μ', 'Ν': 'ν', 'Ξ': 'ξ', 'Ο': 'ο', 'Π': 'π', 'Ρ': 'ρ', 'Σ': 'σ', 'Τ': 'τ', 'Υ': 'υ', 'Φ': 'φ', 'Χ': 'χ', 'Ψ': 'ψ', 'Ω': 'ω', 'Ϊ': 'ι', 'Ϋ': 'υ', 'ά': 'α', 'έ': 'ε', 'ή': 'η', 'ί': 'ι', 'ΰ': 'υ', 'ς': 'σ', 'ϊ': 'η', 'ϋ': 'υ', 'ό': 'ο', 'ύ': 'υ', 'ώ': 'ω'}
+_GR_STEP1_REP = {1: "φα", 2: "σκα", 3: "ολο", 4: "σο", 5: "τατο",
+                 6: "κρε", 7: "περ", 8: "τερ", 9: "φω",
+                 10: "καθεστ", 11: "γεγον"}
+_GR_Z_REP = {1: "αγνωστ", 2: "ατομ", 3: "γνωστ", 4: "εθν",
+             5: "εκλεκτ", 6: "σκεπτ", 7: "τοπ", 8: "αλεξανδρ",
+             9: "βυζαντ", 10: "θεατρ"}
+_GR_VOWELS = "αεηιουω"
+_GR_T_n = (
+    ('καθεστωτοσ', 10), ('καθεστωτων', 10), ('γεγονοτοσ', 11),
+    ('γεγονοτων', 11), ('καθεστωτα', 10), ('γεγονοτα', 11),
+    ('καθεστωσ', 10), ('τατογιου', 5), ('τατογιων', 5), ('γεγονοσ', 11),
+    ('κρεατοσ', 6), ('κρεατων', 6), ('ολογιου', 3), ('ολογιων', 3),
+    ('περατοσ', 7), ('περατων', 7), ('σκαγιου', 2), ('σκαγιων', 2),
+    ('τατογια', 5), ('τερατοσ', 8), ('τερατων', 8), ('κρεατα', 6),
+    ('ολογια', 3), ('περατα', 7), ('περατη', 7), ('σκαγια', 2),
+    ('σογιου', 4), ('σογιων', 4), ('τερατα', 8), ('φαγιου', 1),
+    ('φαγιων', 1), ('κρεασ', 6), ('περασ', 7), ('σογια', 4),
+    ('τερασ', 8), ('φαγια', 1), ('φωτοσ', 9), ('φωτων', 9), ('φωτα', 9),
+    ('φωσ', 9),
+)
+_GR_T_b = (
+    ('ιζουμε', 1), ('ιζουνε', 1), ('ιζαμε', 1), ('ιζανε', 1),
+    ('ιζατε', 1), ('ιζεισ', 1), ('ιζετε', 1), ('ιζουν', 1), ('ιζαν', 1),
+    ('ιζει', 1), ('ιζεσ', 1), ('ιζα', 1), ('ιζε', 1), ('ιζω', 1),
+)
+_GR_T_v = (
+    ('πιπερορ', 2), ('συναθρο', 1), ('αναμπα', 1), ('βαθυρι', 2),
+    ('βολβορ', 2), ('γλυκορ', 2), ('γλυκυρ', 2), ('ξαναπα', 1),
+    ('περιπα', 1), ('αμπαρ', 2), ('πολυρ', 2), ('αθρο', 1), ('βαρκ', 2),
+    ('δανε', 1), ('εμπα', 1), ('κορν', 2), ('μαρκ', 2), ('αρρ', 2),
+    ('γκρ', 2), ('επα', 1), ('ιμπ', 2), ('λου', 2), ('μαρ', 2),
+    ('μπρ', 2), ('πα', 1), ('πρ', 2), ('β', 2), ('λ', 2), ('μ', 2),
+    ('π', 2), ('ρ', 2),
+)
+_GR_T_q = (
+    ('ωθηκαμε', 1), ('ωθηκανε', 1), ('ωθηκατε', 1), ('ωθηκαν', 1),
+    ('ωθηκεσ', 1), ('ωθηκα', 1), ('ωθηκε', 1),
+)
+_GR_T_f = (
+    ('αλ', 1), ('βι', 1), ('εν', 1), ('ζω', 1), ('λι', 1), ('υψ', 1),
+    ('σ', 1), ('χ', 1),
+)
+_GR_T_s = (
+    ('ισαμε', 1), ('ισανε', 1), ('ισατε', 1), ('ισαν', 1), ('ισεσ', 1),
+    ('ισα', 1), ('ισε', 1),
+)
+_GR_T_t = (
+    ('γιγαντοαφ', 2), ('δημοκρατ', 2), ('συναθρο', 1), ('χαρτοπα', 1),
+    ('αναμπα', 1), ('απεκλε', 1), ('αποκλε', 1), ('εξαρχα', 1),
+    ('εσωκλε', 1), ('μετεπε', 1), ('ξαναπα', 1), ('περιπα', 1),
+    ('πουκαμ', 2), ('αθρο', 1), ('δανε', 1), ('εκλε', 1), ('εμπα', 1),
+    ('γκε', 2), ('επα', 1), ('επε', 1), ('εσε', 1), ('κλε', 1),
+    ('κομ', 2), ('λαρ', 2), ('ολο', 2), ('αν', 2), ('αφ', 2), ('γε', 2),
+    ('γκ', 2), ('πε', 1), ('μ', 2), ('π', 2),
+)
+_GR_T_m = (
+    ('ισουμε', 1), ('ισουνε', 1), ('ισεισ', 1), ('ισετε', 1),
+    ('ισουν', 1), ('ισει', 1), ('ισω', 1),
+)
+_GR_T_r = (
+    ('συναθρο', 1), ('χαρτοπα', 1), ('αναμπα', 1), ('απεκλε', 1),
+    ('αποκλε', 1), ('εξαρχα', 1), ('εσωκλε', 1), ('μετεπε', 1),
+    ('ξαναπα', 1), ('περιπα', 1), ('αθρο', 1), ('δανε', 1), ('εκλε', 1),
+    ('εμπα', 1), ('επα', 1), ('επε', 1), ('εσε', 1), ('κλε', 1),
+    ('πε', 1),
+)
+_GR_T_u = (
+    ('ιστουσ', 1), ('ιστεσ', 1), ('ιστησ', 1), ('ιστοι', 1),
+    ('ιστοσ', 1), ('ιστου', 1), ('ιστων', 1), ('ιστα', 1), ('ιστε', 1),
+    ('ιστη', 1), ('ιστο', 1),
+)
+_GR_T_w = (
+    ('συναθρο', 1), ('εσωκλε', 1), ('δανε', 1), ('ακτ', 2), ('αορ', 2),
+    ('ασε', 1), ('ασχ', 2), ('ατα', 2), ('αχν', 2), ('αχτ', 2),
+    ('γεμ', 2), ('γυρ', 2), ('εμπ', 2), ('ευπ', 2), ('εχθ', 2),
+    ('ηφα', 2), ('καθ', 2), ('κακ', 2), ('κλε', 1), ('κυλ', 2),
+    ('λυγ', 2), ('μακ', 2), ('μεγ', 2), ('πλε', 1), ('ταχ', 2),
+    ('φιλ', 2), ('χωρ', 2), ('απ', 2), ('αρ', 2), ('ηδ', 2), ('κτ', 2),
+    ('σε', 1), ('σκ', 2), ('σχ', 2), ('υψ', 2), ('φα', 2), ('χρ', 2),
+    ('χτ', 2), ('μ', 2), ('π', 2),
+)
+_GR_T_e = (
+    ('ισμουσ', 1), ('ισμοι', 1), ('ισμοσ', 1), ('ισμου', 1),
+    ('ισμων', 1), ('ισμο', 1),
+)
+_GR_T_y = (
+    ('αντιδανε', 2), ('μικροσε', 1), ('αποκλε', 1), ('μετασε', 1),
+    ('εγκλε', 1), ('δανε', 2), ('σε', 1),
+)
+_GR_T_z = (
+    ('αλεξανδριν', 8), ('αγνωστικ', 1), ('βυζαντιν', 9), ('εκλεκτικ', 5),
+    ('γνωστικ', 3), ('θεατριν', 10), ('σκεπτικ', 6), ('ατομικ', 2),
+    ('εθνικ', 4), ('τοπικ', 7),
+)
+_GR_T_Uh = (
+    ('ουδακια', 1), ('αρακια', 1), ('ουδακι', 1), ('αρακι', 1),
+)
+_GR_T_Ua = (
+    ('σ', 1), ('χ', 1),
+)
+_GR_T_Ue = (
+    ('αρακια', 1), ('αρακι', 1), ('ιτσασ', 1), ('ιτσεσ', 1),
+    ('ιτσων', 1), ('ακια', 1), ('ιτσα', 1), ('ακι', 1),
+)
+_GR_T_Ug = (
+    ('τσεχοσλοβ', 1), ('ηγουμεν', 2), ('κατραπ', 1), ('μακρυν', 2),
+    ('ναγκασ', 1), ('τριπολ', 2), ('αλισφ', 1), ('καπακ', 1),
+    ('μουστ', 1), ('πατερ', 2), ('αμβρ', 1), ('ανθρ', 1), ('βαμβ', 1),
+    ('γιαν', 2), ('καιμ', 1), ('καρδ', 2), ('κλιμ', 1), ('λαβρ', 1),
+    ('λουλ', 1), ('σλοβ', 1), ('σπαν', 1), ('φαρμ', 1), ('βαλ', 2),
+    ('κον', 1), ('κορ', 1), ('μαλ', 1), ('μερ', 1), ('νυφ', 2),
+    ('σοκ', 1), ('τοσ', 2), ('φυλ', 1), ('βρ', 1), ('γλ', 2), ('πλ', 1),
+    ('ρυ', 1), ('σκ', 1), ('σφ', 1), ('τζ', 1), ('β', 2), ('ζ', 2),
+    ('κ', 1), ('π', 2), ('ρ', 1), ('σ', 1), ('φ', 1), ('χ', 1),
+)
+_GR_T_Un = (
+    ('ιδιων', 1), ('ιδια', 1), ('ιδιο', 1),
+)
+_GR_T_x = (
+    ('αιφν', 1), ('ολο', 1), ('ψαλ', 1), ('ιρ', 1),
+)
+_GR_T_Uo = (
+    ('παιχν', 1), ('ε', 1),
+)
+_GR_T_Up = (
+    ('ισκοσ', 1), ('ισκου', 1), ('ισκε', 1), ('ισκο', 1),
+)
+_GR_T_Um = (
+    ('φραγκ', 1), ('οβελ', 1), ('λυκ', 1), ('μην', 1), ('ιβ', 1),
+    ('δ', 1), ('ρ', 1),
+)
+_GR_T_Uq = (
+    ('αδεσ', 1), ('αδων', 1),
+)
+_GR_T_Ut = (
+    ('γιαγι', -1), ('μπαμπ', -1), ('νταντ', -1), ('πατερ', -1),
+    ('πεθερ', -1), ('θει', -1), ('κυρ', -1), ('μαμ', -1), ('μαν', -1),
+    ('οκ', -1),
+)
+_GR_T_Uu = (
+    ('εδεσ', 1), ('εδων', 1),
+)
+_GR_T_Ur = (
+    ('κρασπ', 1), ('γηπ', 1), ('δαπ', 1), ('εμπ', 1), ('μιλ', 1),
+    ('ιπ', 1), ('οπ', 1), ('υπ', 1),
+)
+_GR_T_Us = (
+    ('ουδεσ', 1), ('ουδων', 1),
+)
+_GR_T_Uv = (
+    ('καλιακ', 1), ('πεταλ', 1), ('λουλ', 1), ('πλεξ', 1), ('τραγ', 1),
+    ('αρκ', 1), ('βελ', 1), ('λιχ', 1), ('σκ', 1), ('σπ', 1), ('φε', 1),
+    ('φλ', 1), ('φρ', 1), ('χν', 1), ('σ', 1),
+)
+_GR_T_Ui = (
+    ('εων', 1), ('εωσ', 1),
+)
+_GR_T_Ud = (
+    ('γαλ', 1), ('παρ', 1), ('ελ', 1), ('ιδ', 1), ('δ', 1), ('θ', 1),
+    ('ν', 1), ('π', 1),
+)
+_GR_T_Ul = (
+    ('ιου', 1), ('ιων', 1), ('ια', 1),
+)
+_GR_T_Uj = (
+    ('ικου', 1), ('ικων', 1), ('ικα', 1), ('ικο', 1),
+)
+_GR_T_Uk = (
+    ('αμμοχαλ', 1), ('μπαγιατ', 1), ('ποστελν', 1), ('συνομηλ', 1),
+    ('καλλιν', 1), ('πικαντ', 1), ('πλιατσ', 1), ('πρωτοδ', 1),
+    ('αντιδ', 1), ('καταδ', 1), ('συναδ', 1), ('φιλον', 1), ('φυλοδ', 1),
+    ('αμαν', 1), ('ανηθ', 1), ('βρωμ', 1), ('εξωδ', 1), ('καλπ', 1),
+    ('μουλ', 1), ('μπαν', 1), ('μπολ', 1), ('μποσ', 1), ('πετσ', 1),
+    ('πιτσ', 1), ('σερτ', 1), ('τσαμ', 1), ('υποδ', 1), ('γερ', 1),
+    ('ενδ', 1), ('νιτ', 1), ('ξικ', 1), ('φυσ', 1), ('χασ', 1),
+    ('αδ', 1), ('αλ', 1), ('ηθ', 1),
+)
+_GR_T_DS = (
+    ('ηθηκαμε', 1), ('ουσαμε', 1), ('αγαμε', 1), ('ηκαμε', 1),
+    ('ησαμε', 1),
+)
+_GR_T_aa = (
+    ('αποστ', 1), ('αναπ', 1), ('αποθ', 1), ('αποκ', 1), ('βουβ', 1),
+    ('πικρ', 1), ('ξεθ', 1), ('ουλ', 1), ('πεθ', 1), ('ποτ', 1),
+    ('σιχ', 1), ('χ', 1),
+)
+_GR_T_ca = (
+    ('ιουντανε', 1), ('ηθηκανε', 1), ('ιοντανε', 1), ('ουντανε', 1),
+    ('ιοτανε', 1), ('οντανε', 1), ('ουσανε', 1), ('αγανε', 1),
+    ('ηκανε', 1), ('ησανε', 1), ('οτανε', 1),
+)
+_GR_T_ba = (
+    ('τρ', 1), ('τσ', 1),
+)
+_GR_T_Uf = (
+    ('καπνοβιομηχ', 1), ('μεγλοβιομηχ', 1), ('μικροβιομηχ', 1),
+    ('χαμηλοδαπ', 1), ('αμερικαν', 1), ('μουσουλμ', 1), ('ξηροκλιβ', 1),
+    ('ολιγοδαμ', 1), ('σαρακατσ', 1), ('φωτοστεφ', 1), ('βαθυγαλ', 1),
+    ('δραδουμ', 1), ('καλπουζ', 1), ('καταγαλ', 1), ('κοιλαρφ', 1),
+    ('πενταρφ', 1), ('πολυδαπ', 1), ('πολυμηχ', 1), ('τσαρλατ', 1),
+    ('ψηλοταβ', 1), ('ατσιγγ', 1), ('βιομηχ', 1), ('βραχυκ', 1),
+    ('καστελ', 1), ('κορμορ', 1), ('λουθηρ', 1), ('μωαμεθ', 1),
+    ('ολογαλ', 1), ('περιτρ', 1), ('πορτολ', 1), ('πουριτ', 1),
+    ('υπερηφ', 1), ('υποκοπ', 1), ('ψυχοπλ', 1), ('αθιγγ', 1),
+    ('ανοργ', 1), ('βετερ', 1), ('βουλκ', 1), ('βραχμ', 1), ('ενοργ', 1),
+    ('λαοπλ', 1), ('μαιντ', 1), ('πελεκ', 1), ('περηφ', 1), ('πολισ', 1),
+    ('σουλτ', 1), ('τσιγγ', 1), ('αδαπ', 1), ('αμηχ', 1), ('ανικ', 1),
+    ('απηγ', 1), ('απιθ', 1), ('βασκ', 1), ('διατ', 1), ('διαφ', 1),
+    ('διπλ', 1), ('ζωντ', 1), ('καστ', 1), ('κλιβ', 1), ('νταβ', 1),
+    ('πλατ', 1), ('στεγ', 1), ('στεφ', 1), ('τραγ', 1), ('τσαγ', 1),
+    ('τσοπ', 1), ('βασ', 1), ('γαλ', 1), ('γερ', 1), ('δεκ', 1),
+    ('θυσ', 1), ('κοπ', 1), ('λιβ', 1), ('λιχ', 1), ('μελ', 1),
+    ('ορφ', 1), ('ουλ', 1), ('ουρ', 1), ('πιθ', 1), ('σιγ', 1),
+    ('ταβ', 1), ('τετ', 1), ('αγ', 1), ('ερ', 1), ('ικ', 1), ('πλ', 1),
+    ('σπ', 1), ('γ', 1), ('θ', 1), ('μ', 1), ('ν', 1), ('π', 1),
+    ('σ', 1), ('φ', 1), ('χ', 1),
+)
+_GR_T_Uw = (
+    ('ησετε', 1),
+)
+_GR_T_da = (
+    ('υπερθ', 1), ('διαθ', 1), ('συνδ', 1), ('συνθ', 1), ('ωφελ', 1),
+    ('αιν', 1), ('αιρ', 1), ('αρκ', 1), ('βαρ', 1), ('βολ', 1),
+    ('εκθ', 1), ('ενδ', 1), ('ενθ', 1), ('ευθ', 1), ('ευρ', 1),
+    ('καθ', 1), ('νετ', 1), ('πον', 1), ('πυρ', 1), ('ραθ', 1),
+    ('ροθ', 1), ('ρον', 1), ('συν', 1), ('ταθ', 1), ('τιθ', 1),
+    ('φορ', 1), ('χωρ', 1), ('βρ', 1), ('οδ', 1), ('σθ', 1), ('σχ', 1),
+)
+_GR_T_ea = (
+    ('παρακαλ', 1), ('βαρον', 1), ('αβαρ', 1), ('εναρ', 1), ('θαρρ', 1),
+    ('μπορ', 1), ('σερπ', 1), ('σκελ', 1), ('συρφ', 1), ('αβρ', 1),
+    ('απλ', 1), ('βεν', 1), ('κοπ', 1), ('νιφ', 1), ('ντρ', 1),
+    ('παγ', 1), ('τοκ', 1), ('αδ', 1), ('αθ', 1), ('αν', 1), ('εμ', 1),
+    ('σκ', 1), ('δ', 1), ('θ', 1), ('υ', 1),
+)
+_GR_T_fa = (
+    ('οντασ', 1), ('ωντασ', 1),
+)
+_GR_T_ga = (
+    ('ιομαστε', 1), ('ομαστε', 1),
+)
+_GR_T_Uy = (
+    ('αμεταμφ', 1), ('ακαταπ', 1), ('ασυμπ', 1), ('συμπ', 1), ('απ', 1),
+    ('π', 1),
+)
+_GR_T_Uz = (
+    ('παρακαλ', 1), ('εκτελ', 1), ('νισ', 1), ('προ', 1), ('αλ', 1),
+    ('αρ', 1), ('ζ', 1), ('μ', 1), ('ξ', 1),
+)
+_GR_T_Ux = (
+    ('ηθηκεσ', 1), ('ηθηκα', 1), ('ηθηκε', 1),
+)
+_GR_T_la = (
+    ('ηκεσ', 1), ('ηκα', 1), ('ηκε', 1),
+)
+_GR_T_ja = (
+    ('σκουλ', 1), ('ναρθ', 1), ('σκωλ', 1), ('πιθ', 1), ('οθ', 1),
+    ('σφ', 1),
+)
+_GR_T_ka = (
+    ('παρακαταθ', 1), ('προσθ', 1), ('διαθ', 1), ('συνθ', 1), ('θ', 1),
+)
+_GR_T_oa = (
+    ('ουσεσ', 1), ('ουσα', 1), ('ουσε', 1),
+)
+_GR_T_ma = (
+    ('μαντιλ', 1), ('πανταχ', 1), ('κυματ', 1), ('ποδαρ', 1),
+    ('βλεπ', 1), ('μαλλ', 1), ('πρωτ', 1), ('φρυδ', 1), ('λαχ', 1),
+    ('ληγ', 1), ('φαγ', 1), ('ομ', 1),
+)
+_GR_T_na = (
+    ('δευτερευ', 1), ('ενδιαφερ', 1), ('καθαρευ', 1), ('υποτειν', 1),
+    ('δεσποζ', 1), ('λαμπιδ', 1), ('φαρμακ', 1), ('αναρρ', 1),
+    ('εκλιπ', 1), ('μεσαζ', 1), ('ανηκ', 1), ('βρομ', 1), ('αγκ', 1),
+    ('αιθ', 1), ('λεχ', 1), ('μεδ', 1), ('πατ', 1), ('πλε', 1),
+    ('τσα', 1), ('χαδ', 1), ('αμ', 1), ('δε', 1), ('λ', 1), ('μ', 1),
+    ('ρ', 1),
+)
+_GR_T_sa = (
+    ('ησου', 1), ('ησα', 1), ('ησε', 1),
+)
+_GR_T_ta = (
+    ('δωδεκαν', 1), ('μεγαλον', 1), ('ερημον', 1), ('χερσον', 1),
+    ('επταν', 1), ('ν', 1),
+)
+_GR_T_ra = (
+    ('αγεσ', 1), ('αγα', 1), ('αγε', 1),
+)
+_GR_T_pa = (
+    ('ναυλοχ', -1), ('σμην', 1), ('χορτ', 1), ('λοχ', 1), ('πελ', 1),
+    ('ψοφ', -1), ('λλ', 1), ('οφ', 1), ('πρ', 1), ('ρπ', 1), ('σφ', 1),
+    ('φρ', 1),
+)
+_GR_T_qa = (
+    ('κροκαλοπ', 1), ('προσωποπ', 1), ('σιδηροπ', 1), ('αιμοστ', 1),
+    ('αμαλλι', 1), ('δερβεν', 1), ('δροσοπ', 1), ('αβαστ', 1),
+    ('ανυστ', 1), ('αρτιπ', 1), ('ασπαρ', 1), ('νομοτ', 1), ('ουλαμ', 1),
+    ('πολυφ', 1), ('προστ', 1), ('αδηφ', 1), ('αειπ', 1), ('αμαλ', 1),
+    ('ανυπ', 1), ('απερ', 1), ('αποτ', 1), ('αχαρ', 1), ('διατ', 1),
+    ('επιτ', 1), ('νεοπ', 1), ('ολοπ', 1), ('ομοτ', 1), ('παμφ', 1),
+    ('συμπ', 1), ('συντ', 1), ('υποτ', 1), ('ασπ', 1), ('ναυ', 1),
+    ('ξεφ', 1), ('ουρ', 1), ('χαρ', 1), ('αφ', 1), ('εν', 1), ('τρ', 1),
+    ('λ', 1), ('μ', 1), ('π', 1), ('ρ', 1), ('τ', 1),
+)
+_GR_T_ua = (
+    ('ηστε', 1),
+)
+_GR_T_va = (
+    ('κοινοχρ', 1), ('παλιμψ', 1), ('αειμν', 1), ('δυσχρ', 1),
+    ('ευχρ', 1), ('απλ', 1), ('ασβ', 1), ('αχρ', 1), ('σβ', 1),
+    ('χρ', 1),
+)
+_GR_T_wa = (
+    ('ηθουνε', 1), ('ησουνε', 1), ('ουνε', 1),
+)
+_GR_T_xa = (
+    ('στραβομουτσ', 1), ('κακομουτσ', 1), ('εξων', 1), ('σπι', 1),
+    ('ν', 1), ('ρ', 1),
+)
+_GR_T_ya = (
+    ('ηθουμε', 1), ('ησουμε', 1), ('ουμε', 1),
+)
+_GR_T_za = (
+    ('αλλοσουσ', 1), ('παρασουσ', 1), ('ωριοπλ', 1), ('ασουσ', 1),
+    ('αζ', 1), ('φ', 1), ('χ', 1),
+)
+_GR_T_Uaa = (
+    ('ματοσ', 1), ('ματων', 1), ('ματα', 1),
+)
+_GR_T_Uba = (
+    ('ιοντουσαν', 1), ('ιομασταν', 1), ('ιοσασταν', 1), ('ιουμαστε', 1),
+    ('οντουσαν', 1), ('ηθηκατε', 1), ('ιεμαστε', 1), ('ιεσαστε', 1),
+    ('ιομουνα', 1), ('ιοσαστε', 1), ('ιοσουνα', 1), ('ιουνται', 1),
+    ('ιουνταν', 1), ('ομασταν', 1), ('οσασταν', 1), ('ουμαστε', 1),
+    ('ηθειτε', 1), ('ηθηκαν', 1), ('ιομουν', 1), ('ιονταν', 1),
+    ('ιοσουν', 1), ('ομουνα', 1), ('οσαστε', 1), ('οσουνα', 1),
+    ('ουνται', 1), ('ουνταν', 1), ('ουσατε', 1), ('αγατε', 1),
+    ('ηθεισ', 1), ('ηθουν', 1), ('ηκατε', 1), ('ησατε', 1), ('ησουν', 1),
+    ('ιεμαι', 1), ('ιεσαι', 1), ('ιεται', 1), ('ιοταν', 1), ('ιουμα', 1),
+    ('ομουν', 1), ('ονται', 1), ('ονταν', 1), ('οσουν', 1), ('ουμαι', 1),
+    ('ουσαν', 1), ('αγαν', 1), ('αμαι', 1), ('ασαι', 1), ('αται', 1),
+    ('ειτε', 1), ('εσαι', 1), ('εται', 1), ('ηδεσ', 1), ('ηδων', 1),
+    ('ηθει', 1), ('ηκαν', 1), ('ησαν', 1), ('ησει', 1), ('ησεσ', 1),
+    ('ομαι', 1), ('οταν', 1), ('αει', 1), ('εισ', 1), ('ηθω', 1),
+    ('ησω', 1), ('ουν', 1), ('ουσ', 1), ('αν', 1), ('ασ', 1), ('αω', 1),
+    ('ει', 1), ('εσ', 1), ('ησ', 1), ('οι', 1), ('οσ', 1), ('ου', 1),
+    ('υσ', 1), ('ων', 1), ('α', 1), ('ε', 1), ('η', 1), ('ι', 1),
+    ('ο', 1), ('υ', 1), ('ω', 1),
+)
+_GR_T_Uca = (
+    ('εστατ', 1), ('εστερ', 1), ('οτατ', 1), ('οτερ', 1), ('υτατ', 1),
+    ('υτερ', 1), ('ωτατ', 1), ('ωτερ', 1),
+)
+
+
+class _GrS:
+    """Snowball backward-mode state: cursor/bra/ket with reference-exact
+    slice guards (a failed guard aborts the enclosing step)."""
+    __slots__ = ("j", "cursor", "a", "f", "c", "d", "B")
+
+    def __init__(self, w):
+        self.j = w
+        self.a = len(w)
+        self.cursor = len(w)
+        self.f = 0
+        self.c = 0
+        self.d = len(w)
+        self.B = True
+
+    def g(self, s):                       # eq_s_b
+        if self.cursor - self.f < len(s) \
+                or self.j[self.cursor - len(s):self.cursor] != s:
+            return False
+        self.cursor -= len(s)
+        return True
+
+    def h(self, table):                   # find_among_b (longest-first)
+        for s, res in table:
+            if self.cursor - self.f >= len(s) \
+                    and self.j[self.cursor - len(s):self.cursor] == s:
+                self.cursor -= len(s)
+                return res
+        return 0
+
+    def n(self, chars):                   # in_grouping_b
+        if self.cursor <= self.f or self.j[self.cursor - 1] not in chars:
+            return False
+        self.cursor -= 1
+        return True
+
+    def _ok(self):
+        return 0 <= self.c <= self.d <= self.a
+
+    def _slice(self, k, l, s):
+        delta = len(s) - (l - k)
+        self.j = self.j[:k] + s + self.j[l:]
+        self.a += delta
+        if self.cursor >= l:
+            self.cursor += delta
+        elif self.cursor > k:
+            self.cursor = k
+        return delta
+
+    def b(self, s):                       # slice_from
+        if not self._ok():
+            return False
+        self._slice(self.c, self.d, s)
+        return True
+
+    def e(self):                          # slice_del
+        return self.b("")
+
+    def insert(self, s):
+        delta = self._slice(self.cursor, self.cursor, s)
+        if self.cursor - delta <= self.c:
+            self.c += delta
+        if self.cursor - delta <= self.d:
+            self.d += delta
+
+    def save(self):
+        return self.a - self.cursor
+
+    def restore(self, v):
+        self.cursor = self.a - v
+
+    def whole(self):
+        return self.cursor <= self.f
+
+
+def _gr_simple_step(st, main, exc, rep):
+    """[among(main)] delete, unset B; ([] among(exc) atlimit <+ rep)."""
+    v = st.save()
+    st.d = st.cursor
+    if st.h(main) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.h(exc) != 0 and st.whole():
+                st.b(rep)
+    st.restore(v)
+
+
+def _gr_step5b(st):
+    v0 = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_ca) != 0:
+        st.c = st.cursor
+        if not st.e():
+            return
+        st.B = False
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.h(_GR_T_ba) != 0 and st.whole():
+            if not st.b("αγαν"):
+                return
+    st.restore(v0)
+    st.d = st.cursor
+    if st.g("ανε"):
+        st.c = st.cursor
+        if not st.e():
+            return
+        st.B = False
+        v = st.save()
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.n("αεηιοω"):
+            if not st.b("αν"):
+                return
+            return
+        st.restore(v)
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.h(_GR_T_Uf) != 0 and st.whole():
+            st.b("αν")
+
+
+def _gr_step5d(st):
+    v0 = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Uw) != 0:
+        st.c = st.cursor
+        if not st.e():
+            return
+        st.B = False
+    st.restore(v0)
+    st.d = st.cursor
+    if st.g("ετε"):
+        st.c = st.cursor
+        if not st.e():
+            return
+        st.B = False
+        v = st.save()
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.n("αεηιοω"):
+            if not st.b("ετ"):
+                return
+            return
+        st.restore(v)
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.h(_GR_T_da) != 0:
+            if not st.b("ετ"):
+                return
+            return
+        st.restore(v)
+        st.d = st.cursor
+        st.c = st.cursor
+        if st.h(_GR_T_ea) != 0 and st.whole():
+            st.b("ετ")
+
+
+def greek_stem(word: str) -> str:  # noqa: C901 — mirrors the spec's steps
+    w = "".join(_GR_LOWER.get(ch, ch) for ch in word)
+    if len(w) < 3:
+        return w
+    st = _GrS(w)
+
+    # step 1: irregular stems
+    st.d = st.cursor
+    r = st.h(_GR_T_n)
+    if r != 0:
+        st.c = st.cursor
+        if st.b(_GR_STEP1_REP[r]):
+            st.B = False
+    st.cursor = st.a
+
+    # steps S1-S10
+    v = st.save()
+    st.d = st.cursor
+    r = 0
+    if st.h(_GR_T_b) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            r = st.h(_GR_T_v)
+            if r != 0 and st.whole():
+                st.b("ι" if r == 1 else "ιζ")
+    st.restore(v)
+    _gr_simple_step(st, _GR_T_q, _GR_T_f, "ων")
+    # S3 with the dead 'ισα' branch
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_s) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            skipped = False
+            if st.g("ισα") and st.whole():
+                st.b("ισ")      # stale bracket: fails, skipping exceptions
+                skipped = True
+            if not skipped:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                r = st.h(_GR_T_t)
+                if r != 0 and st.whole():
+                    st.b("ι" if r == 1 else "ισ")
+    st.restore(v)
+    _gr_simple_step(st, _GR_T_m, _GR_T_r, "ι")
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_u) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            r = st.h(_GR_T_w)
+            if r != 0 and st.whole():
+                st.b("ι" if r == 1 else "ιστ")
+    st.restore(v)
+    # S6: -ισμ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_e) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            r = st.h(_GR_T_y)
+            done = False
+            ok = True
+            if r != 0 and st.whole():
+                ok = st.b("ισμ" if r == 1 else "ι")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                r = st.h(_GR_T_z)
+                if r != 0:
+                    st.c = st.cursor
+                    st.b(_GR_Z_REP[r])
+    st.restore(v)
+    _gr_simple_step(st, _GR_T_Uh, _GR_T_Ua, "αρακ")
+    # S8: -ακι-/-ιτσ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Ue) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            r = st.h(_GR_T_Ug)
+            done = False
+            ok = True
+            if r != 0 and st.whole():
+                ok = st.b("ακ" if r == 1 else "ιτσ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.g("κορ"):
+                    st.b("ιτσ")
+    st.restore(v)
+    # S9: -ιδ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Un) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            done = False
+            ok = True
+            if st.h(_GR_T_x) != 0 and st.whole():
+                ok = st.b("ιδ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.h(_GR_T_Uo) != 0:
+                    st.b("ιδ")
+    st.restore(v)
+    _gr_simple_step(st, _GR_T_Up, _GR_T_Um, "ισκ")
+
+    # step 2a: -αδ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Uq) != 0:
+        st.c = st.cursor
+        if st.e():
+            v2 = st.save()
+            if st.h(_GR_T_Ut) == 0:
+                st.restore(v2)
+                st.insert("αδ")
+    st.restore(v)
+    # step 2b: -εδ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Uu) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.h(_GR_T_Ur) != 0:
+                st.b("εδ")
+    st.restore(v)
+    # step 2c: -ουδ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Us) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.h(_GR_T_Uv) != 0:
+                st.b("ουδ")
+    st.restore(v)
+    # step 2d: -ε-
+    _gr_simple_step(st, _GR_T_Ui, _GR_T_Ud, "ε")
+    # step 3: -ι- after vowel
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Ul) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.n(_GR_VOWELS):
+                st.b("ι")
+    st.restore(v)
+    # step 4: -ικ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_Uj) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            done = False
+            ok = True
+            if st.n(_GR_VOWELS):
+                ok = st.b("ικ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.h(_GR_T_Uk) != 0 and st.whole():
+                    st.b("ικ")
+    st.restore(v)
+    # step 5a: -αμ-
+    v = st.save()
+    while True:
+        v2 = st.save()
+        if st.g("αγαμε") and st.whole():
+            if not st.b("αγαμ"):
+                break           # stale-bracket skip of the whole step
+        st.restore(v2)
+        v2 = st.save()
+        st.d = st.cursor
+        if st.h(_GR_T_DS) != 0:
+            st.c = st.cursor
+            if not st.e():
+                break
+            st.B = False
+        st.restore(v2)
+        st.d = st.cursor
+        if st.g("αμε"):
+            st.c = st.cursor
+            if st.e():
+                st.B = False
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.h(_GR_T_aa) != 0 and st.whole():
+                    st.b("αμ")
+        break
+    st.restore(v)
+    # step 5b: -αν-
+    v = st.save()
+    _gr_step5b(st)
+    st.restore(v)
+    # step 5d: -ετ-
+    v = st.save()
+    _gr_step5d(st)
+    st.restore(v)
+    # step 5e: -οντ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_fa) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            done = False
+            ok = True
+            if st.g("αρχ") and st.whole():
+                ok = st.b("οντ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.g("κρε"):
+                    st.b("ωντ")
+    st.restore(v)
+    # step 5f: -ομαστ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_ga) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.g("ον") and st.whole():
+                st.b("ομαστ")
+    st.restore(v)
+    # step 5g: -ιεστ- / -εστ-
+    v = st.save()
+    while True:
+        v2 = st.save()
+        st.d = st.cursor
+        if st.g("ιεστε"):
+            st.c = st.cursor
+            if not st.e():
+                break
+            st.B = False
+            st.d = st.cursor
+            st.c = st.cursor
+            if st.h(_GR_T_Uy) != 0 and st.whole():
+                if not st.b("ιεστ"):
+                    break
+        st.restore(v2)
+        st.d = st.cursor
+        if st.g("εστε"):
+            st.c = st.cursor
+            if st.e():
+                st.B = False
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.h(_GR_T_Uz) != 0 and st.whole():
+                    st.b("ιεστ")
+        break
+    st.restore(v)
+    # step 6a: -ηθηκ- / -ηκ-
+    v = st.save()
+    while True:
+        v2 = st.save()
+        st.d = st.cursor
+        if st.h(_GR_T_Ux) != 0:
+            st.c = st.cursor
+            if not st.e():
+                break
+            st.B = False
+        st.restore(v2)
+        st.d = st.cursor
+        if st.h(_GR_T_la) != 0:
+            st.c = st.cursor
+            if st.e():
+                st.B = False
+                v3 = st.save()
+                st.d = st.cursor
+                st.c = st.cursor
+                done = False
+                ok = True
+                if st.h(_GR_T_ja) != 0:
+                    ok = st.b("ηκ")
+                    done = True
+                if ok and not done:
+                    st.restore(v3)
+                    st.d = st.cursor
+                    st.c = st.cursor
+                    if st.h(_GR_T_ka) != 0 and st.whole():
+                        st.b("ηκ")
+        break
+    st.restore(v)
+    # step 6b: -ουσ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_oa) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            done = False
+            ok = True
+            if st.h(_GR_T_ma) != 0:
+                ok = st.b("ουσ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                st.d = st.cursor
+                st.c = st.cursor
+                if st.h(_GR_T_na) != 0 and st.whole():
+                    st.b("ουσ")
+    st.restore(v)
+    # step 6c: -ησ-
+    _gr_simple_step(st, _GR_T_sa, _GR_T_ta, "ησ")
+    # step 6d: -αγ-
+    v = st.save()
+    st.d = st.cursor
+    if st.h(_GR_T_ra) != 0:
+        st.c = st.cursor
+        if st.e():
+            st.B = False
+            v2 = st.save()
+            st.d = st.cursor
+            st.c = st.cursor
+            done = False
+            ok = True
+            if st.g("κολλ"):
+                ok = st.b("αγ")
+                done = True
+            if ok and not done:
+                st.restore(v2)
+                v3 = st.save()
+                st.d = st.cursor
+                st.c = st.cursor
+                r = st.h(_GR_T_pa)
+                if r != 0:
+                    if r == 1:
+                        st.b("αγ")
+                else:
+                    st.restore(v3)
+                    st.d = st.cursor
+                    st.c = st.cursor
+                    if st.h(_GR_T_qa) != 0 and st.whole():
+                        st.b("αγ")
+    st.restore(v)
+    # step 6e/6f/6g
+    _gr_simple_step(st, _GR_T_ua, _GR_T_va, "ηστ")
+    _gr_simple_step(st, _GR_T_wa, _GR_T_xa, "ουν")
+    _gr_simple_step(st, _GR_T_ya, _GR_T_za, "ουμ")
+    # step 7: -μα- and long endings
+    v = st.save()
+    while True:
+        v2 = st.save()
+        st.d = st.cursor
+        if st.h(_GR_T_Uaa) != 0:
+            st.c = st.cursor
+            if not st.b("μα"):
+                break
+        st.restore(v2)
+        if st.B:
+            st.d = st.cursor
+            if st.h(_GR_T_Uba) != 0:
+                st.c = st.cursor
+                st.e()
+        break
+    st.restore(v)
+    # step 8: comparatives/superlatives
+    st.d = st.cursor
+    if st.h(_GR_T_Uca) != 0:
+        st.c = st.cursor
+        st.e()
+    return st.j
+
+
+SNOWBALL.update({"gr": greek_stem, "el": greek_stem, "greek": greek_stem})

@@ -162,9 +162,9 @@ def _stemmer_for(lang: str):
     fn = SNOWBALL.get(lang)
     if fn is None:
         raise NotImplementedError(
-            f"stemmer for lang={lang!r} requires a Snowball library on the "
-            "cluster (reference default is stemming OFF, Tokenizer.ts:97); "
-            "built in: en, de, fr, es, pt, it, sv, no, da, nl, ru")
+            f"no stemmer for lang={lang!r} (reference default is stemming "
+            "OFF, Tokenizer.ts:97); all 28 reference-routed codes are "
+            "built in — see supported_langs()")
     return fn
 
 
