@@ -237,12 +237,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "tabl"}})
     q["stemmed_match_de"] = _stemmed_de
 
+    def _stemmed_tr(s, d):
+        """Index-time TURKISH Snowball stemming (T11, round-2 full-coverage
+        batch): docs indexed with stem_lang='tr'; membership of 'da' = the
+        tr-stem of 'data' (noun DA-suffix removal under vowel harmony).
+        Oracle maps tokens through the REFERENCE-generated stem table
+        (tests/golden/stem_docs_vocab_tr.json, produced by executing
+        src/lib/stemmers/tr.js) — pinning engine-vs-reference parity for
+        the hardest of the 17 newly added stemmers."""
+        key = (_session_key(s), "stem_tr", d)
+        if key not in _CACHE:
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8, stem_lang="tr")
+            idx = build_index(_docs(s, d), cfg)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, _docs(s, d))
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "da"}})
+    q["stemmed_match_tr"] = _stemmed_tr
+
     def _stemmed_auto(s, d):
         """Per-document language-routed stemming (stem_lang='auto' over the
         corpus lang column, Stemmer.ts routing): en/de/fr/es docs stem with
-        their language's Snowball, zh (unsupported) passes through
-        unstemmed. Membership of 'tabl' = stem of 'table' in all four
-        supported languages — zh docs containing 'table' must NOT match."""
+        their language's Snowball; zh (not a routed code) falls back to
+        ENGLISH porter — the reference's unknown-code fallback
+        (SnowballStemmer.ts:27-31). Membership of 'tabl' = stem of 'table'
+        under every route, so zh docs containing 'table' match too."""
         key = (_session_key(s), "stem_auto", d)
         if key not in _CACHE:
             cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
@@ -562,8 +584,22 @@ ORDER BY term
         " AS stoks FROM documents) "
         "SELECT doc_id FROM t WHERE list_contains(stoks, 'tabl') "
         "ORDER BY doc_id")
+    _vocab_tr = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "stem_docs_vocab_tr.json")))
+    _stem_case_tr = ("CASE x " + " ".join(
+        f"WHEN '{w}' THEN '{st}'" for w, st in sorted(_vocab_tr.items()))
+        + " ELSE x END")
+    o["stemmed_match_tr"] = (
+        "WITH t AS (SELECT doc_id, "
+        f"list_transform({TOK}, x -> {_stem_case_tr})"
+        " AS stoks FROM documents) "
+        "SELECT doc_id FROM t WHERE list_contains(stoks, 'da') "
+        "ORDER BY doc_id")
     # language-ROUTED stemming: per-doc stem table chosen by the lang
-    # column (en/de/fr/es reference-generated maps; zh = identity)
+    # column (en/de/fr/es reference-generated maps; any OTHER lang — zh
+    # here — falls back to the ENGLISH porter map, the reference's
+    # unknown-code route, SnowballStemmer.ts:27-31)
     _vocab_all = _json.load(open(_os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),
         "tests", "golden", "stem_docs_vocab_all.json")))
@@ -575,7 +611,7 @@ ORDER BY term
     _routed = ("CASE lang "
                + " ".join(f"WHEN '{lg}' THEN {case}"
                           for lg, case in sorted(_lang_cases.items()))
-               + " ELSE x END")
+               + f" ELSE {_lang_cases['en']} END")
     o["stemmed_auto_lang"] = (
         f"WITH t AS (SELECT doc_id, lang, {TOK} AS toks FROM documents), "
         f"s AS (SELECT doc_id, list_transform(toks, x -> {_routed}) AS stoks"

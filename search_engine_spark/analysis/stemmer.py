@@ -205,9 +205,11 @@ def stem_tokens_by_lang(tokens: Column, lang: Column) -> Column:
     (Stemmer.ts:43-127 with autoDetectLanguage; here the corpus's ``lang``
     column IS the detection, matching the input schema's lang field).
 
-    Tokens of docs in an unsupported language pass through UNstemmed (the
-    reference falls back the same way when a stemmer is missing). Cache is
-    keyed (lang, token) per Arrow batch — a multilingual batch still pays
+    Tokens of docs in an UNSUPPORTED (or null) language route to the
+    ENGLISH porter stemmer — exactly the reference's fallback
+    (SnowballStemmer.ts:27-31 routes unknown codes to 'en';
+    Stemmer.ts:18 defaults the language to 'en'). Cache is keyed
+    (lang, token) per Arrow batch — a multilingual batch still pays
     each distinct token once."""
 
     @F.pandas_udf(ArrayType(StringType()))
@@ -221,10 +223,7 @@ def stem_tokens_by_lang(tokens: Column, lang: Column) -> Column:
                 continue
             lang_key = (one_lang or "").lower()
             fn = porter_stem if lang_key in ("en", "english") \
-                else SNOWBALL.get(lang_key)
-            if fn is None:
-                out.append(list(toks))
-                continue
+                else SNOWBALL.get(lang_key, porter_stem)
             row = []
             for t in toks:
                 k = (lang_key, t)
