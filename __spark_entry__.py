@@ -723,12 +723,19 @@ SELECT doc_id,
          AS n_bpe_tokens
 FROM documents
 """
+    _c_cols = ", ".join(f"c_{lg}" for lg in textstats.LANG_ORDER)
+    _gr = f"GREATEST({_c_cols})"
     lang_case = (
-        "CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'en' "
-        "WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en' "
-        "WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de' "
-        "WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr' "
-        "ELSE 'es' END")
+        f"CASE WHEN {_gr} = 0 THEN 'en' "
+        + " ".join(f"WHEN c_{lg} = {_gr} THEN '{lg}'"
+                   for lg in textstats.LANG_ORDER[:-1])
+        + f" ELSE '{textstats.LANG_ORDER[-1]}' END")
+    _lang_count_cols = ",\n             ".join(
+        f"{_LANG_SQL_COUNTS[lg]} AS c_{lg}" for lg in textstats.LANG_ORDER)
+    _en_stops_sql = ("len(list_filter(toks, x -> list_contains(["
+                     + ", ".join(f"'{w}'"
+                                 for w in textstats.LANG_MARKERS["en"])
+                     + "], x)))::DOUBLE")
     Q6 = round6_sql(
         "0.5::DOUBLE * LEAST(n_tok / 200.0::DOUBLE, 1.0::DOUBLE) "
         "+ 0.3::DOUBLE * (1.0::DOUBLE - "
@@ -740,12 +747,9 @@ WITH t AS (SELECT doc_id, n_chars, text, {TOK} AS toks FROM documents),
 c AS (SELECT doc_id,
              len(toks)::DOUBLE AS n_tok,
              len({WS_TOK})::DOUBLE AS n_ws,
-             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x)))::DOUBLE AS stops,
+             {_en_stops_sql} AS stops,
              n_chars,
-             {_LANG_SQL_COUNTS['en']} AS c_en,
-             {_LANG_SQL_COUNTS['de']} AS c_de,
-             {_LANG_SQL_COUNTS['fr']} AS c_fr,
-             {_LANG_SQL_COUNTS['es']} AS c_es
+             {_lang_count_cols}
       FROM t)
 SELECT doc_id,
        {Q6}
@@ -887,12 +891,9 @@ ex AS (SELECT doc_id,
 c AS (SELECT d.doc_id,
              len(toks)::DOUBLE AS n_tok,
              len({WS_TOK})::DOUBLE AS n_ws,
-             len(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x)))::DOUBLE AS stops,
+             {_en_stops_sql} AS stops,
              n_chars,
-             {_LANG_SQL_COUNTS['en']} AS c_en,
-             {_LANG_SQL_COUNTS['de']} AS c_de,
-             {_LANG_SQL_COUNTS['fr']} AS c_fr,
-             {_LANG_SQL_COUNTS['es']} AS c_es
+             {_lang_count_cols}
       FROM documents d JOIN t ON d.doc_id = t.doc_id),
 s2 AS (SELECT doc_id, {Q6} AS quality, {lang_case} AS pred_lang FROM c)
 SELECT s2.doc_id AS doc_id, s2.quality AS quality, s2.pred_lang AS pred_lang,

@@ -20,16 +20,64 @@ from ..analysis.spark import tokens_for
 from ..functions.hashing import h60, minhash_col, shingles_col
 from ..functions.portable import round6
 
-#: Stopword-marker profiles for the n-gram/marker language heuristic.
-#: Tiny on purpose: the point is the distributed argmax plumbing; swap in
-#: full frequency profiles for production use.
+#: Stopword-marker profiles for the marker-count language heuristic:
+#: ~28 top function words per language, ASCII-only (the standard analyzer
+#: is faithfully ASCII, so accented forms could never match a token).
+#: Still swappable for full frequency profiles, but wide enough to
+#: separate the 12 Latin-script languages the stemmer suite routes.
 LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is"],
-    "de": ["der", "die", "und", "ist", "nicht"],
-    "fr": ["le", "la", "les", "et", "est"],
-    "es": ["el", "la", "los", "que", "es"],
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was",
+           "for", "on", "are", "as", "with", "they", "at", "be", "this",
+           "have", "from", "or", "had", "by", "but", "not", "what",
+           "all", "were"],
+    "de": ["der", "die", "und", "ist", "nicht", "das", "ein", "eine",
+           "von", "zu", "im", "den", "dem", "des", "auf", "als", "auch",
+           "es", "an", "aus", "er", "hat", "dass", "sie", "nach", "wird",
+           "bei", "sind"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "qui", "pour",
+           "pas", "des", "une", "un", "du", "au", "aux", "ce", "cette",
+           "il", "elle", "sur", "ne", "se", "son", "ses", "mais", "avec",
+           "par"],
+    "es": ["el", "la", "los", "las", "que", "es", "en", "un", "una",
+           "de", "del", "por", "con", "para", "no", "se", "su", "sus",
+           "al", "lo", "como", "pero", "sobre", "este", "esta", "son",
+           "entre", "sin"],
+    "pt": ["os", "as", "um", "uma", "de", "do", "da", "dos", "das",
+           "que", "em", "no", "na", "nos", "nas", "por", "para", "com",
+           "seu", "sua", "isso", "ele", "ela", "eles", "mas", "mais",
+           "como", "foi"],
+    "it": ["il", "lo", "la", "le", "gli", "un", "una", "di", "del",
+           "della", "che", "non", "per", "con", "sono", "questo",
+           "questa", "come", "anche", "su", "dal", "nel", "alla", "sua",
+           "suo", "hanno", "essere", "era"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op",
+           "te", "zijn", "met", "voor", "niet", "aan", "er", "ook",
+           "als", "bij", "maar", "om", "dan", "nog", "naar", "door",
+           "over", "werd", "heeft"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "med", "var",
+           "sig", "inte", "om", "han", "hade", "vi", "till", "ska",
+           "kan", "man", "ett", "mot", "efter", "vid", "har", "de",
+           "jag", "men", "blir"],
+    "no": ["og", "det", "som", "en", "av", "at", "til", "med", "han",
+           "var", "for", "de", "ikke", "den", "har", "jeg", "om", "et",
+           "men", "seg", "hun", "etter", "ved", "blir", "kan", "skal",
+           "vi", "fra"],
+    "da": ["og", "det", "at", "en", "den", "til", "er", "som", "af",
+           "med", "var", "de", "ikke", "han", "der", "jeg", "har", "om",
+           "et", "men", "hun", "efter", "ved", "kan", "skal", "vi",
+           "sig", "fra"],
+    "tr": ["bir", "ve", "bu", "da", "de", "ne", "gibi", "daha", "sonra",
+           "kadar", "ama", "ile", "olarak", "olan", "en", "var", "yok",
+           "ben", "sen", "biz", "siz", "onlar", "ancak", "diye", "ki",
+           "mi", "bunu", "onun"],
+    "id": ["yang", "dan", "di", "dengan", "untuk", "dari", "pada",
+           "ini", "itu", "tidak", "akan", "ada", "adalah", "dalam",
+           "ke", "juga", "atau", "saya", "kami", "mereka", "bisa",
+           "sudah", "telah", "harus", "karena", "oleh", "saat", "bahwa"],
 }
-LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic argmax tie-break
+#: deterministic argmax tie-break (first listed wins)
+LANG_ORDER = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "no",
+              "da", "tr", "id"]
 
 
 def ws_token_count(text: Column) -> Column:
