@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -75,6 +76,16 @@ class ServingIndex:
                     if f.endswith(".parquet")]
         self._df_cache: dict = {}
         self._pf_cache: dict = {}
+        # decoded-postings LRU: the RAM-resident analog of the reference's
+        # in-memory inverted index (InvertedIndex.ts holds every posting
+        # list in process memory; its <10 ms claim is a map lookup). Real
+        # serving traffic is Zipfian — head terms repeat constantly — so
+        # a bounded cache of post-tombstone decoded arrays turns repeat
+        # lookups into O(k) scoring with no parquet decode. The artifact
+        # is immutable (tombstones bind at construction), so entries
+        # never need invalidation.
+        self._postings_cache: "OrderedDict" = OrderedDict()
+        self.cache_terms = 4096
 
     # -- postings access ----------------------------------------------------
 
@@ -126,7 +137,13 @@ class ServingIndex:
 
     def postings(self, field: str, term: str):
         """(doc_ids, tfs, dls) int64 arrays for one term (may be empty);
-        tombstoned docs are filtered out (merge-on-read)."""
+        tombstoned docs are filtered out (merge-on-read). Decoded arrays
+        are LRU-cached per (field, term) — see __init__."""
+        key = (field, term)
+        hit = self._postings_cache.get(key)
+        if hit is not None:
+            self._postings_cache.move_to_end(key)
+            return hit
         docs, tfs, dls = decode_blocks_batch(self._term_blocks(field, term))
         t = self._tombstones
         if t is not None and t.size and docs.size:
@@ -135,7 +152,11 @@ class ServingIndex:
             live = t[pos] != docs
             if not live.all():
                 docs, tfs, dls = docs[live], tfs[live], dls[live]
-        return docs, tfs, dls
+        entry = (docs, tfs, dls)
+        self._postings_cache[key] = entry
+        while len(self._postings_cache) > self.cache_terms:
+            self._postings_cache.popitem(last=False)
+        return entry
 
     def df(self, field: str, term: str) -> int:
         """Post-delete document frequency (matches the DSL path's

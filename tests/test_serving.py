@@ -74,3 +74,32 @@ def test_serving_latency_under_100ms(served):
     # very generous bound: the CI host throttles unpredictably (±70%);
     # typical is ~5-20 ms, and the REAL claim is the no-Spark-job mechanism
     assert per_q < 1.0, f"serving query took {per_q * 1000:.0f} ms"
+
+
+def test_postings_lru_cache(served):
+    """Repeat lookups hit the decoded-postings LRU: identical results,
+    no re-decode (cache entry is the same object), bounded size."""
+    srv, _, _ = served
+    term = srv_head_term(srv)
+    a = srv.postings("text", term)
+    b = srv.postings("text", term)
+    assert a is b                      # same cached tuple
+    import numpy as _np
+    assert _np.array_equal(a[0], b[0])
+    srv.cache_terms = 2
+    srv.postings("text", term)
+    srv.postings("text", "zzz_absent_1")
+    srv.postings("text", "zzz_absent_2")
+    srv.postings("text", "zzz_absent_3")
+    assert len(srv._postings_cache) <= 2
+
+
+def srv_head_term(srv):
+    import os
+    import pyarrow.parquet as pq
+    for b, files in srv._bucket_files.items():
+        for f in files:
+            t = pq.read_table(f, columns=["term"])
+            if t.num_rows:
+                return t.column("term")[0].as_py()
+    raise AssertionError("empty block index")
