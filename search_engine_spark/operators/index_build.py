@@ -118,8 +118,11 @@ def _is_array_field(docs: DataFrame, f: str) -> bool:
 def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     """docs → one row per token occurrence: (doc_id, field, pos, term).
 
-    One select per indexed field (JVM tokenizer expression + posexplode),
-    unioned. Catalyst prunes each branch's scan to (id, that field).
+    ALL scalar fields tokenize in ONE source scan: per-field token arrays
+    (JVM tokenizer expressions) are packed into (field, toks) structs,
+    exploded, then posexploded — not one scan-branch per field unioned.
+    Array fields keep their own element-explode branch. Catalyst prunes
+    the scan to (id, indexed fields).
 
     Array<string> fields mirror the reference's per-element indexing
     (SearchEngine.ts:902-919): each element is tokenized with the standard
@@ -140,6 +143,7 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
         return toks
 
     parts = []
+    scalar_fields = []
     for f in config.fields:
         if _is_array_field(docs, f):
             extra = ([F.col(config.stem_lang_col)]
@@ -157,21 +161,47 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                 )
             )
         else:
-            toks = _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
-                                          stopwords=config.stopwords))
-            # materialize the token array in a Project BEFORE the generator:
-            # Generate consumes a plain attribute, so the analyzer chain runs
-            # once inside whole-stage codegen (with subexpression
-            # elimination) instead of inside the generator's input
-            tokenized = docs.select(F.col(config.id_col).alias("doc_id"),
-                                    toks.alias("_toks"))
-            parts.append(
-                tokenized.select(
-                    "doc_id",
-                    F.lit(f).alias("field"),
-                    F.posexplode("_toks").alias("pos", "term"),
-                )
+            scalar_fields.append(f)
+    if len(scalar_fields) == 1:
+        f = scalar_fields[0]
+        toks = _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
+                                      stopwords=config.stopwords))
+        # materialize the token array in a Project BEFORE the generator:
+        # Generate consumes a plain attribute, so the analyzer chain runs
+        # once inside whole-stage codegen (with subexpression
+        # elimination) instead of inside the generator's input
+        tokenized = docs.select(F.col(config.id_col).alias("doc_id"),
+                                toks.alias("_toks"))
+        parts.append(
+            tokenized.select(
+                "doc_id",
+                F.lit(f).alias("field"),
+                F.posexplode("_toks").alias("pos", "term"),
             )
+        )
+    elif scalar_fields:
+        # ONE source scan for ALL scalar fields: per-field token arrays are
+        # packed into (field, toks) structs and exploded, instead of one
+        # scan-branch per field unioned — at 100 TB that is a 1/N_fields
+        # input-volume cut for multi-field indexes. Positions are still the
+        # per-field posexplode indices, so downstream semantics (tf,
+        # positions, dl) are byte-identical to the unioned plan.
+        structs = [
+            F.struct(
+                F.lit(f).alias("field"),
+                _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
+                                       stopwords=config.stopwords))
+                .alias("toks"))
+            for f in scalar_fields]
+        ft = docs.select(F.col(config.id_col).alias("doc_id"),
+                         F.explode(F.array(*structs)).alias("_ft"))
+        parts.append(
+            ft.select(
+                "doc_id",
+                F.col("_ft.field").alias("field"),
+                F.posexplode("_ft.toks").alias("pos", "term"),
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
