@@ -278,6 +278,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "tabl"}})
     q["stemmed_auto_lang"] = _stemmed_auto
 
+    def _stemmed_detect(s, d):
+        """Content-routed stemming (stem_lang='detect'): the document's
+        language is DETECTED from its text (functions/textstats.lang_id
+        marker argmax — the Spark twin of Stemmer.ts autoDetectLanguage /
+        LanguageDetector) and its tokens stem with that language's
+        Snowball. Membership of 'tabl'. Oracle re-derives the detection
+        (per-language marker counts + argmax CASE) and routes through
+        12 REFERENCE-generated per-language stem tables."""
+        key = (_session_key(s), "stem_detect", d)
+        if key not in _CACHE:
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8, stem_lang="detect")
+            idx = build_index(_docs(s, d), cfg)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, _docs(s, d))
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "tabl"}})
+    q["stemmed_detect_lang"] = _stemmed_detect
+
     def _stopwords_auto(s, d):
         from search_engine_spark.analysis.stopwords import auto_stopwords
         eng = _engine(s, d)
@@ -618,6 +639,36 @@ ORDER BY term
         " FROM t) "
         "SELECT doc_id FROM s WHERE list_contains(stoks, 'tabl') "
         "ORDER BY doc_id")
+    # content-DETECTED stemming: the oracle re-derives lang_id (marker
+    # counts + LANG_ORDER-tie-break argmax, 'en' when nothing matches)
+    # and routes through 12 reference-generated per-language stem tables
+    _vocab_12 = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "stem_docs_vocab_12.json")))
+    _det_counts = ",\n             ".join(
+        f"{_LANG_SQL_COUNTS[lg]} AS c_{lg}" for lg in textstats.LANG_ORDER)
+    _det_gr = "GREATEST(" + ", ".join(
+        f"c_{lg}" for lg in textstats.LANG_ORDER) + ")"
+    _det_case = (
+        f"CASE WHEN {_det_gr} = 0 THEN 'en' "
+        + " ".join(f"WHEN c_{lg} = {_det_gr} THEN '{lg}'"
+                   for lg in textstats.LANG_ORDER[:-1])
+        + f" ELSE '{textstats.LANG_ORDER[-1]}' END")
+    _stem12 = ("CASE pred " + " ".join(
+        "WHEN '" + lg + "' THEN (CASE x "
+        + " ".join(f"WHEN '{w}' THEN '{st}'"
+                   for w, st in sorted(_vocab_12[lg].items()))
+        + " ELSE x END)" for lg in textstats.LANG_ORDER)
+        + " ELSE x END")
+    o["stemmed_detect_lang"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+             {_det_counts}
+      FROM t),
+p AS (SELECT doc_id, toks, {_det_case} AS pred FROM c),
+s AS (SELECT doc_id, list_transform(toks, x -> {_stem12}) AS stoks FROM p)
+SELECT doc_id FROM s WHERE list_contains(stoks, 'tabl') ORDER BY doc_id
+"""
     # email analyzer tokens of user{id}@ex{id%7}.com: full, local, domain,
     # domain labels -> 'ex3' hits exactly doc_id % 7 = 3
     o["email_domain_label"] = ("SELECT doc_id FROM documents "

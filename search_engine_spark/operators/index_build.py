@@ -65,11 +65,14 @@ class IndexConfig:
     positions: bool = True
     stopwords: tuple = ()
     #: opt-in index-time stemming (reference default OFF, Tokenizer.ts:97):
-    #: a language code ("en"/"de"/"fr"/"es"/"pt"/"it") stems every field
-    #: with that stemmer; "auto" routes PER DOCUMENT by ``stem_lang_col``
-    #: (the corpus lang column — Stemmer.ts's language routing with the
-    #: column as the detector). 1:1 per token, so positions and dl are
-    #: unchanged (analysis/stemmer.py).
+    #: a language code (any of the 28 reference-routed codes) stems every
+    #: field with that stemmer; "auto" routes PER DOCUMENT by
+    #: ``stem_lang_col`` (the corpus lang column — Stemmer.ts's language
+    #: routing with the column as the detector); "detect" routes PER
+    #: DOCUMENT by content via functions/textstats.lang_id — the
+    #: Spark-native twin of Stemmer.ts autoDetectLanguage (which samples
+    #: the text through LanguageDetector). 1:1 per token, so positions
+    #: and dl are unchanged (analysis/stemmer.py).
     stem_lang: str | None = None
     stem_lang_col: str = "lang"
 
@@ -78,7 +81,7 @@ class IndexConfig:
         # field type fails at config time, never silently defaults
         from ..analysis.mappings import validate_fields
         validate_fields(self.fields)
-        if self.stem_lang not in (None, "auto"):
+        if self.stem_lang not in (None, "auto", "detect"):
             from ..analysis.stemmer import _stemmer_for
             _stemmer_for(self.stem_lang)  # fail fast on unknown language
 
@@ -129,7 +132,7 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     analyzer and positions RESTART per element; addToken dedups positions, so
     tf = |unique positions| — replicated downstream via collect_set(pos).
     """
-    def _maybe_stem(toks):
+    def _maybe_stem(toks, src_text=None):
         if config.stem_lang == "auto":
             if config.stem_lang_col not in docs.columns:
                 raise ValueError(
@@ -137,6 +140,12 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                     "column on the corpus (IndexConfig.stem_lang_col)")
             from ..analysis.stemmer import stem_tokens_by_lang
             return stem_tokens_by_lang(toks, F.col(config.stem_lang_col))
+        if config.stem_lang == "detect":
+            # content-routed: detect the document's language from the
+            # field text itself (lang_id marker argmax) and stem with it
+            from ..analysis.stemmer import stem_tokens_by_lang
+            from ..functions.textstats import lang_id
+            return stem_tokens_by_lang(toks, lang_id(src_text))
         if config.stem_lang:
             from ..analysis.stemmer import stem_tokens
             return stem_tokens(toks, config.stem_lang)
@@ -156,7 +165,8 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                     F.lit(f).alias("field"),
                     F.posexplode(_maybe_stem(
                         tokens_for(F.col("_elem"), "standard",
-                                   stopwords=config.stopwords)))
+                                   stopwords=config.stopwords),
+                        F.col("_elem")))
                      .alias("pos", "term"),
                 )
             )
@@ -165,7 +175,8 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     if len(scalar_fields) == 1:
         f = scalar_fields[0]
         toks = _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
-                                      stopwords=config.stopwords))
+                                      stopwords=config.stopwords),
+                           F.col(f))
         # materialize the token array in a Project BEFORE the generator:
         # Generate consumes a plain attribute, so the analyzer chain runs
         # once inside whole-stage codegen (with subexpression
@@ -190,7 +201,8 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
             F.struct(
                 F.lit(f).alias("field"),
                 _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
-                                       stopwords=config.stopwords))
+                                       stopwords=config.stopwords),
+                            F.col(f))
                 .alias("toks"))
             for f in scalar_fields]
         ft = docs.select(F.col(config.id_col).alias("doc_id"),
