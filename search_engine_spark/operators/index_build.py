@@ -132,64 +132,71 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     analyzer and positions RESTART per element; addToken dedups positions, so
     tf = |unique positions| — replicated downstream via collect_set(pos).
     """
-    def _maybe_stem(toks, src_text=None):
-        if config.stem_lang == "auto":
-            if config.stem_lang_col not in docs.columns:
-                raise ValueError(
-                    f"stem_lang='auto' needs the {config.stem_lang_col!r} "
-                    "column on the corpus (IndexConfig.stem_lang_col)")
-            from ..analysis.stemmer import stem_tokens_by_lang
-            return stem_tokens_by_lang(toks, F.col(config.stem_lang_col))
-        if config.stem_lang == "detect":
-            # content-routed: detect the document's language from the
-            # field text itself (lang_id marker argmax) and stem with it
-            from ..analysis.stemmer import stem_tokens_by_lang
-            from ..functions.textstats import lang_id
-            return stem_tokens_by_lang(toks, lang_id(src_text))
-        if config.stem_lang:
-            from ..analysis.stemmer import stem_tokens
-            return stem_tokens(toks, config.stem_lang)
-        return toks
+    def _needs_lang_col():
+        if config.stem_lang == "auto" \
+                and config.stem_lang_col not in docs.columns:
+            raise ValueError(
+                f"stem_lang='auto' needs the {config.stem_lang_col!r} "
+                "column on the corpus (IndexConfig.stem_lang_col)")
+        return config.stem_lang == "auto"
 
+    def _stem_projection(frame):
+        """Apply the configured stemming to the MATERIALIZED ``_toks``
+        column (one extra Project). Detection ('detect') runs over the
+        already-tokenized array (lang_id_tokens) so the analyzer chain is
+        never re-evaluated per language."""
+        if not config.stem_lang:
+            return frame
+        if config.stem_lang == "auto":
+            from ..analysis.stemmer import stem_tokens_by_lang
+            stemmed = stem_tokens_by_lang(F.col("_toks"),
+                                          F.col(config.stem_lang_col))
+        elif config.stem_lang == "detect":
+            from ..analysis.stemmer import stem_tokens_by_lang
+            from ..functions.textstats import lang_id_tokens
+            stemmed = stem_tokens_by_lang(F.col("_toks"),
+                                          lang_id_tokens(F.col("_toks")))
+        else:
+            from ..analysis.stemmer import stem_tokens
+            stemmed = stem_tokens(F.col("_toks"), config.stem_lang)
+        return frame.select("doc_id", "field", stemmed.alias("_toks"))
+
+    lang_extra = ([F.col(config.stem_lang_col)]
+                  if _needs_lang_col() else [])
     parts = []
     scalar_fields = []
     for f in config.fields:
         if _is_array_field(docs, f):
-            extra = ([F.col(config.stem_lang_col)]
-                     if config.stem_lang == "auto" else [])
             exploded = docs.select(F.col(config.id_col).alias("doc_id"),
-                                   F.explode(f).alias("_elem"), *extra)
+                                   F.explode(f).alias("_elem"), *lang_extra)
+            tokenized = exploded.select(
+                "doc_id",
+                F.lit(f).alias("field"),
+                tokens_for(F.col("_elem"), "standard",
+                           stopwords=config.stopwords).alias("_toks"),
+                *lang_extra)
             parts.append(
-                exploded.select(
-                    "doc_id",
-                    F.lit(f).alias("field"),
-                    F.posexplode(_maybe_stem(
-                        tokens_for(F.col("_elem"), "standard",
-                                   stopwords=config.stopwords),
-                        F.col("_elem")))
-                     .alias("pos", "term"),
-                )
-            )
+                _stem_projection(tokenized).select(
+                    "doc_id", "field",
+                    F.posexplode("_toks").alias("pos", "term")))
         else:
             scalar_fields.append(f)
     if len(scalar_fields) == 1:
         f = scalar_fields[0]
-        toks = _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
-                                      stopwords=config.stopwords),
-                           F.col(f))
         # materialize the token array in a Project BEFORE the generator:
         # Generate consumes a plain attribute, so the analyzer chain runs
         # once inside whole-stage codegen (with subexpression
         # elimination) instead of inside the generator's input
-        tokenized = docs.select(F.col(config.id_col).alias("doc_id"),
-                                toks.alias("_toks"))
+        tokenized = docs.select(
+            F.col(config.id_col).alias("doc_id"),
+            F.lit(f).alias("field"),
+            tokens_for(F.col(f), config.analyzer_for(f),
+                       stopwords=config.stopwords).alias("_toks"),
+            *lang_extra)
         parts.append(
-            tokenized.select(
-                "doc_id",
-                F.lit(f).alias("field"),
-                F.posexplode("_toks").alias("pos", "term"),
-            )
-        )
+            _stem_projection(tokenized).select(
+                "doc_id", "field",
+                F.posexplode("_toks").alias("pos", "term")))
     elif scalar_fields:
         # ONE source scan for ALL scalar fields: per-field token arrays are
         # packed into (field, toks) structs and exploded, instead of one
@@ -200,20 +207,20 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
         structs = [
             F.struct(
                 F.lit(f).alias("field"),
-                _maybe_stem(tokens_for(F.col(f), config.analyzer_for(f),
-                                       stopwords=config.stopwords),
-                            F.col(f))
-                .alias("toks"))
+                tokens_for(F.col(f), config.analyzer_for(f),
+                           stopwords=config.stopwords).alias("toks"))
             for f in scalar_fields]
         ft = docs.select(F.col(config.id_col).alias("doc_id"),
-                         F.explode(F.array(*structs)).alias("_ft"))
+                         F.explode(F.array(*structs)).alias("_ft"),
+                         *lang_extra)
+        tokenized = ft.select("doc_id",
+                              F.col("_ft.field").alias("field"),
+                              F.col("_ft.toks").alias("_toks"),
+                              *lang_extra)
         parts.append(
-            ft.select(
-                "doc_id",
-                F.col("_ft.field").alias("field"),
-                F.posexplode("_ft.toks").alias("pos", "term"),
-            )
-        )
+            _stem_projection(tokenized).select(
+                "doc_id", "field",
+                F.posexplode("_toks").alias("pos", "term")))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
