@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_terms_lang"] = lambda s, d: agg.terms_agg(
         _docs(s, d), "lang",
         hits=_engine(s, d).candidates({"term": {"field": "text", "value": "dup"}}))
+    q["agg_nested_source"] = lambda s, d: agg.nested_agg(
+        _docs_ext(s, d), "meta",
+        lambda inner: agg.terms_agg(inner, "source"))
     q["agg_histogram_nchars"] = lambda s, d: agg.histogram_agg(
         _docs(s, d), "n_chars", 50.0)
     q["agg_range_nchars"] = lambda s, d: agg.range_agg(
@@ -715,6 +718,13 @@ SELECT lang AS value, count(*)::BIGINT AS doc_count
 FROM documents JOIN hits USING (doc_id)
 WHERE lang IS NOT NULL
 GROUP BY lang ORDER BY doc_count DESC, value ASC LIMIT 10
+"""
+    # nested agg (A6): docs_ext's meta = struct(lang, source); the sub-agg
+    # over the struct's 'source' field reduces to a terms agg on source
+    o["agg_nested_source"] = """
+SELECT source AS value, count(*)::BIGINT AS doc_count
+FROM documents WHERE source IS NOT NULL
+GROUP BY source ORDER BY doc_count DESC, value ASC LIMIT 10
 """
     o["agg_histogram_nchars"] = """
 SELECT (floor(n_chars / 50.0::DOUBLE) * 50.0::DOUBLE)::DOUBLE AS bucket,
