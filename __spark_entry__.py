@@ -336,6 +336,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["agg_nested_source"] = lambda s, d: agg.nested_agg(
         _docs_ext(s, d), "meta",
         lambda inner: agg.terms_agg(inner, "source"))
+
+    def _deleted_members(s, d):
+        """Tombstone merge-on-read (I5): persist the index, delete every
+        doc_id % 10 == 3, reload with deletes, and ask for the members of
+        term 'data' — deleted docs must be invisible. Oracle = the same
+        membership minus the tombstoned ids."""
+        import os as _os2
+        import shutil as _sh
+        import tempfile as _tmp
+        from search_engine_spark.operators.index_build import write_index
+        from search_engine_spark.operators.delete import (
+            delete_docs, load_index_with_deletes)
+        key = (_session_key(s), "del_ix", d)
+        if key not in _CACHE:
+            ixdir = _os2.path.join(_tmp.gettempdir(),
+                                   f"contract_del_ix_{abs(hash(d)) % 10**8}")
+            _sh.rmtree(ixdir, ignore_errors=True)
+            docs = _docs(s, d)
+            write_index(docs, ixdir,
+                        IndexConfig(id_col="doc_id",
+                                    fields={"text": "text"}, n_buckets=8))
+            dead = [r["doc_id"] for r in
+                    docs.where(F.col("doc_id") % 10 == 3)
+                        .select("doc_id").collect()]
+            delete_docs(s, ixdir, dead)
+            idx = load_index_with_deletes(s, ixdir)
+            _CACHE[key] = SparkSearchEngine(idx, docs)
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "data"}})
+    q["deleted_members"] = _deleted_members
     q["agg_histogram_nchars"] = lambda s, d: agg.histogram_agg(
         _docs(s, d), "n_chars", 50.0)
     q["agg_range_nchars"] = lambda s, d: agg.range_agg(
@@ -725,6 +755,12 @@ GROUP BY lang ORDER BY doc_count DESC, value ASC LIMIT 10
 SELECT source AS value, count(*)::BIGINT AS doc_count
 FROM documents WHERE source IS NOT NULL
 GROUP BY source ORDER BY doc_count DESC, value ASC LIMIT 10
+"""
+    o["deleted_members"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE list_contains(toks, 'data') AND doc_id % 10 <> 3
+ORDER BY doc_id
 """
     o["agg_histogram_nchars"] = """
 SELECT (floor(n_chars / 50.0::DOUBLE) * 50.0::DOUBLE)::DOUBLE AS bucket,
