@@ -108,3 +108,32 @@ def test_stateful_sessionize_stream(tmp_path, spark):
     may_have = must_have | {(1, "2024-01-01 06:00:00", 4),
                             (2, "2024-01-01 05:00:00", 10)}
     assert must_have <= got <= may_have
+
+
+def test_stream_ingest_with_stemming_equals_batch(tmp_path, spark):
+    """Index-time stemming (fixed lang AND content-detect) flows through
+    the streaming run path identically to the batch build."""
+    for mode in ("de", "detect"):
+        src = str(tmp_path / f"src_{mode}")
+        pages = synth_pages(spark, 120).cache()
+        pages.where(F.col("doc_id") < 60).write.parquet(src + "/a")
+        pages.where(F.col("doc_id") >= 60).write.parquet(src + "/b")
+        cfg = dict(CFG, stem_lang=mode)
+        stream = (spark.readStream.schema(PAGES_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/*"))
+        idx_dir = str(tmp_path / f"stream_ix_{mode}")
+        q = stream_index_runs(stream, idx_dir, IndexConfig(**cfg))
+        q.awaitTermination(120)
+        merge_stream_runs(spark, idx_dir, IndexConfig(**cfg))
+
+        batch_dir = str(tmp_path / f"batch_ix_{mode}")
+        write_index(pages, batch_dir, IndexConfig(**cfg))
+        a = load_index(spark, idx_dir)
+        b = load_index(spark, batch_dir)
+        sa = {tuple(r) for r in
+              a.postings.select("field", "term", "doc_id", "tf").collect()}
+        sb = {tuple(r) for r in
+              b.postings.select("field", "term", "doc_id", "tf").collect()}
+        assert sa == sb, mode
+        assert abs(a.avg_dl - b.avg_dl) < 1e-12
