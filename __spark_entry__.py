@@ -33,6 +33,11 @@ from search_engine_spark.plans.dsl import SparkSearchEngine
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+#: deterministic a-z -> Cyrillic transliteration for the non-Latin
+#: detect-mode gate (stemmed_detect_ru); the SQL oracle uses the same pair
+_ASCII26 = "abcdefghijklmnopqrstuvwxyz"
+_CYR26 = "абвгдежзийклмнопрстуфхцчшщ"
+
 # ---------------------------------------------------------------------------
 # cached per-sf engine (the index tables are reused across queries)
 # ---------------------------------------------------------------------------
@@ -258,6 +263,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "da"}})
     q["stemmed_match_tr"] = _stemmed_tr
 
+    def _stemmed_surface(s, d):
+        """Index/query analyzer SYMMETRY (round-3 ADVICE high fix): the SAME
+        de-stemmed index as stemmed_match_de is queried with the SURFACE
+        form 'tables' — query tokens now stem through the identical chain
+        (snowball de('tables') = 'tabl'), so the result set equals the
+        pre-stemmed 'tabl' membership. Before the fix this returned zero
+        rows."""
+        _stemmed_de(s, d)  # ensure the cached de engine exists
+        key = (_session_key(s), "stem_de", d)
+        return _members(_CACHE[key],
+                        {"match": {"field": "text", "value": "tables"}})
+    q["stemmed_query_surface"] = _stemmed_surface
+
+    def _stemmed_ru(s, d):
+        """NON-LATIN content-routed stemming (detect mode + script-range
+        lang-id): the corpus is deterministically transliterated to
+        Cyrillic (translate a-z onto 26 Cyrillic letters), indexed with the
+        WHITESPACE analyzer (the standard chain spaces out non-ASCII — the
+        reference's ASCII-\\w Tokenizer.ts:176-192 does the same, so
+        non-Latin scripts need whitespace/custom analyzers there too) and
+        stem_lang='detect': script counting routes every doc to 'ru'
+        (textstats.SCRIPT_RANGES; LanguageDetector.ts:37-62 parity) and
+        tokens stem with the Russian Snowball. The QUERY uses the surface
+        form 'гауа' (= translit 'data'), which detect-routes to ru and
+        stems to 'гау'. Oracle maps tokens through the REFERENCE-generated
+        ru stem table (tests/golden/stem_docs_vocab_ru.json, produced by
+        executing src/lib/stemmers/ru.js on the transliterated vocab)."""
+        key = (_session_key(s), "stem_ru", d)
+        if key not in _CACHE:
+            docs_ru = _docs(s, d).select(
+                "doc_id",
+                F.translate(F.col("text"), _ASCII26, _CYR26).alias("text"),
+                "lang")
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8, stem_lang="detect",
+                              analyzers={"text": "whitespace"})
+            idx = build_index(docs_ru, cfg)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, docs_ru)
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "гауа"}})
+    q["stemmed_detect_ru"] = _stemmed_ru
+
     def _stemmed_auto(s, d):
         """Per-document language-routed stemming (stem_lang='auto' over the
         corpus lang column, Stemmer.ts routing): en/de/fr/es docs stem with
@@ -366,6 +416,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _members(_CACHE[key],
                         {"term": {"field": "text", "value": "data"}})
     q["deleted_members"] = _deleted_members
+
+    def _lsm_append(s, d):
+        """LSM incremental add (I1/I9 at scale, round-3): base index over
+        80% of the corpus + append_docs of the rest as an O(batch) RUN;
+        the query runs over base ∪ run with NO merge/compaction job
+        (operators/lsm.py, reference SearchEngine.ts:219-253 O(doc) add).
+        Scored BM25 oracle: hash-match proves the additively-maintained
+        collection stats (dl_sum/total_docs) are bitwise-equal to a full
+        rebuild's."""
+        import os as _os2
+        import shutil as _sh
+        import tempfile as _tmp
+        from search_engine_spark.operators.index_build import (load_index,
+                                                               write_index)
+        from search_engine_spark.operators.lsm import append_docs
+        key = (_session_key(s), "lsm_ix", d)
+        if key not in _CACHE:
+            ixdir = _os2.path.join(_tmp.gettempdir(),
+                                   f"contract_lsm_ix_{abs(hash(d)) % 10**8}")
+            _sh.rmtree(ixdir, ignore_errors=True)
+            docs = _docs(s, d)
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8)
+            write_index(docs.where(F.col("doc_id") % 5 != 0), ixdir, cfg)
+            append_docs(docs.where(F.col("doc_id") % 5 == 0), ixdir, cfg)
+            idx = load_index(s, ixdir)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, docs)
+        return _topk(_CACHE[key], {"match": {"field": "text", "value": "data"}})
+    q["lsm_append_bm25"] = _lsm_append
     q["agg_histogram_nchars"] = lambda s, d: agg.histogram_agg(
         _docs(s, d), "n_chars", 50.0)
     q["agg_range_nchars"] = lambda s, d: agg.range_agg(
@@ -565,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["bm25_match"] = _bm25_sql(["data"])
+    # base ∪ append-run view must score exactly like a full build
+    o["lsm_append_bm25"] = _bm25_sql(["data"])
     o["bm25_should_two"] = _bm25_sql(["data", "query"])
     o["bm25_wand_should"] = _bm25_sql(["data", "query"])
     o["personalized_bm25"] = _bm25_sql(
@@ -637,6 +721,24 @@ ORDER BY term
         f"WITH t AS (SELECT doc_id, list_transform({TOK}, x -> {_stem_case})"
         " AS stoks FROM documents) "
         "SELECT doc_id FROM t WHERE list_contains(stoks, 'tabl') "
+        "ORDER BY doc_id")
+    # query-side stemming symmetry: surface query 'tables' stems to 'tabl'
+    # (reference de.js: tables -> tabl), so the oracle IS the stemmed
+    # membership of 'tabl' — identical result set to stemmed_match_de
+    o["stemmed_query_surface"] = o["stemmed_match_de"]
+    _vocab_ru = _json.load(open(_os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "tests", "golden", "stem_docs_vocab_ru.json")))
+    _stem_case_ru = ("CASE x " + " ".join(
+        f"WHEN '{w}' THEN '{st}'" for w, st in sorted(_vocab_ru.items()))
+        + " ELSE x END")
+    _ru_tok = (f"list_filter(string_split(translate(text, '{_ASCII26}', "
+               f"'{_CYR26}'), ' '), x -> x <> '')")
+    o["stemmed_detect_ru"] = (
+        f"WITH t AS (SELECT doc_id, {_ru_tok} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, list_transform(toks, x -> {_stem_case_ru})"
+        " AS stoks FROM t) "
+        "SELECT doc_id FROM s WHERE list_contains(stoks, 'гау') "
         "ORDER BY doc_id")
     _vocab_tr = _json.load(open(_os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)),

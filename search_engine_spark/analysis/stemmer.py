@@ -1,16 +1,17 @@
 """Optional stemming filter (SURVEY T11).
 
-The reference ships 26 Snowball stemmers but stemming is OFF by default
+The reference ships its Snowball stemmers but stemming is OFF by default
 (Tokenizer.ts:97, src/index.ts:97), so no default-config behavior depends on
-it. This module provides the same opt-in hook with a pure-Python English
-Porter stemmer (the Snowball "porter" variant the reference's en.js
-compiles — Porter 1980 plus its documented bli/logi/sion-tion departures)
-and ten more Snowball languages (analysis/snowball.py:
-de/fr/es/pt/it/sv/no/da/nl/ru), all golden-pinned against the reference's
-compiled stemmer output; the remaining 15 languages raise
-NotImplementedError until a stemmer library is available on the cluster.
-``stem_tokens_by_lang`` routes per document by a lang column
-(IndexConfig.stem_lang="auto").
+it. This module provides the same opt-in hook with ALL 28 reference-routed
+stemmer codes implemented in pure Python: the English Porter stemmer below
+(the Snowball "porter" variant the reference's en.js compiles — Porter 1980
+plus its documented bli/logi/sion-tion departures) and the other 27
+languages in analysis/snowball.py + snowball_ext.py, every one golden-pinned
+against the reference's compiled stemmer output (tests/golden/snowball.json,
+800 vectors/language). Unknown or null codes fall back to the English
+porter — the reference's routing (SnowballStemmer.ts:27-31); see
+``supported_langs()``. ``stem_tokens_by_lang`` routes per document by a
+lang column (IndexConfig.stem_lang="auto").
 
 Usage: ``stem_tokens(tokens_col, lang="en")`` wraps a token array column in
 an Arrow pandas UDF (stemming is pure string work; vectorized per batch).
@@ -170,6 +171,18 @@ def _stemmer_for(lang: str):
 
 def stem_word(word: str, lang: str = "en") -> str:
     return _stemmer_for(lang)(word)
+
+
+def stem_word_routed(word: str, lang: str | None) -> str:
+    """Stem with the reference's lenient routing: unknown/None codes fall
+    back to the English porter (SnowballStemmer.ts:27-31) instead of
+    raising — the per-ROW twin of :func:`stem_tokens_by_lang`'s routing,
+    used by the QUERY side for index/query analyzer symmetry."""
+    from .snowball import SNOWBALL
+    key = (lang or "").lower()
+    fn = porter_stem if key in ("en", "english") \
+        else SNOWBALL.get(key, porter_stem)
+    return fn(word)
 
 
 def stem_tokens(tokens: Column, lang: str = "en") -> Column:

@@ -79,6 +79,25 @@ LANG_MARKERS = {
 LANG_ORDER = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "no",
               "da", "tr", "id"]
 
+#: Non-Latin script ranges, checked AHEAD of the Latin marker argmax
+#: (LanguageDetector.ts:37-62 routes non-Latin codes via CLD; here a
+#: char-class count per Unicode block — pure column exprs). Each script
+#: routes to the most common stemmer-routed language written in it; the
+#: sibling languages sharing a script (bg/uk/sr also Cyrillic, ne also
+#: Devanagari) would need per-language markers to separate — documented
+#: approximation, matching the script-level granularity the verdict asks.
+SCRIPT_RANGES = {
+    "ru": (0x0400, 0x04FF),   # Cyrillic
+    "el": (0x0370, 0x03FF),   # Greek
+    "ar": (0x0600, 0x06FF),   # Arabic
+    "hi": (0x0900, 0x097F),   # Devanagari
+    "ta": (0x0B80, 0x0BFF),   # Tamil
+    "hy": (0x0530, 0x058F),   # Armenian
+    "am": (0x1200, 0x137F),   # Ethiopic
+}
+#: deterministic argmax tie-break for script counts (first listed wins)
+SCRIPT_ORDER = ["ru", "el", "ar", "hi", "ta", "hy", "am"]
+
 
 def ws_token_count(text: Column) -> Column:
     """Whitespace token count (split on runs of whitespace, trimmed)."""
@@ -122,22 +141,71 @@ def quality_score(text: Column, n_chars: Column) -> Column:
     return round6(score)
 
 
+def _script_counts_col(joined: Column) -> dict:
+    """Per-script char counts over a concatenated-token string column."""
+    out = {}
+    for lang in SCRIPT_ORDER:
+        lo, hi = SCRIPT_RANGES[lang]
+        pat = f"[{chr(lo)}-{chr(hi)}]"
+        out[lang] = (F.length(joined)
+                     - F.length(F.regexp_replace(joined, pat, "")))
+    return out
+
+
 def lang_id_tokens(toks: Column) -> Column:
-    """Marker-count argmax language guess over an ALREADY-TOKENIZED array
-    with deterministic tie-break (first language in LANG_ORDER wins ties;
-    'en' when nothing matches). Prefer this over lang_id when a token
-    column is materialized — the per-language counts then share ONE
-    analyzer evaluation instead of re-tokenizing per language. (A
-    marker->bitmask literal-map variant measured SLOWER: create_map
-    literals don't constant-fold inside lambda functions, so the
-    300-entry map was rebuilt per token.)"""
+    """Language guess over an ALREADY-TOKENIZED array: non-Latin script
+    char-count argmax first (SCRIPT_ORDER tie-break), then the Latin
+    marker-count argmax with deterministic tie-break (first language in
+    LANG_ORDER wins ties; 'en' when nothing matches). Prefer this over
+    lang_id when a token column is materialized — the per-language counts
+    then share ONE analyzer evaluation instead of re-tokenizing per
+    language. (A marker->bitmask literal-map variant measured SLOWER:
+    create_map literals don't constant-fold inside lambda functions, so
+    the 300-entry map was rebuilt per token.)"""
     counts = {lang: stopword_count(toks, LANG_MARKERS[lang])
               for lang in LANG_ORDER}
     best_n = F.greatest(*counts.values())
     out = F.lit("en")
     for lang in reversed(LANG_ORDER):
         out = F.when(counts[lang] == best_n, F.lit(lang)).otherwise(out)
-    return F.when(best_n > 0, out).otherwise(F.lit("en"))
+    latin = F.when(best_n > 0, out).otherwise(F.lit("en"))
+    joined = F.concat_ws("", toks)
+    sc = _script_counts_col(joined)
+    best_s = F.greatest(*sc.values())
+    sout = latin
+    for lang in reversed(SCRIPT_ORDER):
+        sout = F.when(sc[lang] == best_s, F.lit(lang)).otherwise(sout)
+    script_based = F.when(best_s > 0, sout).otherwise(latin)
+    # CaseWhen branches evaluate lazily per row: ASCII corpora pay ONE
+    # rlike scan here instead of the 7 per-script count passes
+    return F.when(joined.rlike("[^\x00-\x7f]"), script_based).otherwise(latin)
+
+
+def lang_id_py(tokens: list) -> str:
+    """Pure-Python twin of :func:`lang_id_tokens` (same script-first,
+    marker-argmax-second semantics, same tie-breaks) — used by the QUERY
+    side (plans/dsl, serving) to route query-token stemming for
+    stem_lang='auto'/'detect' indexes without a Spark job."""
+    toks = [t for t in (tokens or []) if t]
+    joined = "".join(toks)
+    script_counts = {}
+    for lang in SCRIPT_ORDER:
+        lo, hi = SCRIPT_RANGES[lang]
+        script_counts[lang] = sum(1 for ch in joined if lo <= ord(ch) <= hi)
+    best_s = max(script_counts.values(), default=0)
+    if best_s > 0:
+        for lang in SCRIPT_ORDER:
+            if script_counts[lang] == best_s:
+                return lang
+    tokset = toks
+    counts = {lang: sum(1 for t in tokset if t in set(LANG_MARKERS[lang]))
+              for lang in LANG_ORDER}
+    best_n = max(counts.values(), default=0)
+    if best_n > 0:
+        for lang in LANG_ORDER:
+            if counts[lang] == best_n:
+                return lang
+    return "en"
 
 
 def lang_id(text: Column) -> Column:

@@ -80,10 +80,15 @@ def range_agg(docs: DataFrame, field: str, ranges: list,
               id_col: str = "doc_id") -> DataFrame:
     """range aggregation (A5, FacetEngine.ts:268-296): explicit [from, to)
     buckets with generated "from-to" keys; a doc lands in every range that
-    contains it (ES semantics — ranges may overlap)."""
+    contains it (ES semantics — ranges may overlap).
+
+    ONE scan for any number of ranges: each range is a conditional-sum
+    column over the same pass (map-side combined to a single row), then the
+    1-row result unpivots to (key, doc_count) rows — versus one scan+union
+    per range, which at 100 TB multiplies the input volume by |ranges|."""
     scoped = _scope(docs, hits, id_col).where(F.col(field).isNotNull())
-    parts = []
-    for r in ranges:
+    aggs, keys = [], []
+    for i, r in enumerate(ranges):
         lo, hi = r.get("from"), r.get("to")
         key = r.get("key") or f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
         pred = F.lit(True)
@@ -91,13 +96,18 @@ def range_agg(docs: DataFrame, field: str, ranges: list,
             pred = pred & (F.col(field) >= F.lit(lo))
         if hi is not None:
             pred = pred & (F.col(field) < F.lit(hi))
-        parts.append(scoped.where(pred)
-                     .agg(F.count(F.lit(1)).alias("doc_count"))
-                     .select(F.lit(key).alias("key"), "doc_count"))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        keys.append(key)
+        aggs.append(F.sum(F.when(pred, 1).otherwise(0))
+                    .cast("long").alias(f"_r{i}"))
+    row = scoped.agg(*aggs)
+    pairs = F.array(*[F.struct(F.lit(k).alias("key"),
+                               F.coalesce(F.col(f"_r{i}"), F.lit(0).cast("long"))
+                               .alias("doc_count"))
+                      for i, k in enumerate(keys)])
+    return (row.select(F.posexplode(pairs).alias("_i", "_kv"))
+            .orderBy("_i")
+            .select(F.col("_kv.key").alias("key"),
+                    F.col("_kv.doc_count").alias("doc_count")))
 
 
 def filter_agg(docs: DataFrame, pred, sub, hits: DataFrame | None = None,

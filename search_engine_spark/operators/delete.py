@@ -30,21 +30,35 @@ from .index_build import (DOC_STATS, META, POSTINGS, TERM_STATS, IndexConfig,
 TOMBSTONES = "tombstones"
 
 
+def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
+    """Base doc_stats ∪ live LSM append/stream runs (the same union view
+    load_index serves) — delete bookkeeping must count appended docs too."""
+    from .lsm import live_runs
+    base_p = os.path.join(index_dir, DOC_STATS)
+    ds = spark.read.parquet(base_p) if os.path.isdir(base_p) else None
+    runs = live_runs(index_dir)
+    if runs:
+        run_ds = spark.read.parquet(*[e["doc_stats_path"] for e in runs])
+        ds = run_ds if ds is None else ds.unionByName(run_ds)
+    return ds
+
+
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
     """Tombstone ``doc_ids`` and refresh collection stats. Returns new meta."""
     tomb_path = os.path.join(index_dir, TOMBSTONES)
     spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long") \
         .write.mode("append").parquet(tomb_path)
     tomb = spark.read.parquet(tomb_path).distinct()
-    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS)) \
-        .join(tomb, "doc_id", "anti")
+    ds = _doc_stats_with_runs(spark, index_dir).join(tomb, "doc_id", "anti")
     stats = ds.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+                   F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("dlsum")).collect()[0]
     meta_path = os.path.join(index_dir, META)
     with open(meta_path) as fh:
         meta = json.load(fh)
     meta["total_docs"] = int(stats["n"])
     meta["avg_dl"] = float(stats["avgdl"] or 0.0)
+    meta["dl_sum"] = int(stats["dlsum"] or 0)
     meta["n_tombstones"] = tomb.count()
     with open(meta_path, "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -72,6 +86,13 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     """Apply tombstones physically: rewrite the index tables without the
     deleted rows and drop the tombstone table."""
     import shutil
+
+    # live LSM runs must fold into the base FIRST: they may hold postings
+    # of tombstoned docs, and clearing the tombstone table with raw runs
+    # still live would resurrect those docs on the next load
+    from .lsm import compact_runs, live_runs
+    if live_runs(index_dir):
+        compact_runs(spark, index_dir)
 
     tomb_path = os.path.join(index_dir, TOMBSTONES)
     if not os.path.isdir(tomb_path):
@@ -107,9 +128,11 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
     stats = ds.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+                   F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("dlsum")).collect()[0]
     meta["total_docs"] = int(stats["n"])
     meta["avg_dl"] = float(stats["avgdl"] or 0.0)
+    meta["dl_sum"] = int(stats["dlsum"] or 0)
     meta["n_postings"] = postings_r.count()
     meta.pop("n_tombstones", None)
     with open(os.path.join(index_dir, META), "w") as fh:

@@ -48,6 +48,25 @@ META = "meta.json"
 MANIFEST = "build_manifest"
 RUNS = "runs"
 
+#: bucket-function fingerprint written into meta and VALIDATED at load:
+#: driver-side bucket pruning (bucket_of) and ServingIndex lookups compute
+#: buckets in pure Python, so a layout built with a different hash would
+#: silently prune to the WRONG partitions (empty postings, not a crash).
+BUCKET_FN = "xxh64:42"
+
+
+def check_bucket_fn(meta: dict, where: str) -> None:
+    """Refuse to serve an index whose bucket layout predates (or differs
+    from) the current bucket hash — missing/legacy fingerprints would make
+    bucket_of prune to wrong partitions and silently return empty postings."""
+    bf = meta.get("bucket_fn")
+    if bf != BUCKET_FN:
+        raise ValueError(
+            f"{where}: index bucket_fn={bf!r} does not match this engine's "
+            f"{BUCKET_FN!r} — the layout was written with a different "
+            "term-hash; rebuild the index (or re-run write_index) before "
+            "querying, otherwise bucket pruning would silently miss postings")
+
 
 @dataclass
 class IndexConfig:
@@ -75,17 +94,33 @@ class IndexConfig:
     #: and dl are unchanged (analysis/stemmer.py).
     stem_lang: str | None = None
     stem_lang_col: str = "lang"
+    #: per-field analyzer OVERRIDE of the type routing (the reference's
+    #: Tokenizer.tokenize takes an analyzer name per call; SearchEngine
+    #: routes by field type, SearchEngine.ts:939-954, but mappings may pin
+    #: one — e.g. 'whitespace' to index non-ASCII scripts that the
+    #: ASCII-\w standard chain would space out, Tokenizer.ts:176-192)
+    analyzers: dict = dc_field(default_factory=dict)
 
     def __post_init__(self):
         # explicit-mappings validation (FieldType.ts whitelist): a typo'd
         # field type fails at config time, never silently defaults
         from ..analysis.mappings import validate_fields
         validate_fields(self.fields)
+        from ..analysis.analyzers import ANALYZERS
+        for f, a in (self.analyzers or {}).items():
+            if f not in self.fields:
+                raise ValueError(f"analyzer override for unmapped field {f!r}")
+            if a not in ANALYZERS:
+                raise ValueError(
+                    f"unknown analyzer {a!r} for field {f!r}; "
+                    f"must be one of: {', '.join(sorted(ANALYZERS))}")
         if self.stem_lang not in (None, "auto", "detect"):
             from ..analysis.stemmer import _stemmer_for
             _stemmer_for(self.stem_lang)  # fail fast on unknown language
 
     def analyzer_for(self, field: str) -> str:
+        if field in (self.analyzers or {}):
+            return self.analyzers[field]
         return FIELD_TYPE_ANALYZER.get(self.fields[field], "standard")
 
 
@@ -140,6 +175,38 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                 "column on the corpus (IndexConfig.stem_lang_col)")
         return config.stem_lang == "auto"
 
+    all_array_fields = [f for f in config.fields if _is_array_field(docs, f)]
+    all_scalar_fields = [f for f in config.fields if f not in all_array_fields]
+
+    # stem_lang='detect': detection is PER DOCUMENT over the PRE-stopword
+    # token stream of all scalar fields concatenated — the reference's
+    # per-document autoDetectLanguage (Stemmer.ts), not per (doc, field):
+    # a configured stopword list would otherwise remove exactly the
+    # detector's marker words first (biasing to 'en'), and short fields
+    # (titles) would detect independently of the body. The one case where
+    # per-field detection over the materialized _toks IS the same function
+    # — a single scalar field with no stopwords — keeps the cheaper path
+    # (no second tokenize of the text).
+    detect_per_doc = (
+        config.stem_lang == "detect" and all_scalar_fields
+        and (len(all_scalar_fields) > 1 or bool(config.stopwords)
+             or bool(all_array_fields)))
+    if detect_per_doc:
+        from ..functions.textstats import lang_id_tokens
+        det_parts = [tokens_for(F.col(f), config.analyzer_for(f))
+                     for f in all_scalar_fields]
+        det_expr = lang_id_tokens(
+            det_parts[0] if len(det_parts) == 1 else F.concat(*det_parts))
+        # exprs valid over `docs` / carried as a named column downstream
+        lang_src = [det_expr.alias("_detlang")]
+        lang_extra = [F.col("_detlang")]
+    elif _needs_lang_col():
+        lang_src = [F.col(config.stem_lang_col)]
+        lang_extra = [F.col(config.stem_lang_col)]
+    else:
+        lang_src = []
+        lang_extra = []
+
     def _stem_projection(frame):
         """Apply the configured stemming to the MATERIALIZED ``_toks``
         column (one extra Project). Detection ('detect') runs over the
@@ -154,21 +221,20 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
         elif config.stem_lang == "detect":
             from ..analysis.stemmer import stem_tokens_by_lang
             from ..functions.textstats import lang_id_tokens
-            stemmed = stem_tokens_by_lang(F.col("_toks"),
-                                          lang_id_tokens(F.col("_toks")))
+            lang_col = (F.col("_detlang") if detect_per_doc
+                        else lang_id_tokens(F.col("_toks")))
+            stemmed = stem_tokens_by_lang(F.col("_toks"), lang_col)
         else:
             from ..analysis.stemmer import stem_tokens
             stemmed = stem_tokens(F.col("_toks"), config.stem_lang)
         return frame.select("doc_id", "field", stemmed.alias("_toks"))
 
-    lang_extra = ([F.col(config.stem_lang_col)]
-                  if _needs_lang_col() else [])
     parts = []
     scalar_fields = []
     for f in config.fields:
         if _is_array_field(docs, f):
             exploded = docs.select(F.col(config.id_col).alias("doc_id"),
-                                   F.explode(f).alias("_elem"), *lang_extra)
+                                   F.explode(f).alias("_elem"), *lang_src)
             tokenized = exploded.select(
                 "doc_id",
                 F.lit(f).alias("field"),
@@ -192,7 +258,7 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
             F.lit(f).alias("field"),
             tokens_for(F.col(f), config.analyzer_for(f),
                        stopwords=config.stopwords).alias("_toks"),
-            *lang_extra)
+            *lang_src)
         parts.append(
             _stem_projection(tokenized).select(
                 "doc_id", "field",
@@ -212,7 +278,7 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
             for f in scalar_fields]
         ft = docs.select(F.col(config.id_col).alias("doc_id"),
                          F.explode(F.array(*structs)).alias("_ft"),
-                         *lang_extra)
+                         *lang_src)
         tokenized = ft.select("doc_id",
                               F.col("_ft.field").alias("field"),
                               F.col("_ft.toks").alias("_toks"),
@@ -384,13 +450,17 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         os.path.join(index_dir, TERM_STATS))
 
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
-    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("dlsum")).collect()[0]
     n_postings = int(spark.read.parquet(os.path.join(index_dir, TERM_STATS))
                      .agg(F.sum("df")).collect()[0][0] or 0)
     elapsed = time.time() - t0
     meta = {
         "total_docs": int(stats["n"]),
         "avg_dl": float(stats["avgdl"] or 0.0),
+        # exact long Σdl: lets lsm.append_docs update avg_dl additively
+        # with NO drift vs a recompute (avg() == dl_sum/n for long dl)
+        "dl_sum": int(stats["dlsum"] or 0),
         "n_postings": n_postings,
         "id_col": config.id_col,
         "fields": config.fields,
@@ -398,7 +468,8 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "positions": config.positions,
         "stem_lang": config.stem_lang,
         "stem_lang_col": config.stem_lang_col,
-        "bucket_fn": "xxh64:42",
+        "analyzers": config.analyzers,
+        "bucket_fn": BUCKET_FN,
         "build_seconds": elapsed,
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
         "postings_per_sec": n_postings / elapsed if elapsed else None,
@@ -409,18 +480,36 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
 
 
 def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
+    """Open a persisted index — the LSM read path: when committed,
+    uncompacted append/stream RUNS exist (operators/lsm.append_docs,
+    streaming ingest), queries are served over **base ∪ runs** without any
+    merge job; compaction folds them in bucket-wise later. Collection
+    stats come from meta, which the append path keeps additively exact."""
     with open(os.path.join(index_dir, META)) as fh:
         meta = json.load(fh)
+    check_bucket_fn(meta, f"load_index({index_dir})")
     config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
                          n_buckets=meta["n_buckets"],
                          positions=meta["positions"],
                          stem_lang=meta.get("stem_lang"),
-                         stem_lang_col=meta.get("stem_lang_col", "lang"))
-    return InvertedIndex(
-        spark.read.parquet(os.path.join(index_dir, POSTINGS)),
-        spark.read.parquet(os.path.join(index_dir, DOC_STATS)),
-        spark.read.parquet(os.path.join(index_dir, TERM_STATS)),
-        meta["total_docs"], meta["avg_dl"], config)
+                         stem_lang_col=meta.get("stem_lang_col", "lang"),
+                         analyzers=meta.get("analyzers") or {})
+
+    def _read(sub):
+        p = os.path.join(index_dir, sub)
+        return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    postings = _read(POSTINGS)
+    doc_stats = _read(DOC_STATS)
+    term_stats = _read(TERM_STATS)
+    from .lsm import union_with_runs
+    postings, doc_stats, term_stats = union_with_runs(
+        spark, index_dir, config, postings, doc_stats, term_stats)
+    if postings is None:
+        raise FileNotFoundError(
+            f"no postings (base or committed runs) under {index_dir}")
+    return InvertedIndex(postings, doc_stats, term_stats,
+                         meta["total_docs"], meta["avg_dl"], config)
 
 
 # ---------------------------------------------------------------------------
@@ -511,13 +600,18 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         os.path.join(index_dir, TERM_STATS))
 
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
-    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("dlsum")).collect()[0]
     meta = {
         "total_docs": int(stats["n"]),
         "avg_dl": float(stats["avgdl"] or 0.0),
+        "dl_sum": int(stats["dlsum"] or 0),
         "n_postings": postings_r.count(),
         "id_col": config.id_col, "fields": config.fields,
         "n_buckets": config.n_buckets, "positions": config.positions,
+        "stem_lang": config.stem_lang,
+        "stem_lang_col": config.stem_lang_col,
+        "bucket_fn": BUCKET_FN,
         "n_chunks": n_chunks, "build_seconds": time.time() - t0,
     }
     with open(os.path.join(index_dir, META), "w") as fh:

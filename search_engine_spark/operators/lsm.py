@@ -1,0 +1,282 @@
+"""LSM-style incremental adds over a persisted index (SURVEY I1/I9 at scale).
+
+The reference's ``add()`` mutates in-memory maps in O(doc)
+(SearchEngine.ts:219-253). The columnar rebuild previously only offered the
+full run-merge (rewriting the ENTIRE postings table per append batch —
+O(index), a scale-killer at 100 TB). This module is the log-structured
+replacement:
+
+- :func:`append_docs` writes an immutable posting RUN + doc-stats run for
+  the batch, commits a manifest entry, and additively updates meta —
+  strictly O(batch) work, no base-table rewrite.
+- ``load_index`` (index_build) consults :func:`live_runs` and serves
+  queries over **base ∪ runs**: postings/doc_stats union, term_stats
+  merged additively (the DSL takes any postings DataFrame, so every query
+  operator works unchanged on the union view).
+- :func:`compact_runs` folds the live runs into the bucket-partitioned
+  base, rewriting ONLY the bucket partitions the runs actually touch
+  (dynamic partition overwrite — the parquet twin of Iceberg's
+  ``replaceWhere``); doc-stats runs are promoted by FILE MOVE (O(1) per
+  file), and the |vocab|-sized term_stats table is re-merged. Untouched
+  bucket directories are left byte-identical (asserted in
+  tests/test_lsm.py).
+
+Meta bookkeeping: ``dl_sum`` (exact long) rides in meta so the additive
+``avg_dl = dl_sum / total_docs`` reproduces Spark's ``avg()`` bitwise —
+BM25 scores never drift between the union view and a later compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import (BUCKET_FN, DOC_STATS, MANIFEST, META, POSTINGS,
+                          RUNS, TERM_STATS, IndexConfig, _bucket_col,
+                          build_doc_stats, build_postings)
+
+ADD_PREFIX = "add"
+
+
+def _manifest_entries(index_dir: str) -> list:
+    mdir = os.path.join(index_dir, MANIFEST)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as fh:
+                out.append((name, json.load(fh)))
+    return out
+
+
+def live_runs(index_dir: str) -> list:
+    """Committed-but-uncompacted ADD/STREAM run entries (the LSM memtable
+    flushes). Resumable-build chunk runs (no ``doc_stats_path``) are
+    lifecycle-managed by their own phase-2 merge and never served raw."""
+    return [e for _, e in _manifest_entries(index_dir)
+            if e.get("status") == "committed" and e.get("doc_stats_path")]
+
+
+def mark_compacted(index_dir: str, entries: list) -> None:
+    """Flip the given manifest entries to status='compacted' (kept for
+    lineage: predicate, counts, timings stay auditable per snapshot)."""
+    keys = {(e.get("chunk"), e.get("run_path")) for e in entries}
+    for name, e in _manifest_entries(index_dir):
+        if (e.get("chunk"), e.get("run_path")) in keys \
+                and e.get("status") == "committed":
+            e["status"] = "compacted"
+            with open(os.path.join(index_dir, MANIFEST, name), "w") as fh:
+                json.dump(e, fh, indent=1)
+
+
+def _fresh_meta(config: IndexConfig) -> dict:
+    return {"total_docs": 0, "avg_dl": 0.0, "dl_sum": 0,
+            "n_postings": 0, "id_col": config.id_col,
+            "fields": config.fields, "n_buckets": config.n_buckets,
+            "positions": config.positions,
+            "stem_lang": config.stem_lang,
+            "stem_lang_col": config.stem_lang_col,
+            "analyzers": config.analyzers, "bucket_fn": BUCKET_FN}
+
+
+def reconcile_meta(index_dir: str, config: IndexConfig) -> dict:
+    """Fold every committed-but-unapplied run's recorded stats into meta.
+
+    Each manifest entry carries its exact (n_docs, dl_sum, n_postings);
+    ``meta.applied_runs`` records which entries have been folded in, so
+    replays (foreachBatch re-running a batch) and crash-recovery are
+    idempotent: commit order is manifest entry FIRST, then this reconcile
+    — a crash in between just means the next reconcile applies it.
+    avg_dl = dl_sum / total_docs over exact longs, bitwise-equal to a
+    recompute (Spark avg() of a long column is sum/count in double)."""
+    meta_path = os.path.join(index_dir, META)
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    else:  # first batch of a runs-only (streaming-style) index
+        meta = _fresh_meta(config)
+    applied = list(meta.get("applied_runs", []))
+    changed = False
+    for _, e in _manifest_entries(index_dir):
+        key = e.get("chunk")
+        if (e.get("status") != "committed" or not e.get("doc_stats_path")
+                or key in applied):
+            continue
+        old_n = int(meta.get("total_docs", 0))
+        old_dl = meta.get("dl_sum")
+        if old_dl is None:  # pre-dl_sum layout (exact: dl_sum is avg*n)
+            old_dl = int(round(float(meta.get("avg_dl", 0.0)) * old_n))
+        meta["total_docs"] = old_n + int(e["n_docs"])
+        meta["dl_sum"] = int(old_dl) + int(e.get("dl_sum", 0))
+        meta["avg_dl"] = (meta["dl_sum"] / meta["total_docs"]
+                          if meta["total_docs"] else 0.0)
+        meta["n_postings"] = (int(meta.get("n_postings", 0))
+                              + int(e.get("n_postings", 0)))
+        applied.append(key)
+        changed = True
+    if changed or not os.path.isfile(meta_path):
+        meta["applied_runs"] = applied
+        with open(meta_path + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(meta_path + ".tmp", meta_path)
+    return meta
+
+
+def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
+              run_key: str, manifest_name: str, lineage: dict) -> dict:
+    """Shared run writer for append/stream batches: postings + doc-stats
+    runs under ``runs/<run_key>``, manifest entry (with exact batch stats)
+    committed last, then meta reconciled. Idempotent under replay: same
+    key → same paths (overwrite) and a single meta application."""
+    os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
+    t0 = time.time()
+    run_path = os.path.join(index_dir, RUNS, run_key)
+    build_postings(docs, config).write.mode("overwrite").parquet(run_path)
+    ds_path = os.path.join(index_dir, RUNS, f"doc_stats_{run_key}")
+    build_doc_stats(docs, config).write.mode("overwrite").parquet(ds_path)
+    spark = docs.sparkSession
+    row = spark.read.parquet(ds_path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")).collect()[0]
+    n_post = spark.read.parquet(run_path).count()
+    entry = {
+        "chunk": run_key, "status": "committed",
+        "n_docs": int(row["n"]), "dl_sum": int(row["dl_sum"] or 0),
+        "n_postings": n_post, "run_path": run_path,
+        "doc_stats_path": ds_path, "seconds": time.time() - t0,
+        "lineage": lineage,
+    }
+    mpath = os.path.join(index_dir, MANIFEST, manifest_name)
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(entry, fh, indent=1)
+    os.replace(mpath + ".tmp", mpath)
+    reconcile_meta(index_dir, config)
+    return entry
+
+
+def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
+    """Append a batch of documents to a persisted index in O(batch) —
+    the LSM twin of the reference's O(doc) ``add()``
+    (SearchEngine.ts:219-253). Writes ``runs/add_batch=<n>`` postings +
+    doc-stats runs, commits the manifest entry, and reconciles meta
+    additively. Queries via ``load_index`` see the batch immediately; no
+    base rewrite happens until :func:`compact_runs`. Doc ids must be
+    unique vs the existing corpus (same contract as the reference add)."""
+    taken = [e.get("lineage", {}).get("add_id", -1)
+             for _, e in _manifest_entries(index_dir)]
+    add_id = max(taken, default=-1) + 1
+    return write_run(docs, index_dir, config,
+                     run_key=f"{ADD_PREFIX}_batch={add_id}",
+                     manifest_name=f"{ADD_PREFIX}-{add_id:05d}.json",
+                     lineage={"source": "append", "add_id": add_id})
+
+
+def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
+                    base_postings: DataFrame | None,
+                    base_doc_stats: DataFrame | None,
+                    base_term_stats: DataFrame | None):
+    """(postings, doc_stats, term_stats) over base ∪ live runs.
+
+    Run postings get the bucket column on the fly (no rewrite); term_stats
+    merges additively — base df + per-run counts — which only costs when a
+    query actually evaluates the dictionary (runs are small by
+    construction, so the merge is a broadcast-sized aggregate)."""
+    runs = live_runs(index_dir)
+    if not runs:
+        return base_postings, base_doc_stats, base_term_stats
+    run_posts = spark.read.parquet(*[e["run_path"] for e in runs]) \
+        .select("*", _bucket_col(config))
+    run_ds = spark.read.parquet(*[e["doc_stats_path"] for e in runs])
+    run_ts = run_posts.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"))
+    if base_postings is None:
+        return run_posts, run_ds, run_ts
+    postings = base_postings.unionByName(run_posts)
+    doc_stats = base_doc_stats.unionByName(run_ds)
+    term_stats = (base_term_stats.unionByName(run_ts)
+                  .groupBy("field", "term")
+                  .agg(F.sum("df").alias("df")))
+    return postings, doc_stats, term_stats
+
+
+def compact_runs(spark: SparkSession, index_dir: str) -> dict:
+    """Fold live runs into the base index — touching ONLY affected buckets.
+
+    Dynamic partition overwrite rewrites exactly the ``bucket=`` partitions
+    present in the runs (base rows of those buckets are merged back in,
+    term-sorted); every other bucket directory is untouched. Doc-stats run
+    files are MOVED into the base doc_stats dir (append semantics — the
+    table is a plain union of files). term_stats (|vocab| rows, tiny vs
+    postings) is re-merged additively and swapped atomically. Meta is
+    already correct from append_docs' additive updates."""
+    runs = live_runs(index_dir)
+    with open(os.path.join(index_dir, META)) as fh:
+        meta = json.load(fh)
+    if not runs:
+        return meta
+    config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
+                         n_buckets=meta["n_buckets"],
+                         positions=meta["positions"],
+                         stem_lang=meta.get("stem_lang"),
+                         stem_lang_col=meta.get("stem_lang_col", "lang"),
+                         analyzers=meta.get("analyzers") or {})
+    run_posts = spark.read.parquet(*[e["run_path"] for e in runs]) \
+        .select("*", _bucket_col(config))
+    affected = sorted(r["bucket"] for r in
+                      run_posts.select("bucket").distinct().collect())
+    base_dir = os.path.join(index_dir, POSTINGS)
+    merged = run_posts
+    base_exists = os.path.isdir(base_dir)
+    if base_exists:
+        base = spark.read.parquet(base_dir)
+        merged = base.where(F.col("bucket").isin(affected)) \
+            .unionByName(run_posts)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.repartition(max(len(affected), 1), "bucket")
+         .sortWithinPartitions("field", "term", "doc_id")
+         .write.mode("overwrite").partitionBy("bucket").parquet(base_dir))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # promote doc-stats runs by file move (O(1) per file, no job)
+    ds_dir = os.path.join(index_dir, DOC_STATS)
+    os.makedirs(ds_dir, exist_ok=True)
+    for e in runs:
+        src = e["doc_stats_path"]
+        tag = os.path.basename(src)
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                shutil.move(os.path.join(src, name),
+                            os.path.join(ds_dir, f"{tag}-{name}"))
+        shutil.rmtree(src, ignore_errors=True)
+
+    # term_stats: additive merge, atomic swap
+    ts_dir = os.path.join(index_dir, TERM_STATS)
+    run_ts = run_posts.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df"))
+    if os.path.isdir(ts_dir):
+        old_ts = spark.read.parquet(ts_dir)
+        new_ts = (old_ts.unionByName(run_ts).groupBy("field", "term")
+                  .agg(F.sum("df").alias("df")))
+    else:
+        new_ts = run_ts
+    tmp = ts_dir + ".compact"
+    new_ts.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(ts_dir):
+        shutil.rmtree(ts_dir)
+    os.rename(tmp, ts_dir)
+
+    mark_compacted(index_dir, runs)
+    meta["compacted_buckets"] = affected
+    meta["n_runs_compacted"] = len(runs)
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(meta, fh, indent=1)
+    return meta

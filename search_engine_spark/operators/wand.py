@@ -150,7 +150,17 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
 
 
 def load_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(index_dir, BLOCKS))
+    """Blocks table reader. The build-time collection ``avg_dl`` from
+    blocks_meta.json rides along on the returned DataFrame handle
+    (``_se_build_avg_dl``) so :func:`wand_topk` can scale stale block-max
+    bounds automatically after deletes — no opt-in parameter needed."""
+    import json
+    df = spark.read.parquet(os.path.join(index_dir, BLOCKS))
+    meta_path = os.path.join(index_dir, "blocks_meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            df._se_build_avg_dl = json.load(fh).get("avg_dl")
+    return df
 
 
 MAX_TOMBSTONES_FOR_WAND = 10_000_000
@@ -167,15 +177,21 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
     Merge-on-read deletes: when the index was loaded tombstone-aware
     (``index.tombstones`` set), the kernel drops tombstoned docs from every
     decoded block, and idf comes from the already-recomputed term_stats —
-    results match the DSL path on the post-delete corpus exactly. Pass
-    ``build_avg_dl`` (blocks_meta.json ``avg_dl``) when the collection's
-    avgdl drifted since the blocks were written: stored per-block max_qnorm
-    upper bounds are scaled by max(1, avgdl_now/avgdl_build), which is a
-    proven-safe bound (qnorm grows at most linearly in the avgdl ratio), so
-    pruning stays exact under deletes without rebuilding the block table.
+    results match the DSL path on the post-delete corpus exactly. When the
+    collection's avgdl drifted since the blocks were written (deletes), the
+    stored per-block max_qnorm upper bounds are scaled by
+    max(1, avgdl_now/avgdl_build) — a proven-safe bound (qnorm grows at
+    most linearly in the avgdl ratio) — so pruning stays exact without
+    rebuilding the block table. The build avgdl is read AUTOMATICALLY from
+    the handle :func:`load_blocks` attaches (blocks_meta.json); pass
+    ``build_avg_dl`` only to override it for ad-hoc block frames.
     """
     spark = blocks.sparkSession
     terms = sorted(set(terms))
+    if build_avg_dl is None:
+        # attached by load_blocks; in-session build_blocks frames need no
+        # scaling (their bounds were computed with the current avgdl)
+        build_avg_dl = getattr(blocks, "_se_build_avg_dl", None)
     tomb_arr = None
     tdf = getattr(index, "tombstones", None)
     if tdf is not None:
@@ -236,7 +252,7 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                 done = True
                 return
             by_term = {t: pl for _, t, pl in rows}
-            scores: dict = {}
+            doc_parts, score_parts = [], []
             for t in korder:
                 pl = by_term.get(t)
                 if pl is None:
@@ -253,9 +269,20 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                         continue
                 s = np.maximum(0.0, 1.0 * idf_b[t]
                                * bm25_qnorm(tfs, dls, avgdl, k1, b))
-                for d, sv in zip(docs.tolist(), s.tolist()):
-                    scores[d] = scores.get(d, 0.0) + sv
-            for d, sv in scores.items():
+                doc_parts.append(docs)
+                score_parts.append(s)
+            if not doc_parts:
+                return
+            # np.add.at accumulates in concatenation order == sorted term
+            # order per doc — the same fold order as the exact path, so
+            # scores stay bitwise-identical (serving.py uses this exact
+            # pattern); no per-posting Python loop in the kernel inner walk
+            all_docs = np.concatenate(doc_parts)
+            all_scores = np.concatenate(score_parts)
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, all_scores)
+            for d, sv in zip(uniq.tolist(), sums.tolist()):
                 item = (sv, -d)
                 if len(heap) < k:
                     heapq.heappush(heap, item)

@@ -317,12 +317,35 @@ class SparkSearchEngine:
     def _fields_for(self, field: str) -> list:
         return self.index.text_fields if field == "*" else [field]
 
+    def _stem_query_tokens(self, tokens: list) -> list:
+        """Index/query analyzer SYMMETRY for stemmed indexes: when the index
+        was built with ``stem_lang``, query tokens must go through the same
+        stemmer or surface forms ('tables', 'running') silently miss their
+        indexed stems — Elasticsearch-style semantics and this engine's own
+        standard-analyzer symmetry. Concrete codes stem directly; for
+        ``auto``/``detect`` the query LANGUAGE is detected from the query
+        tokens themselves (functions/textstats.lang_id_py — script ranges
+        first, then Latin markers; short marker-free queries route to the
+        English porter, the reference's unknown-code fallback,
+        SnowballStemmer.ts:27-31)."""
+        cfg = self.index.config
+        sl = getattr(cfg, "stem_lang", None) if cfg is not None else None
+        if not sl or not tokens:
+            return tokens
+        from ..analysis.stemmer import stem_word_routed
+        if sl in ("auto", "detect"):
+            from ..functions.textstats import lang_id_py
+            lang = lang_id_py(tokens)
+        else:
+            lang = sl
+        return [stem_word_routed(t, lang) for t in tokens]
+
     def _dictionary(self, fields: list) -> DataFrame:
         ts = self.index.term_stats
         return ts.where(F.col("field").isin(fields))
 
     def _single_term(self, field: str, norm_value: str, fuzziness: int,
-                     scoring: bool) -> _Node:
+                     scoring: bool, pre_stemmed: bool = False) -> _Node:
         """term/match/fuzzy core (QueryProcessor._processSingleTerm:146-207):
         exact or Levenshtein dictionary match + synonym expansion, then
         postings lookup.
@@ -336,15 +359,22 @@ class SparkSearchEngine:
         if fuzziness == 0:
             # S6 synonym hook: accepts a dict or a synonyms.SynonymEngine;
             # single-token synonyms extend the exact-term IN-list, multi-word
-            # synonyms are analyzed and expanded as AND-of-tokens candidates
+            # synonyms are analyzed and expanded as AND-of-tokens candidates.
+            # Synonyms are looked up by the SURFACE form, then every final
+            # token (value + expansions) is stemmed for stemmed indexes.
             values = [norm_value]
             multi: list = []
             for syn in self.synonyms.get(norm_value, ()):
                 toks = pyan.standard(str(syn).lower())
                 if len(toks) > 1:
-                    multi.append(toks)
+                    multi.append(self._stem_query_tokens(toks))
                 else:
                     values.append(toks[0] if toks else str(syn).lower())
+            if pre_stemmed:  # _match already stemmed the value itself
+                if len(values) > 1:
+                    values = [values[0]] + self._stem_query_tokens(values[1:])
+            else:
+                values = self._stem_query_tokens(values)
             pairs = [(f, v) for f in fields for v in values]
             cand = self._postings_for(pairs).select("doc_id")
             if len(pairs) > 1:
@@ -366,6 +396,10 @@ class SparkSearchEngine:
                 return _Node(cand, all_pairs if scoring else [])
             return _Node(cand, pairs if scoring else [],
                          cand_is_scored_union=scoring)
+        # fuzzy expansion runs against the (possibly stemmed) dictionary, so
+        # the query value is stemmed first for symmetry with exact lookups
+        if not pre_stemmed:
+            norm_value = self._stem_query_tokens([norm_value])[0]
         matched = self._fuzzy_dictionary(fields, norm_value, fuzziness)
         return self._terms_to_node(matched, scoring)
 
@@ -415,10 +449,16 @@ class SparkSearchEngine:
         tokens = pyan.analyze(str(value), analyzer)
         if not tokens:
             return self._empty()
+        # stem HERE with the language detected over the WHOLE analyzed value
+        # (per-token detection would route marker-free tokens of a detected
+        # query — 'laufenden' in 'der die und laufenden' — to the porter)
+        tokens = self._stem_query_tokens(tokens)
         if len(tokens) == 1:
-            return self._single_term(field, tokens[0], fz or 0, scoring)
+            return self._single_term(field, tokens[0], fz or 0, scoring,
+                                     pre_stemmed=True)
         # multi-token: AND of tokens (string-query semantics, QueryParser.ts:33-42)
-        nodes = [self._single_term(field, t, fz or 0, scoring) for t in tokens]
+        nodes = [self._single_term(field, t, fz or 0, scoring,
+                                   pre_stemmed=True) for t in tokens]
         cand = nodes[0].cand
         for n in nodes[1:]:
             cand = cand.join(n.cand, "doc_id", "semi")
@@ -501,6 +541,9 @@ class SparkSearchEngine:
         if field is None or value is None:
             return self._empty()
         tokens = pyan.standard(str(value))  # tokenizer.tokenize default
+        # stems are 1:1 per token at index time, so positions are unchanged
+        # and phrase proximity over stemmed tokens is exact
+        tokens = self._stem_query_tokens(tokens)
         if not tokens:
             return self._empty()
         fields = self._fields_for(field)

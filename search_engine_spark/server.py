@@ -9,10 +9,17 @@ genuinely interactive deployments front the Spark-free ``ServingIndex``
 (serving.py) instead.
 
 Endpoints (request/response shapes mirror server.ts):
-- ``GET  /``                     health + index listing
-- ``POST /search/<index>``       body {query, from, size, aggregations}
-- ``POST /index``                body {indexName, docsPath, fields?}
-- ``GET  /performance``          process metrics
+- ``GET  /``                         health + index listing
+- ``POST /search/<index>``           body {query, from, size, aggregations}
+- ``POST /index``                    body {indexName, docsPath, fields?}
+- ``POST /index/<name>/documents``   body {documents: [...]} — LSM append
+  (operators/lsm.append_docs: O(batch) run, no base rewrite;
+  server.ts:353-385 shapes incl. duplicateCount by id)
+- ``POST /index/<name>/snapshot``    block-index snapshot (write_blocks;
+  server.ts:389-411)
+- ``POST /index/<name>/flush``       compact live runs into the base
+  (lsm.compact_runs; server.ts:415-438)
+- ``GET  /performance``              process metrics
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import IndexCatalog
 from .operators.index_build import IndexConfig
@@ -37,6 +45,8 @@ def clamp_options(body: dict) -> dict:
     """size ≤ 100, from ≤ 10000, terms-agg size ≤ 50 — the reference's
     optimizeSearchOptions, applied before any work is scheduled."""
     size = int(body.get("size") or 10)
+    if size <= 0:  # malformed-but-harmless, like the reference's clamps
+        size = 10
     from_ = int(body.get("from") or 0)
     out = {"size": min(size, MAX_SIZE), "from": min(max(from_, 0), MAX_FROM)}
     aggs = body.get("aggregations") or body.get("aggs") or {}
@@ -85,10 +95,20 @@ class SearchService:
         eng = self.catalog.engine(docs, name)
         t0 = time.time()
         query = body.get("query") or {"match_all": {}}
-        top = eng.search(query, size=opts["size"], from_=opts["from"])
-        hits = [{"doc_id": r["doc_id"], "score": r["score"]}
-                for r in top.collect()]
-        total = eng.candidates(query).count()
+        # ONE compiled plan serves both hits and total: the scored frame is
+        # persisted for the request, the count materializes it, and the
+        # top-k sort-limit reads the cached rows — the candidate subtree
+        # (postings joins, BM25) executes once per request instead of twice
+        # (server.ts computes both from its single in-memory result set).
+        scored = eng.search_scored(query).persist()
+        try:
+            total = scored.count()
+            top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .offset(opts["from"]).limit(opts["size"]))
+            hits = [{"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in top.collect()]
+        finally:
+            scored.unpersist()
         aggregations = {}
         for agg_name, cfg in opts["aggregations"].items():
             terms = cfg.get("terms")
@@ -107,6 +127,76 @@ class SearchService:
             "_performance": {
                 "queryTime": f"{round((time.time() - t0) * 1000)}ms",
             },
+        }
+
+    def _index_config(self, name: str) -> IndexConfig:
+        meta = self.catalog.stats(name)
+        return IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
+                           n_buckets=meta["n_buckets"],
+                           positions=meta["positions"],
+                           stem_lang=meta.get("stem_lang"),
+                           stem_lang_col=meta.get("stem_lang_col", "lang"),
+                           analyzers=meta.get("analyzers") or {})
+
+    def add_documents(self, name: str, documents: list) -> dict:
+        """LSM append (server.ts:353-385): id-dedup against the current
+        index (reference duplicateCount semantics), then an O(batch)
+        posting run — the base index is never rewritten here."""
+        if not self.catalog.index_exists(name):
+            raise KeyError(name)
+        from .operators.index_build import load_index
+        from .operators.lsm import append_docs
+        cfg = self._index_config(name)
+        ixdir = self.catalog._dir(name)
+        batch = self.spark.createDataFrame(documents)
+        batch = batch.dropDuplicates([cfg.id_col])
+        existing = load_index(self.spark, ixdir).doc_stats \
+            .select(F.col("doc_id").alias(cfg.id_col))
+        fresh = batch.join(existing, cfg.id_col, "anti").cache()
+        try:
+            n_fresh = fresh.count()
+            if n_fresh:
+                append_docs(fresh, ixdir, cfg)
+        finally:
+            fresh.unpersist()
+        meta = self.catalog.stats(name)
+        return {
+            "message": f"Added {n_fresh} documents to index '{name}'",
+            "addedCount": n_fresh,
+            "duplicateCount": len(documents) - n_fresh,
+            "totalDocs": meta["total_docs"],
+            "persistence": {"enabled": True, "triggered": n_fresh > 0},
+        }
+
+    def snapshot(self, name: str) -> dict:
+        """Manual block-index snapshot (server.ts:389-411)."""
+        if not self.catalog.index_exists(name):
+            raise KeyError(name)
+        from .operators.index_build import load_index
+        from .operators.wand import write_blocks
+        ixdir = self.catalog._dir(name)
+        idx = load_index(self.spark, ixdir)
+        metrics = write_blocks(idx, ixdir)
+        return {
+            "message": f"Snapshot saved for index '{name}'",
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "indexName": name,
+            "metrics": metrics,
+        }
+
+    def flush(self, name: str) -> dict:
+        """Fold live LSM runs into the base buckets (server.ts:415-438)."""
+        if not self.catalog.index_exists(name):
+            raise KeyError(name)
+        from .operators.lsm import compact_runs, live_runs
+        ixdir = self.catalog._dir(name)
+        n_runs = len(live_runs(ixdir))
+        compact_runs(self.spark, ixdir)
+        return {
+            "message": f"Flushed index '{name}' successfully",
+            "flushedWorkers": n_runs,
+            "totalWorkers": n_runs,
+            "persistenceSaved": True,
         }
 
     def health(self) -> dict:
@@ -170,6 +260,29 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                         overwrite=bool(b.get("overwrite")))
                     self._json(200, {"indexName": b["indexName"],
                                      "meta": meta})
+                elif self.path.startswith("/index/"):
+                    parts = self.path.strip("/").split("/")
+                    if len(parts) != 3:
+                        self._json(404, {"error": "not found"})
+                        return
+                    _, name, action = parts
+                    try:
+                        if action == "documents":
+                            docs = self._body().get("documents")
+                            if not isinstance(docs, list) or not docs:
+                                self._json(400, {
+                                    "error": "documents array is required"})
+                                return
+                            self._json(200, service.add_documents(name, docs))
+                        elif action == "snapshot":
+                            self._json(200, service.snapshot(name))
+                        elif action == "flush":
+                            self._json(200, service.flush(name))
+                        else:
+                            self._json(404, {"error": "not found"})
+                    except KeyError:
+                        self._json(404, {
+                            "error": f"Index '{name}' not found"})
                 else:
                     self._json(404, {"error": "not found"})
             except Exception:  # noqa: BLE001 — 500 like server.ts

@@ -34,7 +34,7 @@ from collections import OrderedDict
 import numpy as np
 import pyarrow.parquet as pq
 
-from .operators.index_build import META, bucket_of
+from .operators.index_build import META, bucket_of, check_bucket_fn
 from .operators.postings_codec import bm25_qnorm, decode_blocks_batch
 from .operators.wand import BLOCKS
 
@@ -48,6 +48,9 @@ class ServingIndex:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, META)) as fh:
             self.meta = json.load(fh)
+        # a legacy/mismatched bucket hash would make bucket_of prune to the
+        # wrong partition dirs — wrong (empty) results, not a crash
+        check_bucket_fn(self.meta, f"ServingIndex({index_dir})")
         self.n_buckets = self.meta["n_buckets"]
         self.total_docs = self.meta["total_docs"]
         self.avg_dl = self.meta["avg_dl"]
@@ -214,11 +217,28 @@ class ServingIndex:
         order = np.lexsort((uniq, -sums))[:k]
         return [(int(uniq[i]), float(sums[i])) for i in order]
 
+    def _stem_query_tokens(self, tokens: list) -> list:
+        """Index/query analyzer symmetry (same routing as the DSL path,
+        plans/dsl.SparkSearchEngine._stem_query_tokens): stem query tokens
+        when the index was built with stem_lang; auto/detect detects the
+        query language from the tokens themselves."""
+        sl = self.meta.get("stem_lang")
+        if not sl or not tokens:
+            return tokens
+        from .analysis.stemmer import stem_word_routed
+        if sl in ("auto", "detect"):
+            from .functions.textstats import lang_id_py
+            lang = lang_id_py(tokens)
+        else:
+            lang = sl
+        return [stem_word_routed(t, lang) for t in tokens]
+
     def match(self, field: str, value: str, k: int = 10) -> list:
         """match-query convenience: analyze the value with the standard
-        analyzer, AND the tokens (QueryParser.ts:23-43 semantics)."""
+        analyzer, AND the tokens (QueryParser.ts:23-43 semantics); tokens
+        are stemmed for stemmed indexes (index/query symmetry)."""
         from .analysis.analyzers import standard
-        toks = standard(str(value))
+        toks = self._stem_query_tokens(standard(str(value)))
         if not toks:
             return []
         return self.topk(field, toks, k=k,

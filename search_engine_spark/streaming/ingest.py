@@ -42,28 +42,19 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
     os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int):
-        t0 = time.time()
-        run_path = os.path.join(index_dir, RUNS, f"stream_batch={batch_id}")
-        postings = build_postings(batch_df, config)
-        postings.write.mode("overwrite").parquet(run_path)
-        # per-batch doc_stats via the SAME build_doc_stats as the batch path
-        # (scalar fields only, zero-token docs kept with dl=0,
-        # SearchEngine.ts:894-898) so streaming and batch builds of one
-        # corpus produce identical total_docs/avg_dl and hence BM25 scores
-        ds_path = os.path.join(index_dir, RUNS,
-                               f"doc_stats_stream_batch={batch_id}")
-        ds = build_doc_stats(batch_df, config)
-        ds.write.mode("overwrite").parquet(ds_path)
-        ids = ds.count()
-        entry = {
-            "chunk": f"stream_batch={batch_id}", "status": "committed",
-            "n_docs": ids, "run_path": run_path, "doc_stats_path": ds_path,
-            "seconds": time.time() - t0,
-            "lineage": {"source": "stream", "batch_id": batch_id},
-        }
-        with open(os.path.join(index_dir, MANIFEST,
-                               f"stream-{batch_id:05d}.json"), "w") as fh:
-            json.dump(entry, fh, indent=1)
+        # shared LSM run writer: per-batch doc_stats via the SAME
+        # build_doc_stats as the batch path (scalar fields only, zero-token
+        # docs kept with dl=0, SearchEngine.ts:894-898) so streaming and
+        # batch builds of one corpus produce identical total_docs/avg_dl
+        # and hence BM25 scores. The manifest-then-reconcile commit keeps
+        # meta additively exact per batch, so the index is QUERYABLE
+        # between batches (load_index unions the committed runs) with no
+        # merge job; replays (foreachBatch re-runs) are idempotent.
+        from ..operators.lsm import write_run
+        write_run(batch_df, index_dir, config,
+                  run_key=f"stream_batch={batch_id}",
+                  manifest_name=f"stream-{batch_id:05d}.json",
+                  lineage={"source": "stream", "batch_id": batch_id})
 
     writer = (pages_stream.writeStream
               .foreachBatch(process_batch)
@@ -76,16 +67,28 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
 
 def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
     """Merge all committed stream runs into the final bucketed index tables
-    (same layout as write_index) and return meta."""
+    (same layout as write_index) and return meta.
+
+    When a base postings table already EXISTS, this delegates to the
+    incremental :func:`~..operators.lsm.compact_runs` — folding runs into
+    only their affected bucket partitions — instead of the full from-runs
+    rebuild, which would drop base rows not present in the runs. The full
+    rebuild path remains for stream-only dirs (no base yet) and marks the
+    merged runs compacted so load_index never double-counts them."""
     from ..operators.index_build import (DOC_STATS, META, POSTINGS,
                                          TERM_STATS, _bucket_col,
                                          build_term_stats)
+    from ..operators.lsm import compact_runs, mark_compacted
+    if os.path.isdir(os.path.join(index_dir, POSTINGS)):
+        return compact_runs(spark, index_dir)
     mdir = os.path.join(index_dir, MANIFEST)
+    merged_entries = []
     run_paths, ds_paths = [], []
     for name in sorted(os.listdir(mdir)):
         with open(os.path.join(mdir, name)) as fh:
             entry = json.load(fh)
         if entry.get("status") == "committed":
+            merged_entries.append(entry)
             run_paths.append(entry["run_path"])
             if entry.get("doc_stats_path"):
                 ds_paths.append(entry["doc_stats_path"])
@@ -111,15 +114,27 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
         os.path.join(index_dir, TERM_STATS))
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
     stats = ds.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
+                   F.avg("dl").alias("avgdl"),
+                   F.sum("dl").alias("dlsum")).collect()[0]
+    from ..operators.index_build import BUCKET_FN
     meta = {
         "total_docs": int(stats["n"]), "avg_dl": float(stats["avgdl"] or 0.0),
+        "dl_sum": int(stats["dlsum"] or 0),
         "n_postings": postings_r.count(), "id_col": config.id_col,
         "fields": config.fields, "n_buckets": config.n_buckets,
-        "positions": config.positions, "source": "stream",
+        "positions": config.positions,
+        "stem_lang": config.stem_lang,
+        "stem_lang_col": config.stem_lang_col,
+        "analyzers": config.analyzers,
+        "bucket_fn": BUCKET_FN,
+        "source": "stream",
+        # runs are now IN the base: record them as applied so a later
+        # append's reconcile_meta never re-counts them
+        "applied_runs": [e["chunk"] for e in merged_entries],
     }
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
+    mark_compacted(index_dir, merged_entries)
     return meta
 
 

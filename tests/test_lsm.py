@@ -1,0 +1,224 @@
+"""LSM incremental adds (operators/lsm): O(batch) appends, query over
+base ∪ runs with NO merge, bucket-scoped compaction, delete interplay,
+replay idempotency, and the REST documents/flush/snapshot endpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.index_build import (META, POSTINGS,
+                                                       IndexConfig,
+                                                       build_index,
+                                                       load_index,
+                                                       write_index)
+from search_engine_spark.operators.lsm import (append_docs, compact_runs,
+                                               live_runs, write_run)
+from search_engine_spark.plans.dsl import SparkSearchEngine
+
+CFG = dict(id_col="doc_id", fields={"text": "text"}, n_buckets=8)
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"alpha doc{i % 7} beta" + (" gamma" if i % 3 == 0 else ""),
+             "en") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _bucket_dirs(ixdir):
+    base = os.path.join(ixdir, POSTINGS)
+    out = {}
+    for name in os.listdir(base):
+        if name.startswith("bucket="):
+            d = os.path.join(base, name)
+            out[name] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)),
+                 os.path.getsize(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet"))
+    return out
+
+
+class TestAppendServesWithoutMerge:
+    @pytest.fixture(scope="class")
+    def built(self, spark, tmp_path_factory):
+        ixdir = str(tmp_path_factory.mktemp("lsm") / "ix")
+        docs = _docs(spark)
+        base = docs.where(F.col("doc_id") % 5 != 0)
+        rest = docs.where(F.col("doc_id") % 5 == 0)
+        write_index(base, ixdir, IndexConfig(**CFG))
+        append_docs(rest, ixdir, IndexConfig(**CFG))
+        return ixdir, docs
+
+    def test_membership_includes_appended(self, spark, built):
+        ixdir, docs = built
+        idx = load_index(spark, ixdir)
+        eng = SparkSearchEngine(idx, docs)
+        got = sorted(r["doc_id"] for r in eng.candidates(
+            {"term": {"field": "text", "value": "gamma"}}).collect())
+        want = sorted(r["doc_id"] for r in docs
+                      .where(F.col("text").contains("gamma")).collect())
+        assert got == want
+
+    def test_meta_stats_exact_vs_full_build(self, spark, built,
+                                            tmp_path_factory):
+        ixdir, docs = built
+        full_dir = str(tmp_path_factory.mktemp("lsm") / "full")
+        full_meta = write_index(docs, full_dir, IndexConfig(**CFG))
+        with open(os.path.join(ixdir, META)) as fh:
+            meta = json.load(fh)
+        assert meta["total_docs"] == full_meta["total_docs"]
+        assert meta["dl_sum"] == full_meta["dl_sum"]
+        assert meta["avg_dl"] == full_meta["avg_dl"]  # bitwise
+
+    def test_scores_match_full_build(self, spark, built):
+        ixdir, docs = built
+        idx = load_index(spark, ixdir)
+        eng = SparkSearchEngine(idx, docs)
+        ref = SparkSearchEngine(build_index(docs, IndexConfig(**CFG)), docs)
+        q = {"match": {"field": "text", "value": "gamma"}}
+        got = [(r["doc_id"], r["score"])
+               for r in eng.search(q, size=10).collect()]
+        want = [(r["doc_id"], r["score"])
+                for r in ref.search(q, size=10).collect()]
+        assert got == want  # bitwise — additive stats == recomputed stats
+
+    def test_compaction_touches_only_affected_buckets(self, spark, built):
+        ixdir, docs = built
+        before_runs = live_runs(ixdir)
+        assert before_runs
+        run_buckets = set()
+        from search_engine_spark.operators.index_build import bucket_of
+        for e in before_runs:
+            p = spark.read.parquet(e["run_path"])
+            for r in p.select("field", "term").distinct().collect():
+                run_buckets.add(bucket_of(r["field"], r["term"], 8))
+        before = _bucket_dirs(ixdir)
+        eng_before = SparkSearchEngine(load_index(spark, ixdir), docs)
+        q = {"term": {"field": "text", "value": "gamma"}}
+        res_before = sorted(r["doc_id"]
+                            for r in eng_before.candidates(q).collect())
+        compact_runs(spark, ixdir)
+        assert not live_runs(ixdir)
+        after = _bucket_dirs(ixdir)
+        untouched = set(before) - {f"bucket={b}" for b in run_buckets}
+        for name in untouched:
+            assert after[name] == before[name], f"{name} was rewritten"
+        eng_after = SparkSearchEngine(load_index(spark, ixdir), docs)
+        assert sorted(r["doc_id"]
+                      for r in eng_after.candidates(q).collect()) == res_before
+
+
+class TestReplayIdempotent:
+    def test_same_run_key_applies_once(self, spark, tmp_path):
+        ixdir = str(tmp_path / "ix")
+        docs = _docs(spark, 10)
+        write_index(docs.where(F.col("doc_id") < 5), ixdir, IndexConfig(**CFG))
+        batch = docs.where(F.col("doc_id") >= 5)
+        for _ in range(2):  # foreachBatch replay: same key, same paths
+            write_run(batch, ixdir, IndexConfig(**CFG),
+                      run_key="stream_batch=0",
+                      manifest_name="stream-00000.json",
+                      lineage={"source": "stream", "batch_id": 0})
+        with open(os.path.join(ixdir, META)) as fh:
+            meta = json.load(fh)
+        assert meta["total_docs"] == 10
+        assert meta["applied_runs"] == ["stream_batch=0"]
+
+
+class TestDeleteInterplay:
+    def test_delete_sees_appended_docs(self, spark, tmp_path):
+        from search_engine_spark.operators.delete import (
+            compact_deletes, delete_docs, load_index_with_deletes)
+        ixdir = str(tmp_path / "ix")
+        docs = _docs(spark, 20)
+        write_index(docs.where(F.col("doc_id") < 10), ixdir,
+                    IndexConfig(**CFG))
+        append_docs(docs.where(F.col("doc_id") >= 10), ixdir,
+                    IndexConfig(**CFG))
+        delete_docs(spark, ixdir, [3, 15])  # one base doc, one appended doc
+        idx = load_index_with_deletes(spark, ixdir)
+        eng = SparkSearchEngine(idx, docs)
+        got = sorted(r["doc_id"] for r in eng.candidates(
+            {"term": {"field": "text", "value": "alpha"}}).collect())
+        assert 3 not in got and 15 not in got
+        assert 14 in got and 19 in got
+        # physical compaction folds runs first, then applies tombstones —
+        # the appended-but-deleted doc must NOT resurface
+        compact_deletes(spark, ixdir)
+        idx2 = load_index(spark, ixdir)
+        eng2 = SparkSearchEngine(idx2, docs)
+        got2 = sorted(r["doc_id"] for r in eng2.candidates(
+            {"term": {"field": "text", "value": "alpha"}}).collect())
+        assert got2 == got
+
+
+class TestStreamingQueryableWithoutMerge:
+    def test_stream_runs_serve_before_merge(self, spark, tmp_path):
+        from search_engine_spark.streaming.ingest import stream_index_runs
+        docs = _docs(spark, 24)
+        src_dir = str(tmp_path / "src")
+        docs.repartition(3).write.parquet(src_dir)
+        ixdir = str(tmp_path / "six")
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = stream_index_runs(stream, ixdir, IndexConfig(**CFG),
+                              checkpoint_dir=str(tmp_path / "ckpt"))
+        q.awaitTermination()
+        # NO merge_stream_runs: load_index serves the committed runs
+        idx = load_index(spark, ixdir)
+        assert idx.total_docs == 24
+        eng = SparkSearchEngine(idx, docs)
+        got = sorted(r["doc_id"] for r in eng.candidates(
+            {"term": {"field": "text", "value": "gamma"}}).collect())
+        want = sorted(r["doc_id"] for r in docs
+                      .where(F.col("text").contains("gamma")).collect())
+        assert got == want
+
+
+class TestRestEndpoints:
+    @pytest.fixture()
+    def service(self, spark, tmp_path):
+        from search_engine_spark.server import SearchService
+        docs = _docs(spark, 12)
+        docs_path = str(tmp_path / "docs")
+        docs.write.parquet(docs_path)
+        svc = SearchService(spark, str(tmp_path / "root"))
+        svc.create_index("idx", docs_path)
+        return svc
+
+    def test_add_documents_shapes(self, service):
+        out = service.add_documents("idx", [
+            {"doc_id": 100, "text": "alpha omega fresh", "lang": "en"},
+            {"doc_id": 5, "text": "alpha dupe", "lang": "en"},  # existing id
+        ])
+        assert out["addedCount"] == 1
+        assert out["duplicateCount"] == 1
+        assert out["totalDocs"] == 13
+        assert out["persistence"] == {"enabled": True, "triggered": True}
+        # the appended doc is immediately searchable
+        res = service.search("idx", {"query": {
+            "term": {"field": "text", "value": "omega"}}})
+        assert [h["doc_id"] for h in res["hits"]] == [100]
+        assert res["total"] == 1
+
+    def test_flush_shapes(self, service):
+        service.add_documents("idx", [
+            {"doc_id": 200, "text": "omega two", "lang": "en"}])
+        ixdir = service.catalog._dir("idx")
+        assert live_runs(ixdir)
+        out = service.flush("idx")
+        assert out["flushedWorkers"] == 1 and out["totalWorkers"] == 1
+        assert not live_runs(ixdir)
+        res = service.search("idx", {"query": {
+            "term": {"field": "text", "value": "omega"}}})
+        assert [h["doc_id"] for h in res["hits"]] == [200]
+
+    def test_snapshot_shapes(self, service, spark):
+        out = service.snapshot("idx")
+        assert out["indexName"] == "idx" and out["timestamp"]
+        from search_engine_spark.serving import ServingIndex
+        srv = ServingIndex(service.catalog._dir("idx"))
+        assert srv.topk("text", ["alpha"], k=3)
