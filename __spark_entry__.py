@@ -212,6 +212,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _engine(s, d), {"fuzzy": {"field": "text", "value": "quary"}})
     q["phrase_exact"] = lambda s, d: _members(
         _engine(s, d), {"match_phrase": {"field": "text", "value": "table scan"}})
+
+    def _serving_phrase(s, d):
+        """SERVING-path phrase (round-3): the persisted block index now
+        carries per-doc positions (postings_codec.encode_positions_batch,
+        north rule "docID+tf(+positions) blocks"), and ServingIndex.phrase
+        answers the reference's greedy proximity check in milliseconds off
+        pos_payload — no Spark job, no doc-store scan. Same members as the
+        DSL phrase_exact, so they share the oracle."""
+        import os as _os2
+        import shutil as _sh
+        import tempfile as _tmp
+        from search_engine_spark.operators.index_build import (load_index,
+                                                               write_index)
+        from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.serving import ServingIndex
+        key = (_session_key(s), "srv_ix", d)
+        if key not in _CACHE:
+            ixdir = _os2.path.join(_tmp.gettempdir(),
+                                   f"contract_srv_ix_{abs(hash(d)) % 10**8}")
+            _sh.rmtree(ixdir, ignore_errors=True)
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8)
+            write_index(_docs(s, d), ixdir, cfg)
+            write_blocks(load_index(s, ixdir), ixdir)
+            _CACHE[key] = ixdir
+        members = ServingIndex(_CACHE[key]).phrase(
+            "text", "table scan", members_only=True)
+        return s.createDataFrame([(int(x),) for x in members],
+                                 "doc_id long")
+    q["serving_phrase"] = _serving_phrase
     q["phrase_slop"] = lambda s, d: _members(
         _engine(s, d), {"match_phrase": {"field": "text",
                                          "value": "group order", "slop": 1}})
@@ -675,6 +705,8 @@ cl AS (SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS doc_
     o["fuzzy_docs"] = _members_sql(
         "len(list_filter(toks, x -> levenshtein(x, 'quary') <= 2)) > 0")
     o["phrase_exact"] = _phrase_sql("table", "scan", 0)
+    # serving-path phrase answers off position blocks — same semantics
+    o["serving_phrase"] = _phrase_sql("table", "scan", 0)
     o["phrase_slop"] = _phrase_sql("group", "order", 1)
     o["range_nchars"] = ("SELECT doc_id FROM documents "
                          "WHERE n_chars >= 100 AND n_chars <= 300 ORDER BY doc_id")

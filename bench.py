@@ -127,6 +127,31 @@ def main():
             lat_srv.append(time.time() - t0)
         queries["serving_p50_ms"] = round(
             1000 * statistics.median(lat_srv), 2)
+
+        # serving COMPLEX-query latencies (round-3: the whole DSL answers
+        # off the block index — reference README claims <50 ms complex)
+        phrase_q = f"{top_terms[0]} {top_terms[1]}"
+        srv.phrase("text", phrase_q, k=10)  # warm (decodes positions)
+        lat_ph = []
+        for _ in range(3):
+            t0 = time.time()
+            srv.phrase("text", phrase_q, k=10)
+            lat_ph.append(time.time() - t0)
+        queries["serving_phrase_p50_ms"] = round(
+            1000 * statistics.median(lat_ph), 2)
+        bool_q = {"bool": {
+            "must": [{"term": {"field": "text", "value": top_terms[0]}}],
+            "should": [{"term": {"field": "text", "value": top_terms[1]}},
+                       {"term": {"field": "text", "value": tail_term}}],
+            "must_not": [{"term": {"field": "text", "value": top_terms[2]}}]}}
+        srv.search(bool_q, k=10)  # warm
+        lat_bool = []
+        for _ in range(3):
+            t0 = time.time()
+            srv.search(bool_q, k=10)
+            lat_bool.append(time.time() - t0)
+        queries["serving_bool_p50_ms"] = round(
+            1000 * statistics.median(lat_bool), 2)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)

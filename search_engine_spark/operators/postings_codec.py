@@ -227,6 +227,78 @@ def decode_blocks_batch(payloads: list) -> tuple:
     return docs, tfs, dls
 
 
+def encode_positions_batch(pos_lists_per_block: list) -> list:
+    """Per-block POSITIONS payloads: for each block row, the per-doc sorted
+    position lists are delta-encoded (first absolute per doc) and varbyte-
+    packed back-to-back — no counts header, because per-doc counts == tf
+    and ride in the main payload (north rule: docID+tf(+positions) blocks).
+
+    One vectorized varbyte pass over ALL blocks in the Arrow batch, then
+    per-block byte slicing (same amortization as encode_blocks_batch).
+    ``pos_lists_per_block[i]`` is the list of per-doc position lists of
+    block i, in docID order.
+    """
+    n_rows = len(pos_lists_per_block)
+    if n_rows == 0:
+        return []
+    flat_vals = []
+    doc_counts = []       # positions per doc, flattened across blocks
+    docs_per_block = []
+    for block in pos_lists_per_block:
+        docs_per_block.append(len(block))
+        for plist in block:
+            doc_counts.append(len(plist))
+            flat_vals.append(np.asarray(plist, dtype=np.int64))
+    counts = np.asarray(doc_counts, dtype=np.int64)
+    if counts.sum():
+        flat = np.concatenate(flat_vals).view(np.uint64) if flat_vals \
+            else np.zeros(0, dtype=np.uint64)
+        starts = np.zeros(counts.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        deltas = flat.copy()
+        deltas[1:] -= flat[:-1]
+        nz = counts > 0
+        deltas[starts[nz]] = flat[starts[nz]]  # absolute first per doc
+    else:
+        deltas = np.zeros(0, dtype=np.uint64)
+    buf, lens = varbyte_encode_with_lengths(deltas)
+    # bytes per doc -> bytes per block
+    cum = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=cum[1:])
+    doc_ends = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_ends[1:])
+    mv = memoryview(buf)
+    out = []
+    d = 0
+    for nd in docs_per_block:
+        lo = cum[doc_ends[d]]
+        hi = cum[doc_ends[d + nd]]
+        out.append(bytes(mv[lo:hi]))
+        d += nd
+    return out
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple:
+    """Inverse of one block's positions payload → (flat positions int64,
+    offsets int64[n_docs+1]): doc i's positions are
+    ``flat[offsets[i]:offsets[i+1]]`` (sorted ascending). ``tfs`` are the
+    per-doc counts from the main payload."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    offsets = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offsets[1:])
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), offsets
+    deltas = varbyte_decode(buf, n)
+    c = np.cumsum(deltas)
+    starts = offsets[:-1]
+    nz = tfs > 0
+    prev_idx = starts[nz] - 1
+    firsts = np.where(prev_idx >= 0, c[prev_idx], np.uint64(0))
+    rep = np.repeat(firsts, tfs[nz])
+    return (c - rep).view(np.int64), offsets
+
+
 def bm25_qnorm(tfs: np.ndarray, dls: np.ndarray, avg_dl: float,
                k1: float = 1.2, b: float = 0.75) -> np.ndarray:
     """The tf-dependent BM25 factor tf(k1+1)/(tf + k1(1-b+b·dl/avgdl)) with

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from .index_build import InvertedIndex
 from .postings_codec import (BLOCK_BITS, bm25_qnorm, decode_block,
-                             encode_blocks_batch)
+                             encode_blocks_batch, encode_positions_batch)
 
 BLOCKS = "blocks"
 
@@ -65,40 +65,73 @@ def _encode_udf():
     return enc
 
 
-def build_blocks(index: InvertedIndex) -> DataFrame:
+def _encode_pos_udf():
+    # per block row: the per-doc sorted position lists (docID order);
+    # batch-encoded in one vectorized varbyte pass
+    @F.pandas_udf("binary")
+    def penc(plists: pd.Series) -> pd.Series:
+        return pd.Series(encode_positions_batch(
+            [[list(p) for p in row] for row in plists]), dtype=object)
+    return penc
+
+
+def build_blocks(index: InvertedIndex,
+                 with_positions: bool | None = None) -> DataFrame:
     """Compressed block table from the row-expanded postings + doc_stats.
 
     One shuffle on (field, term, blk); qnorm (the tf-dependent BM25 factor)
     is a column expression so max_qnorm rides the same aggregate.
+
+    When the index stores positions (IndexConfig.positions — the default),
+    each block also carries a ``pos_payload``: per-doc delta+varbyte
+    position lists (north rule "docID+tf(+positions) blocks"), which is
+    what gives the SERVING path millisecond phrase queries — no doc-store
+    scan, no Spark job. Pass ``with_positions=False`` to build the leaner
+    scoring-only table.
     """
     k1, b = 1.2, 0.75
     avgdl = index.avg_dl or 1.0
-    p = index.postings.select("field", "term", "doc_id", "tf")
+    if with_positions is None:
+        with_positions = bool(index.config.positions
+                              and "positions" in index.postings.columns)
+    cols = ["field", "term", "doc_id", "tf"] + (
+        ["positions"] if with_positions else [])
+    p = index.postings.select(*cols)
     joined = p.join(index.doc_stats, "doc_id")
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     qnorm = (tf * F.lit(k1 + 1.0)) / \
         (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / F.lit(avgdl))))
+    struct_cols = ["doc_id", "tf", "dl"] + (
+        ["positions"] if with_positions else [])
     rows = joined.select(
         "field", "term",
         F.shiftright(F.col("doc_id"), BLOCK_BITS).alias("blk"),
-        "doc_id", "tf", F.col("dl"), qnorm.alias("qnorm"))
+        *struct_cols, qnorm.alias("qnorm"))
     grouped = rows.groupBy("field", "term", "blk").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
         F.max("qnorm").alias("max_qnorm"),
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl")))
+        # struct comparison orders by doc_id (first field, unique per
+        # group), so the trailing array field never participates
+        F.sort_array(F.collect_list(F.struct(*struct_cols)))
          .alias("plist"))
     enc = _encode_udf()
     from .index_build import _bucket_col
-    return grouped.select(
+    out_cols = [
         "field", "term", "blk",
         _bucket_col(index.config),
         "n_docs", "doc_min", "doc_max", "max_qnorm",
         enc(F.transform("plist", lambda x: x["doc_id"]),
             F.transform("plist", lambda x: x["tf"]),
-            F.transform("plist", lambda x: x["dl"])).alias("payload"))
+            F.transform("plist", lambda x: x["dl"])).alias("payload")]
+    if with_positions:
+        penc = _encode_pos_udf()
+        out_cols.append(
+            penc(F.transform("plist", lambda x: x["positions"]))
+            .alias("pos_payload"))
+    return grouped.select(*out_cols)
 
 
 def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
@@ -124,13 +157,19 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
      .parquet(path))
     spark = index.postings.sparkSession
     b = spark.read.parquet(path)
+    has_pos = "pos_payload" in b.columns
+    pos_bytes = (F.sum(F.length("pos_payload")) if has_pos
+                 else F.lit(0).cast("long")).alias("pos_bytes")
     row = b.agg(F.count(F.lit(1)).alias("n_blocks"),
                 F.sum("n_docs").alias("n_postings"),
                 F.sum(F.length("payload")).alias("payload_bytes"),
+                pos_bytes,
                 F.countDistinct("field", "term").alias("n_terms")).collect()[0]
     secs = time.time() - t0
     metrics = {
         "path": path,
+        "positions": has_pos,
+        "pos_payload_bytes": int(row["pos_bytes"] or 0),
         # collection avgdl the block-max metadata was computed with — readers
         # scale UBs by max(1, avgdl_now/avgdl_build) if avgdl drifts (deletes)
         "avg_dl": index.avg_dl,

@@ -34,11 +34,35 @@ from collections import OrderedDict
 import numpy as np
 import pyarrow.parquet as pq
 
-from .operators.index_build import META, bucket_of, check_bucket_fn
-from .operators.postings_codec import bm25_qnorm, decode_blocks_batch
+from .operators.index_build import META, TERM_STATS, bucket_of, check_bucket_fn
+from .operators.postings_codec import (bm25_qnorm, decode_block,
+                                       decode_blocks_batch, decode_positions)
 from .operators.wand import BLOCKS
 
 K1, B = 1.2, 0.75
+
+
+def _lev_within(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein ≤ k (early-abandoning row minimum) — the serving
+    twin of the DSL's thresholded ``levenshtein(term, q, k)`` pruning."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        row_min = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
 
 
 class ServingIndex:
@@ -79,6 +103,7 @@ class ServingIndex:
                     if f.endswith(".parquet")]
         self._df_cache: dict = {}
         self._pf_cache: dict = {}
+        self._dict_cache: dict = {}  # field -> (sorted terms, dfs)
         # decoded-postings LRU: the RAM-resident analog of the reference's
         # in-memory inverted index (InvertedIndex.ts holds every posting
         # list in process memory; its <10 ms claim is a map lookup). Real
@@ -119,11 +144,15 @@ class ServingIndex:
             self._pf_cache[path] = h
         return h
 
-    def _term_blocks(self, field: str, term: str):
-        """All (payload bytes) for one (field, term): pruned bucket dir +
-        cached row-group zone maps on the sorted (field, term) columns."""
+    def _term_blocks(self, field: str, term: str, with_pos: bool = False):
+        """All payload bytes for one (field, term): pruned bucket dir +
+        cached row-group zone maps on the sorted (field, term) columns.
+        ``with_pos`` also returns the positions payloads (blocks built
+        with positions — wand.build_blocks default)."""
         import pyarrow.compute as pc
         b = bucket_of(field, term, self.n_buckets)
+        cols = ["field", "term", "payload"] + (
+            ["pos_payload"] if with_pos else [])
         out = []
         for path in self._bucket_files.get(b, ()):
             pf, stats = self._file_handle(path)
@@ -132,10 +161,20 @@ class ServingIndex:
                                     and s[2] <= term <= s[3])]
             if not rgs:
                 continue
-            t = pf.read_row_groups(rgs, columns=["field", "term", "payload"])
+            if with_pos and "pos_payload" not in pf.schema_arrow.names:
+                raise ValueError(
+                    "block index has no positions section — rebuild with "
+                    "write_blocks() (build_blocks with_positions=True) to "
+                    "serve phrase queries")
+            t = pf.read_row_groups(rgs, columns=cols)
             mask = pc.and_(pc.equal(t.column("field"), field),
                            pc.equal(t.column("term"), term))
-            out.extend(t.filter(mask).column("payload").to_pylist())
+            ft = t.filter(mask)
+            if with_pos:
+                out.extend(zip(ft.column("payload").to_pylist(),
+                               ft.column("pos_payload").to_pylist()))
+            else:
+                out.extend(ft.column("payload").to_pylist())
         return out
 
     def postings(self, field: str, term: str):
@@ -148,6 +187,12 @@ class ServingIndex:
             self._postings_cache.move_to_end(key)
             return hit
         docs, tfs, dls = decode_blocks_batch(self._term_blocks(field, term))
+        if docs.size and not np.all(docs[:-1] <= docs[1:]):
+            # a term's blocks can span several reduce-task files per bucket
+            # (single-shuffle layout): restore global docID order so
+            # searchsorted-based membership/scoring is valid
+            o = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[o], tfs[o], dls[o]
         t = self._tombstones
         if t is not None and t.size and docs.size:
             pos = np.searchsorted(t, docs)
@@ -160,6 +205,122 @@ class ServingIndex:
         while len(self._postings_cache) > self.cache_terms:
             self._postings_cache.popitem(last=False)
         return entry
+
+    def postings_with_positions(self, field: str, term: str):
+        """(doc_ids, tfs, dls, flat_positions, offsets) for one term: doc
+        i's in-field positions are ``flat[offsets[i]:offsets[i+1]]``.
+        Tombstoned docs are dropped (positions included). Cached in the
+        same bounded LRU under a ('pos', field, term) key."""
+        key = ("pos", field, term)
+        hit = self._postings_cache.get(key)
+        if hit is not None:
+            self._postings_cache.move_to_end(key)
+            return hit
+        pairs = self._term_blocks(field, term, with_pos=True)
+        doc_p, tf_p, dl_p, pos_p = [], [], [], []
+        for payload, pos_payload in pairs:
+            docs, tfs, dls = decode_block(payload)
+            flat, off = decode_positions(pos_payload, tfs)
+            doc_p.append(docs)
+            tf_p.append(tfs)
+            dl_p.append(dls)
+            pos_p.append((flat, off))
+        if doc_p:
+            docs = np.concatenate(doc_p)
+            tfs = np.concatenate(tf_p)
+            dls = np.concatenate(dl_p)
+            flat = np.concatenate([f for f, _ in pos_p])
+        else:
+            docs = tfs = dls = flat = np.zeros(0, dtype=np.int64)
+        offsets = np.zeros(docs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=offsets[1:])
+        if docs.size and not np.all(docs[:-1] <= docs[1:]):
+            # restore global docID order (multi-file buckets) — per-doc
+            # position slices are permuted along with their doc rows
+            o = np.argsort(docs, kind="stable")
+            flat = np.concatenate(
+                [flat[offsets[i]:offsets[i + 1]] for i in o.tolist()]) \
+                if flat.size else flat
+            docs, tfs, dls = docs[o], tfs[o], dls[o]
+            offsets = np.zeros(docs.size + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offsets[1:])
+        t = self._tombstones
+        if t is not None and t.size and docs.size:
+            pos = np.searchsorted(t, docs)
+            pos[pos == t.size] = 0
+            live = t[pos] != docs
+            if not live.all():
+                keep = np.repeat(live, tfs)
+                flat = flat[keep]
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
+                offsets = np.zeros(docs.size + 1, dtype=np.int64)
+                np.cumsum(tfs, out=offsets[1:])
+        entry = (docs, tfs, dls, flat, offsets)
+        self._postings_cache[key] = entry
+        while len(self._postings_cache) > self.cache_terms:
+            self._postings_cache.popitem(last=False)
+        return entry
+
+    # -- term dictionary (expansions) ---------------------------------------
+
+    def _dictionary(self, field: str):
+        """(sorted term ndarray, df ndarray aligned) for one field, loaded
+        once from the persisted term_stats table (the vocab — |vocab| rows,
+        ≪ postings; a serving node amortizes this over its lifetime). At
+        much larger vocabularies this read prunes to the field via parquet
+        predicate pushdown."""
+        cached = self._dict_cache.get(field)
+        if cached is not None:
+            return cached
+        import pyarrow.dataset as pads
+        ts_dir = os.path.join(self.index_dir, TERM_STATS)
+        if not os.path.isdir(ts_dir):
+            raise FileNotFoundError(
+                f"no term_stats at {ts_dir} — expansions need the "
+                "dictionary table")
+        ds = pads.dataset(ts_dir, format="parquet")
+        t = ds.to_table(columns=["term", "df"],
+                        filter=pads.field("field") == field)
+        terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        dfs = np.asarray(t.column("df").to_pylist(), dtype=np.int64)
+        order = np.argsort(terms)
+        entry = (terms[order], dfs[order])
+        self._dict_cache[field] = entry
+        return entry
+
+    def expand_prefix(self, field: str, prefix: str) -> list:
+        """Dictionary terms starting with ``prefix`` (binary search on the
+        sorted vocab — O(log V + matches))."""
+        terms, _ = self._dictionary(field)
+        p = str(prefix).lower()
+        lo = np.searchsorted(terms, p)
+        hi = np.searchsorted(terms, p + "￿")
+        return [str(t) for t in terms[lo:hi]]
+
+    def expand_wildcard(self, field: str, pattern: str) -> list:
+        """Canonical wildcard semantics (DSL Q5): metachars escaped,
+        value lowercased, * -> .*, ? -> . — full-match over the vocab."""
+        import re as _re
+        norm = str(pattern).lower()
+        rx = _re.compile("".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in norm) + r"\Z")
+        terms, _ = self._dictionary(field)
+        return [str(t) for t in terms if rx.match(t)]
+
+    def expand_fuzzy(self, field: str, value: str, fuzziness: int = 2) -> list:
+        """Dictionary terms within edit distance ``fuzziness`` — length
+        band first, then banded early-abandon Levenshtein (same pruning
+        ladder as the DSL's _fuzzy_dictionary)."""
+        norm = str(value).lower()
+        qlen = len(norm)
+        terms, _ = self._dictionary(field)
+        out = []
+        for t in terms:
+            if abs(len(t) - qlen) <= fuzziness \
+                    and _lev_within(t, norm, fuzziness):
+                out.append(str(t))
+        return out
 
     def df(self, field: str, term: str) -> int:
         """Post-delete document frequency (matches the DSL path's
@@ -243,3 +404,264 @@ class ServingIndex:
             return []
         return self.topk(field, toks, k=k,
                          mode="and" if len(toks) > 1 else "or")
+
+    # -- phrase over position blocks ----------------------------------------
+
+    def phrase(self, field: str, value: str, slop: int = 0,
+               k: int | None = 10, members_only: bool = False):
+        """Millisecond phrase query straight off the position blocks — the
+        serving twin of the DSL _phrase (plans/dsl.py): candidates = docs
+        holding ALL phrase tokens in the field, accepted by the reference's
+        greedy proximity check (QueryProcessor.ts:579-617) over the
+        per-token position lists decoded from ``pos_payload``. No doc-store
+        scan, no Spark job; per-query work is O(postings of the tokens).
+
+        ``members_only=True`` returns the sorted doc-id list (the DSL
+        candidates() shape); otherwise ranked [(doc_id, score)] with the
+        DSL's scoring (BM25 summed over the phrase tokens, sorted term
+        fold), top ``k`` (None = all)."""
+        from .analysis.analyzers import standard
+        from .plans.dsl import greedy_phrase_match
+        tokens = self._stem_query_tokens(standard(str(value)))
+        if not tokens:
+            return []
+        per_tok = [self.postings_with_positions(field, t) for t in tokens]
+        cand = per_tok[0][0]
+        for docs, *_ in per_tok[1:]:
+            cand = np.intersect1d(cand, docs, assume_unique=True)
+        if cand.size == 0:
+            return []
+        accepted = []
+        for d in cand.tolist():
+            matches = []
+            for docs, tfs, dls, flat, off in per_tok:
+                i = int(np.searchsorted(docs, d))
+                matches.append(flat[off[i]:off[i + 1]].tolist())
+            if greedy_phrase_match(matches, int(slop), 0):
+                accepted.append(d)
+        if members_only:
+            return accepted  # already ascending (cand is sorted)
+        if not accepted:
+            return []
+        acc = np.asarray(accepted, dtype=np.int64)
+        scores = np.zeros(acc.size, dtype=np.float64)
+        for t in sorted(set(tokens)):  # sorted term fold == DSL order
+            docs, tfs, dls, _, _ = self.postings_with_positions(field, t)
+            idf = self._idf(docs.size)
+            s = np.maximum(0.0, 1.0 * idf
+                           * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+            i = np.searchsorted(docs, acc)
+            scores += s[i]
+        order = np.lexsort((acc, -scores))
+        if k is not None:
+            order = order[:k]
+        return [(int(acc[i]), float(scores[i])) for i in order]
+
+    # -- full DSL over the block index --------------------------------------
+
+    def _text_fields(self) -> list:
+        return [f for f, t in self.meta["fields"].items()
+                if t in ("text", "keyword", "email", "url", "phone")]
+
+    def _fields_for(self, field: str) -> list:
+        return self._text_fields() if field == "*" else [field]
+
+    def _analyzer_for(self, field: str) -> str:
+        overrides = self.meta.get("analyzers") or {}
+        if field in overrides:
+            return overrides[field]
+        from .analysis.analyzers import FIELD_TYPE_ANALYZER
+        return FIELD_TYPE_ANALYZER.get(
+            self.meta["fields"].get(field, "text"), "standard")
+
+    def _all_doc_ids(self) -> np.ndarray:
+        ids = getattr(self, "_all_ids", None)
+        if ids is None:
+            import pyarrow.dataset as pads
+            from .operators.index_build import DOC_STATS
+            ds = pads.dataset(os.path.join(self.index_dir, DOC_STATS),
+                              format="parquet")
+            ids = np.sort(np.asarray(
+                ds.to_table(columns=["doc_id"]).column("doc_id"),
+                dtype=np.int64))
+            t = self._tombstones
+            if t is not None and t.size:
+                ids = np.setdiff1d(ids, t, assume_unique=True)
+            self._all_ids = ids
+        return ids
+
+    def _docs_of(self, pairs: list) -> np.ndarray:
+        """Union of posting doc sets for (field, term) pairs."""
+        parts = [self.postings(f, t)[0] for f, t in pairs]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.zeros(0, dtype=np.int64)
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
+
+    @staticmethod
+    def _leaf_args(body: dict):
+        if "field" in body and "value" in body:
+            return body["field"], body["value"], body.get("fuzziness", 0)
+        fuz = body.get("fuzziness", 0)
+        for kk, v in body.items():
+            if kk in ("fuzziness", "boost"):
+                continue
+            if isinstance(v, dict) and "query" in v:
+                return kk, v["query"], v.get("fuzziness", fuz)
+            return kk, v, fuz
+        return None, None, 0
+
+    def _compile(self, q: dict):
+        """(sorted candidate doc ids, scoring (field, term) pairs) — the
+        numpy twin of plans/dsl.SparkSearchEngine._compile for the
+        inverted-index-resident operators (QueryProcessor.ts:74-111).
+        Docs-table operators (range/geo/exists/nested) are NOT in the
+        serving surface — those stay on the Spark path."""
+        empty = np.zeros(0, dtype=np.int64)
+        if not q:
+            return empty, []
+        if "match_all" in q:
+            return self._all_doc_ids(), []
+        if "term" in q:
+            f, v, _ = self._leaf_args(q["term"])
+            fields = self._fields_for(f)
+            tok = self._stem_query_tokens([str(v).lower()])[0]
+            pairs = [(fld, tok) for fld in fields]
+            return self._docs_of(pairs), pairs
+        if "match" in q:
+            from .analysis.analyzers import analyze
+            f, v, _ = self._leaf_args(q["match"])
+            if f is None or v is None:
+                return empty, []
+            fields = self._fields_for(f)
+            analyzer = self._analyzer_for(fields[0]) \
+                if fields[0] in self.meta["fields"] else "standard"
+            tokens = self._stem_query_tokens(analyze(str(v), analyzer))
+            if not tokens:
+                return empty, []
+            cand = None
+            pairs = []
+            for t in tokens:
+                tp = [(fld, t) for fld in fields]
+                pairs += tp
+                docs = self._docs_of(tp)
+                cand = docs if cand is None else np.intersect1d(
+                    cand, docs, assume_unique=True)
+            return cand, pairs
+        if "prefix" in q or "wildcard" in q:
+            kind = "prefix" if "prefix" in q else "wildcard"
+            f, v, _ = self._leaf_args(q[kind])
+            fields = self._fields_for(f)
+            pairs = []
+            for fld in fields:
+                expanded = (self.expand_prefix(fld, v) if kind == "prefix"
+                            else self.expand_wildcard(fld, v))
+                pairs += [(fld, t) for t in expanded]
+            return self._docs_of(pairs), pairs
+        if "fuzzy" in q:
+            f, v, fz = self._leaf_args(q["fuzzy"])
+            fz = 2 if not fz else int(fz)
+            fields = self._fields_for(f)
+            norm = self._stem_query_tokens([str(v).lower()])[0]
+            pairs = []
+            for fld in fields:
+                pairs += [(fld, t) for t in self.expand_fuzzy(fld, norm, fz)]
+            return self._docs_of(pairs), pairs
+        if "phrase" in q or "match_phrase" in q:
+            body = q.get("match_phrase") or q.get("phrase")
+            f, v, _ = self._leaf_args(body)
+            slop = int(body.get("slop", 0) or 0)
+            members = self.phrase(f, v, slop=slop, members_only=True)
+            from .analysis.analyzers import standard
+            tokens = self._stem_query_tokens(standard(str(v)))
+            pairs = [(f, t) for t in tokens]
+            return np.asarray(members, dtype=np.int64), pairs
+        if "bool" in q:
+            return self._bool(q["bool"])
+        raise ValueError(
+            f"operator {sorted(q)} is not in the serving surface — "
+            "range/geo/exists/nested (docs-table operators) run on the "
+            "Spark DSL path")
+
+    def _bool(self, bq: dict):
+        empty = np.zeros(0, dtype=np.int64)
+        must = bq.get("must") or []
+        filt = bq.get("filter") or []
+        should = bq.get("should") if isinstance(bq.get("should"), list) \
+            else ([bq["should"]] if bq.get("should") else None)
+        must_not = bq.get("must_not") or []
+        if not isinstance(must, list):
+            must = [must]
+        if not isinstance(filt, list):
+            filt = [filt]
+        if not isinstance(must_not, list):
+            must_not = [must_not]
+        if should is not None and len(should) == 0 and not must and not filt:
+            return empty, []
+        results = None
+        score_terms: list = []
+        for clause in filt:
+            cand, _ = self._compile(clause)
+            results = cand if results is None else np.intersect1d(
+                results, cand, assume_unique=True)
+        for clause in must:
+            cand, terms = self._compile(clause)
+            score_terms += terms
+            results = cand if results is None else np.intersect1d(
+                results, cand, assume_unique=True)
+        if should:
+            nodes = [self._compile(c) for c in should]
+            for _, terms in nodes:
+                score_terms += terms
+            union = np.unique(np.concatenate(
+                [n[0] for n in nodes])) if nodes else empty
+            msm = bq.get("minimum_should_match")
+            if results is None:
+                results = union
+            else:
+                mand = results
+                if msm:
+                    all_docs = np.concatenate([n[0] for n in nodes])
+                    uniq, cnt = np.unique(all_docs, return_counts=True)
+                    enough = uniq[cnt >= int(msm)]
+                    mand = np.intersect1d(mand, enough, assume_unique=True)
+                # "should replaces EMPTY mandatory results"
+                # (QueryProcessor.ts:276-278): branch on the PRE-msm count
+                results = mand if results.size > 0 else union
+        for clause in must_not:
+            cand, _ = self._compile(clause)
+            if results is None:
+                return empty, []
+            results = np.setdiff1d(results, cand, assume_unique=True)
+        if results is None:
+            return empty, []
+        return results, score_terms
+
+    def search(self, query: dict, k: int = 10, from_: int = 0) -> list:
+        """Full-DSL millisecond search over the block index: ranked
+        [(doc_id, score)] with the DSL path's exact scoring semantics
+        (BM25 summed over matched scoring terms in sorted (field, term)
+        order; candidates outside every scored posting get 0.0; ties
+        break doc_id asc). Covers term / match / prefix / wildcard /
+        fuzzy / phrase / match_all and bool composition — the whole
+        inverted-index-resident DSL the reference answers in-process
+        (QueryProcessor.ts:74-111)."""
+        cand, score_terms = self._compile(query)
+        if cand.size == 0:
+            return []
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for f, t in sorted(set(score_terms)):
+            docs, tfs, dls = self.postings(f, t)
+            if docs.size == 0:
+                continue
+            idf = self._idf(docs.size)
+            s = np.maximum(0.0, 1.0 * idf
+                           * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+            i = np.searchsorted(docs, cand)
+            i[i == docs.size] = 0
+            hitmask = docs[i] == cand
+            scores[hitmask] += s[i[hitmask]]
+        order = np.lexsort((cand, -scores))[from_:from_ + k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
