@@ -152,6 +152,26 @@ def main():
             lat_bool.append(time.time() - t0)
         queries["serving_bool_p50_ms"] = round(
             1000 * statistics.median(lat_bool), 2)
+
+        # sustained serving throughput (reference README claims >1,000 q/s
+        # with workers): warm mixed-op loop on ONE thread — workers scale
+        # this linearly since the artifact is immutable shared state
+        qmix = [
+            {"term": {"field": "text", "value": top_terms[0]}},
+            {"term": {"field": "text", "value": tail_term}},
+            {"match": {"field": "text",
+                       "value": f"{top_terms[1]} {top_terms[2]}"}},
+            bool_q,
+            {"match_phrase": {"field": "text", "value": phrase_q}},
+        ]
+        for q in qmix:
+            srv.search(q, k=10)  # warm
+        t0 = time.time()
+        n_iter = 200
+        for i in range(n_iter):
+            srv.search(qmix[i % len(qmix)], k=10)
+        queries["serving_qps_1thread"] = round(
+            n_iter / (time.time() - t0), 1)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)

@@ -418,42 +418,46 @@ def bucket_of(field: str, term: str, n_buckets: int) -> int:
 def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     """Single-shot persisted build. Returns build metrics.
 
-    ONE shuffle end-to-end: the groupBy's map-side partial aggregation
-    already ships final posting rows, so instead of a second repartition on
-    ``bucket``, the aggregated partitions are sorted locally by
-    (bucket, field, term, doc_id) — satisfying the dynamic-partition
-    writer's required ordering with no extra sort — and written
-    ``partitionBy(bucket)``. Each reduce task emits per-bucket files whose
-    rows are term-sorted, so parquet min/max zone maps on ``term`` still
-    prune point lookups to 1-2 row groups per file; AQE's partition
-    coalescing bounds files-per-bucket (~64 MB targets). Versus the
-    two-shuffle layout this removes a full pass over the postings at the
-    cost of reduce-task-many files per bucket — the right trade at 100 TB,
-    where the second shuffle dwarfs extra file footers.
+    Layout: the aggregated postings are repartitioned BY BUCKET, sorted
+    (bucket, field, term, doc_id) within each task, and written
+    ``partitionBy(bucket)`` — ~one term-sorted file per bucket. A
+    round-2 variant skipped this second shuffle (local sort + dynamic
+    writer over the groupBy output), but an interleaved A/B showed it
+    LOSES: every reduce task spills files into every bucket dir
+    (tasks × buckets files — 1,504 vs 32 at 100k docs, 30% slower end to
+    end locally, and a metadata catastrophe at 10^12 docs where tasks
+    number ~10^5). The second shuffle moves already-aggregated rows once
+    and buys one-file-per-bucket: cheaper at every scale measured and the
+    only layout whose file count is O(buckets), not O(tasks × buckets).
 
     The corpus is tokenized exactly ONCE; doc_stats and term_stats are
     derived from the written postings table (column-pruned scans), and
-    n_postings = Σ df comes free from term_stats — no extra count pass.
+    the collection stats ride those writes via observe().
     """
+    from pyspark.sql import Observation
     spark = docs.sparkSession
     t0 = time.time()
     postings = build_postings(docs, config).select("*", _bucket_col(config))
-    (postings.sortWithinPartitions("bucket", "field", "term", "doc_id")
+    (postings.repartition(config.n_buckets, "bucket")
+     .sortWithinPartitions("bucket", "field", "term", "doc_id")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, POSTINGS)))
 
+    # collection stats ride the stats-table WRITE jobs via observe() —
+    # no separate re-read/aggregate jobs afterwards
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
-    doc_stats = derive_doc_stats(docs, postings_r, config)
-    doc_stats.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+    obs_ds = Observation("doc_stats")
+    (derive_doc_stats(docs, postings_r, config)
+     .observe(obs_ds, F.count(F.lit(1)).alias("n"),
+              F.avg("dl").alias("avgdl"), F.sum("dl").alias("dlsum"))
+     .write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS)))
+    stats = obs_ds.get
 
-    build_term_stats(postings_r).write.mode("overwrite").parquet(
-        os.path.join(index_dir, TERM_STATS))
-
-    ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
-    stats = ds.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"),
-                   F.sum("dl").alias("dlsum")).collect()[0]
-    n_postings = int(spark.read.parquet(os.path.join(index_dir, TERM_STATS))
-                     .agg(F.sum("df")).collect()[0][0] or 0)
+    obs_ts = Observation("term_stats")
+    (build_term_stats(postings_r)
+     .observe(obs_ts, F.sum("df").alias("npost"))
+     .write.mode("overwrite").parquet(os.path.join(index_dir, TERM_STATS)))
+    n_postings = int(obs_ts.get["npost"] or 0)
     elapsed = time.time() - t0
     meta = {
         "total_docs": int(stats["n"]),

@@ -40,3 +40,115 @@ def personalize(scored: DataFrame, boosts: DataFrame) -> DataFrame:
                     (F.col("score")
                      + F.coalesce(F.col("clicks"), F.lit(0)).cast("double"))
                     .alias("score")))
+
+
+class ProfileStore:
+    """Persisted per-user profile store — the columnar twin of the
+    reference's ``userProfiles.json`` map (PersonalizationEngine.ts:48-170
+    addEvent/getBoost/getUserProfile/load/save).
+
+    Layout: ``<path>/ubucket=<hash(user) % B>/`` parquet DELTA rows
+    (user_id, doc_id, event_type, n, ts). ``add_event`` appends ONE tiny
+    file with pyarrow — no Spark job, O(1) per event, the write-path shape
+    a click-stream needs. Reads prune to the user's bucket partition, so
+    profile lookups stay O(user's events) at any user count; ``compact()``
+    folds deltas bucket-by-bucket with a Spark job when file counts grow.
+    Boost semantics match the reference: the raw event count for
+    (user, doc), 0 when absent.
+    """
+
+    def __init__(self, spark, path: str, n_buckets: int = 16):
+        import os
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _bucket(self, user_id) -> int:
+        from ..functions.hashing import xxh64_str
+        return xxh64_str(str(user_id)) % self.n_buckets
+
+    def add_event(self, user_id, doc_id, event_type: str = "click",
+                  n: int = 1) -> None:
+        """Record an interaction (PersonalizationEngine.addEvent:108-135):
+        every event type counts into the profile's per-doc event tally."""
+        import os
+        import time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        d = os.path.join(self.path, f"ubucket={self._bucket(user_id)}")
+        os.makedirs(d, exist_ok=True)
+        t = pa.table({
+            "user_id": pa.array([str(user_id)], pa.string()),
+            "doc_id": pa.array([int(doc_id)], pa.int64()),
+            "event_type": pa.array([str(event_type)], pa.string()),
+            "n": pa.array([int(n)], pa.int64()),
+            "ts": pa.array([time.time()], pa.float64()),
+        })
+        pq.write_table(t, os.path.join(d, f"evt-{uuid.uuid4().hex}.parquet"))
+
+    def _user_rows(self, user_id):
+        import os
+
+        import pyarrow.dataset as pads
+        d = os.path.join(self.path, f"ubucket={self._bucket(user_id)}")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return None
+        ds = pads.dataset(d, format="parquet")
+        return ds.to_table(filter=pads.field("user_id") == str(user_id))
+
+    def get_profile(self, user_id) -> dict | None:
+        """{doc_id: count} or None (getUserProfile:165-176 shape)."""
+        t = self._user_rows(user_id)
+        if t is None or t.num_rows == 0:
+            return None
+        out: dict = {}
+        last = 0.0
+        for doc, n, ts in zip(t.column("doc_id").to_pylist(),
+                              t.column("n").to_pylist(),
+                              t.column("ts").to_pylist()):
+            out[doc] = out.get(doc, 0) + n
+            last = max(last, ts)
+        return {"events": out, "lastActivity": last}
+
+    def get_boost(self, user_id, doc_id) -> int:
+        """Raw event count for (user, doc); 0 when absent
+        (getBoost:142-159)."""
+        p = self.get_profile(user_id)
+        if not p:
+            return 0
+        return int(p["events"].get(int(doc_id), 0))
+
+    def boosts_for(self, user_id) -> DataFrame:
+        """DataFrame[doc_id, clicks] for :func:`personalize` — one user's
+        profile (bucket-pruned read, broadcast-sized by construction)."""
+        import os
+        d = os.path.join(self.path, f"ubucket={self._bucket(user_id)}")
+        if not os.path.isdir(d) or not os.listdir(d):
+            return self.spark.createDataFrame([], "doc_id long, clicks long")
+        return (self.spark.read.parquet(d)
+                .where(F.col("user_id") == str(user_id))
+                .groupBy("doc_id")
+                .agg(F.sum("n").cast("long").alias("clicks")))
+
+    def compact(self) -> None:
+        """Fold event deltas into one row per (user, doc, type) per bucket
+        — a per-bucket Spark job, run when delta-file counts grow (the
+        LSM pattern again; profiles stay readable throughout)."""
+        import os
+        import shutil
+        for name in os.listdir(self.path):
+            if not name.startswith("ubucket="):
+                continue
+            d = os.path.join(self.path, name)
+            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 1:
+                continue
+            folded = (self.spark.read.parquet(d)
+                      .groupBy("user_id", "doc_id", "event_type")
+                      .agg(F.sum("n").alias("n"), F.max("ts").alias("ts")))
+            tmp = d + ".compact"
+            folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(d)
+            os.rename(tmp, d)

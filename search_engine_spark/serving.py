@@ -297,6 +297,20 @@ class ServingIndex:
         hi = np.searchsorted(terms, p + "￿")
         return [str(t) for t in terms[lo:hi]]
 
+    def suggest(self, field: str, prefix: str, size: int = 10) -> list:
+        """Autocomplete completions [(term, df)] ranked df desc, term asc —
+        the serving twin of the DSL suggest() (a pure dictionary lookup:
+        binary-search prefix range + partial sort, no postings touched).
+        dfs are the SNAPSHOT term_stats values: tombstoned docs count until
+        compact_deletes rewrites the dictionary (ranking-only effect)."""
+        terms, dfs = self._dictionary(field)
+        p = str(prefix).lower()
+        lo = np.searchsorted(terms, p)
+        hi = np.searchsorted(terms, p + "￿")
+        sl_terms, sl_dfs = terms[lo:hi], dfs[lo:hi]
+        order = np.lexsort((sl_terms, -sl_dfs))[:size]
+        return [(str(sl_terms[i]), int(sl_dfs[i])) for i in order]
+
     def expand_wildcard(self, field: str, pattern: str) -> list:
         """Canonical wildcard semantics (DSL Q5): metachars escaped,
         value lowercased, * -> .*, ? -> . — full-match over the vocab."""

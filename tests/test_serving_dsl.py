@@ -113,6 +113,13 @@ def test_phrase_latency_budget(setup):
     assert p < 0.05, f"serving phrase {p * 1000:.1f} ms >= 50 ms"
 
 
+def test_suggest_matches_dsl(setup):
+    eng, srv = setup
+    want = [(r["term"], r["df"])
+            for r in eng.suggest("name", "a", size=5).collect()]
+    assert srv.suggest("name", "a", size=5) == want and want
+
+
 def test_docs_table_ops_rejected(setup):
     _, srv = setup
     with pytest.raises(ValueError, match="serving surface"):
