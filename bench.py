@@ -165,12 +165,19 @@ def main():
             {"match_phrase": {"field": "text", "value": phrase_q}},
         ]
         for q in qmix:
-            srv.search(q, k=10)  # warm
+            srv.search(q, k=10, use_cache=False)  # warm postings
         t0 = time.time()
         n_iter = 200
         for i in range(n_iter):
-            srv.search(qmix[i % len(qmix)], k=10)
+            # use_cache=False: measure COMPUTE throughput, not the result
+            # LRU (which would answer repeats in ~µs)
+            srv.search(qmix[i % len(qmix)], k=10, use_cache=False)
         queries["serving_qps_1thread"] = round(
+            n_iter / (time.time() - t0), 1)
+        t0 = time.time()
+        for i in range(n_iter):
+            srv.search(qmix[i % len(qmix)], k=10)  # result LRU on
+        queries["serving_qps_cached"] = round(
             n_iter / (time.time() - t0), 1)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)

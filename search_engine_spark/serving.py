@@ -114,6 +114,11 @@ class ServingIndex:
         # never need invalidation.
         self._postings_cache: "OrderedDict" = OrderedDict()
         self.cache_terms = 4096
+        # query-result LRU (the reference's QueryCache,
+        # PerformanceOptimizations.ts) — safe because the serving artifact
+        # is immutable (tombstones bind at construction)
+        self._result_cache: "OrderedDict" = OrderedDict()
+        self.cache_results = 1024
 
     # -- postings access ----------------------------------------------------
 
@@ -440,21 +445,19 @@ class ServingIndex:
         if not tokens:
             return []
         per_tok = [self.postings_with_positions(field, t) for t in tokens]
-        cand = per_tok[0][0]
-        for docs, *_ in per_tok[1:]:
-            cand = np.intersect1d(cand, docs, assume_unique=True)
-        if cand.size == 0:
-            return []
-        accepted = []
-        for d in cand.tolist():
-            matches = []
-            for docs, tfs, dls, flat, off in per_tok:
-                i = int(np.searchsorted(docs, d))
-                matches.append(flat[off[i]:off[i + 1]].tolist())
-            if greedy_phrase_match(matches, int(slop), 0):
-                accepted.append(d)
+        if int(slop) == 0:
+            # exact phrase needs no candidate intersect: surviving start
+            # keys already imply the doc holds every token in place
+            accepted = self._phrase_accept_exact(field, tokens)
+        else:
+            cand = per_tok[0][0]
+            for docs, *_ in per_tok[1:]:
+                cand = np.intersect1d(cand, docs, assume_unique=True)
+            if cand.size == 0:
+                return []
+            accepted = self._phrase_accept_sloppy(per_tok, cand, int(slop))
         if members_only:
-            return accepted  # already ascending (cand is sorted)
+            return accepted  # ascending
         if not accepted:
             return []
         acc = np.asarray(accepted, dtype=np.int64)
@@ -470,6 +473,67 @@ class ServingIndex:
         if k is not None:
             order = order[:k]
         return [(int(acc[i]), float(scores[i])) for i in order]
+
+    def _phrase_keys(self, field: str, term: str) -> np.ndarray:
+        """Sorted ``doc << 32 | pos`` occurrence keys for one term — the
+        phrase-query working set, cached in the LRU (built once per term;
+        doc ids must fit 31 bits, positions 32)."""
+        key = ("pkeys", field, term)
+        hit = self._postings_cache.get(key)
+        if hit is not None:
+            self._postings_cache.move_to_end(key)
+            return hit
+        docs, tfs, dls, flat, off = self.postings_with_positions(field, term)
+        if docs.size and int(docs.max()) >= (1 << 31):
+            raise ValueError("doc ids >= 2^31 — phrase keys need 31-bit ids")
+        keys = np.sort((np.repeat(docs, tfs) << np.int64(32)) | flat)
+        self._postings_cache[key] = keys
+        while len(self._postings_cache) > self.cache_terms:
+            self._postings_cache.popitem(last=False)
+        return keys
+
+    def _phrase_accept_exact(self, field: str, tokens: list) -> list:
+        """Docs holding the tokens at CONSECUTIVE positions — fully
+        vectorized: the condition 'exists p: p+j ∈ pos_j(doc) ∀j' becomes
+        a sorted-key membership chain over per-term occurrence keys,
+        started from the RAREST token (smallest key set) so head-term
+        phrases prune immediately. ~ms of numpy where a per-doc Python
+        loop measured SECONDS at 200k pages."""
+        key_sets = [self._phrase_keys(field, t) for t in tokens]
+        if any(k.size == 0 for k in key_sets):
+            return []
+        jmin = min(range(len(key_sets)), key=lambda j: key_sets[j].size)
+        s = key_sets[jmin]
+        for j in range(len(key_sets)):
+            if j == jmin:
+                continue
+            # shift the anchor key to token j's expected position; an
+            # anchor with pos < jmin-j borrows into the doc bits and can
+            # never match a real key (positions ≪ 2^32), so invalid
+            # starts filter themselves
+            want = s + np.int64(j - jmin)
+            ks = key_sets[j]
+            i = np.searchsorted(ks, want)
+            i[i == ks.size] = 0
+            s = s[ks[i] == want]
+            if s.size == 0:
+                return []
+        return np.unique((s - np.int64(jmin)) >> np.int64(32)).tolist()
+
+    def _phrase_accept_sloppy(self, per_tok: list, cand: np.ndarray,
+                              slop: int) -> list:
+        """Greedy per-doc proximity check (the reference's sloppy-phrase
+        semantics); candidate sets here are proximity-bounded and small."""
+        from .plans.dsl import greedy_phrase_match
+        accepted = []
+        for d in cand.tolist():
+            matches = []
+            for docs, tfs, dls, flat, off in per_tok:
+                i = int(np.searchsorted(docs, d))
+                matches.append(flat[off[i]:off[i + 1]].tolist())
+            if greedy_phrase_match(matches, slop, 0):
+                accepted.append(d)
+        return accepted
 
     # -- full DSL over the block index --------------------------------------
 
@@ -653,7 +717,8 @@ class ServingIndex:
             return empty, []
         return results, score_terms
 
-    def search(self, query: dict, k: int = 10, from_: int = 0) -> list:
+    def search(self, query: dict, k: int = 10, from_: int = 0,
+               use_cache: bool = True) -> list:
         """Full-DSL millisecond search over the block index: ranked
         [(doc_id, score)] with the DSL path's exact scoring semantics
         (BM25 summed over matched scoring terms in sorted (field, term)
@@ -661,21 +726,41 @@ class ServingIndex:
         break doc_id asc). Covers term / match / prefix / wildcard /
         fuzzy / phrase / match_all and bool composition — the whole
         inverted-index-resident DSL the reference answers in-process
-        (QueryProcessor.ts:74-111)."""
+        (QueryProcessor.ts:74-111). Results are LRU-cached per
+        (query, k, from_) like the reference's QueryCache; pass
+        ``use_cache=False`` to force recompute."""
+        ck = None
+        if use_cache:
+            try:
+                ck = (json.dumps(query, sort_keys=True, default=str),
+                      k, from_)
+            except TypeError:
+                ck = None
+            if ck is not None:
+                hit = self._result_cache.get(ck)
+                if hit is not None:
+                    self._result_cache.move_to_end(ck)
+                    return list(hit)
         cand, score_terms = self._compile(query)
         if cand.size == 0:
-            return []
-        scores = np.zeros(cand.size, dtype=np.float64)
-        for f, t in sorted(set(score_terms)):
-            docs, tfs, dls = self.postings(f, t)
-            if docs.size == 0:
-                continue
-            idf = self._idf(docs.size)
-            s = np.maximum(0.0, 1.0 * idf
-                           * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-            i = np.searchsorted(docs, cand)
-            i[i == docs.size] = 0
-            hitmask = docs[i] == cand
-            scores[hitmask] += s[i[hitmask]]
-        order = np.lexsort((cand, -scores))[from_:from_ + k]
-        return [(int(cand[i]), float(scores[i])) for i in order]
+            out = []
+        else:
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for f, t in sorted(set(score_terms)):
+                docs, tfs, dls = self.postings(f, t)
+                if docs.size == 0:
+                    continue
+                idf = self._idf(docs.size)
+                s = np.maximum(0.0, 1.0 * idf
+                               * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+                i = np.searchsorted(docs, cand)
+                i[i == docs.size] = 0
+                hitmask = docs[i] == cand
+                scores[hitmask] += s[i[hitmask]]
+            order = np.lexsort((cand, -scores))[from_:from_ + k]
+            out = [(int(cand[i]), float(scores[i])) for i in order]
+        if ck is not None:
+            self._result_cache[ck] = list(out)
+            while len(self._result_cache) > self.cache_results:
+                self._result_cache.popitem(last=False)
+        return out
