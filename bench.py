@@ -144,11 +144,12 @@ def main():
             "should": [{"term": {"field": "text", "value": top_terms[1]}},
                        {"term": {"field": "text", "value": tail_term}}],
             "must_not": [{"term": {"field": "text", "value": top_terms[2]}}]}}
-        srv.search(bool_q, k=10)  # warm
+        srv.search(bool_q, k=10, use_cache=False)  # warm postings
         lat_bool = []
         for _ in range(3):
             t0 = time.time()
-            srv.search(bool_q, k=10)
+            # compute latency, not the result-LRU hit
+            srv.search(bool_q, k=10, use_cache=False)
             lat_bool.append(time.time() - t0)
         queries["serving_bool_p50_ms"] = round(
             1000 * statistics.median(lat_bool), 2)
