@@ -45,11 +45,17 @@ def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
     """Tombstone ``doc_ids`` and refresh collection stats. Returns new meta."""
+    base_ds = _doc_stats_with_runs(spark, index_dir)
+    if base_ds is None:  # validate BEFORE appending tombstones — a bad
+        # path must not leave a tombstone table next to stale meta
+        raise FileNotFoundError(
+            f"no index at {index_dir}: neither {DOC_STATS}/ nor any "
+            "committed run exists — build or append first")
     tomb_path = os.path.join(index_dir, TOMBSTONES)
     spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long") \
         .write.mode("append").parquet(tomb_path)
     tomb = spark.read.parquet(tomb_path).distinct()
-    ds = _doc_stats_with_runs(spark, index_dir).join(tomb, "doc_id", "anti")
+    ds = base_ds.join(tomb, "doc_id", "anti")
     stats = ds.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl"),
                    F.sum("dl").alias("dlsum")).collect()[0]

@@ -615,6 +615,7 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         "n_buckets": config.n_buckets, "positions": config.positions,
         "stem_lang": config.stem_lang,
         "stem_lang_col": config.stem_lang_col,
+        "analyzers": config.analyzers,
         "bucket_fn": BUCKET_FN,
         "n_chunks": n_chunks, "build_seconds": time.time() - t0,
     }

@@ -33,7 +33,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .index_build import (BUCKET_FN, DOC_STATS, MANIFEST, META, POSTINGS,
@@ -50,8 +50,14 @@ def _manifest_entries(index_dir: str) -> list:
     out = []
     for name in sorted(os.listdir(mdir)):
         if name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as fh:
-                out.append((name, json.load(fh)))
+            try:
+                with open(os.path.join(mdir, name)) as fh:
+                    out.append((name, json.load(fh)))
+            except (json.JSONDecodeError, OSError):
+                # mid-write reservation from a concurrent append (or a
+                # crash between create and write): the id is visibly taken
+                # but carries no committed data — treat as a placeholder
+                out.append((name, {"status": "reserved", "name": name}))
     return out
 
 
@@ -137,17 +143,23 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
     os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
     t0 = time.time()
     run_path = os.path.join(index_dir, RUNS, run_key)
-    build_postings(docs, config).write.mode("overwrite").parquet(run_path)
+    # batch stats ride the two write jobs via observe() — no read-back
+    # aggregate or count jobs per batch (same pattern as write_index)
+    obs_p = Observation(f"run_postings_{run_key}")
+    (build_postings(docs, config)
+     .observe(obs_p, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(run_path))
     ds_path = os.path.join(index_dir, RUNS, f"doc_stats_{run_key}")
-    build_doc_stats(docs, config).write.mode("overwrite").parquet(ds_path)
-    spark = docs.sparkSession
-    row = spark.read.parquet(ds_path).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")).collect()[0]
-    n_post = spark.read.parquet(run_path).count()
+    obs_d = Observation(f"run_doc_stats_{run_key}")
+    (build_doc_stats(docs, config)
+     .observe(obs_d, F.count(F.lit(1)).alias("n"),
+              F.sum("dl").alias("dl_sum"))
+     .write.mode("overwrite").parquet(ds_path))
+    row = obs_d.get
     entry = {
         "chunk": run_key, "status": "committed",
         "n_docs": int(row["n"]), "dl_sum": int(row["dl_sum"] or 0),
-        "n_postings": n_post, "run_path": run_path,
+        "n_postings": int(obs_p.get["n"] or 0), "run_path": run_path,
         "doc_stats_path": ds_path, "seconds": time.time() - t0,
         "lineage": lineage,
     }
@@ -166,13 +178,42 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     doc-stats runs, commits the manifest entry, and reconciles meta
     additively. Queries via ``load_index`` see the batch immediately; no
     base rewrite happens until :func:`compact_runs`. Doc ids must be
-    unique vs the existing corpus (same contract as the reference add)."""
-    taken = [e.get("lineage", {}).get("add_id", -1)
-             for _, e in _manifest_entries(index_dir)]
-    add_id = max(taken, default=-1) + 1
+    unique vs the existing corpus (same contract as the reference add).
+
+    Concurrency: the batch id is RESERVED by creating its manifest file
+    with O_EXCL before any data is written, so two appends racing through
+    a threaded server (or two processes on a shared filesystem) can never
+    claim the same run key and overwrite each other's batch — the loser
+    of the create race just moves to the next id. A reservation whose
+    append later crashed stays status='reserved' forever: invisible to
+    queries (live_runs wants 'committed') and never reused (the id scan
+    below counts reservations). On an object store without O_EXCL
+    semantics, route appends through one writer (what Iceberg's optimistic
+    manifest commit would arbitrate on a real deployment)."""
+    mdir = os.path.join(index_dir, MANIFEST)
+    os.makedirs(mdir, exist_ok=True)
+    while True:
+        taken = [e.get("lineage", {}).get("add_id", -1)
+                 for _, e in _manifest_entries(index_dir)]
+        taken += [int(n[len(ADD_PREFIX) + 1:-5])
+                  for n in os.listdir(mdir)
+                  if n.startswith(ADD_PREFIX + "-") and n.endswith(".json")
+                  and n[len(ADD_PREFIX) + 1:-5].isdigit()]
+        add_id = max(taken, default=-1) + 1
+        name = f"{ADD_PREFIX}-{add_id:05d}.json"
+        try:
+            fd = os.open(os.path.join(mdir, name),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # lost the race — rescan and take the next id
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"chunk": f"{ADD_PREFIX}_batch={add_id}",
+                       "status": "reserved",
+                       "lineage": {"source": "append", "add_id": add_id}}, fh)
+        break
     return write_run(docs, index_dir, config,
                      run_key=f"{ADD_PREFIX}_batch={add_id}",
-                     manifest_name=f"{ADD_PREFIX}-{add_id:05d}.json",
+                     manifest_name=name,
                      lineage={"source": "append", "add_id": add_id})
 
 
@@ -234,8 +275,15 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     base_exists = os.path.isdir(base_dir)
     if base_exists:
         base = spark.read.parquet(base_dir)
-        merged = base.where(F.col("bucket").isin(affected)) \
-            .unionByName(run_posts)
+        # dropDuplicates on the posting key makes a REPLAYED compaction
+        # (crash after the bucket overwrite committed but before
+        # mark_compacted flipped the manifest) idempotent: the base
+        # already holds the run rows, so the re-merge would otherwise
+        # double them. (field, term, doc_id) is unique by the append
+        # contract — doc ids are new vs the existing corpus.
+        merged = (base.where(F.col("bucket").isin(affected))
+                  .unionByName(run_posts)
+                  .dropDuplicates(["field", "term", "doc_id"]))
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -251,23 +299,36 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     os.makedirs(ds_dir, exist_ok=True)
     for e in runs:
         src = e["doc_stats_path"]
+        if not os.path.isdir(src):  # replay after a crash mid-promotion
+            continue
         tag = os.path.basename(src)
         for name in os.listdir(src):
             if name.endswith(".parquet"):
-                shutil.move(os.path.join(src, name),
-                            os.path.join(ds_dir, f"{tag}-{name}"))
+                dst = os.path.join(ds_dir, f"{tag}-{name}")
+                if os.path.exists(dst):  # replay: already promoted
+                    os.remove(os.path.join(src, name))
+                else:
+                    shutil.move(os.path.join(src, name), dst)
         shutil.rmtree(src, ignore_errors=True)
 
-    # term_stats: additive merge, atomic swap
+    # term_stats: recount the AFFECTED buckets from the post-compact base
+    # and splice them over the untouched terms (bucket_of is deterministic
+    # on (field, term), so untouched terms are selected without any
+    # postings read). Recounting — rather than additively merging the run
+    # counts — makes a REPLAYED compaction idempotent: the recount reflects
+    # whatever the base now holds, applied once or twice. Atomic swap.
     ts_dir = os.path.join(index_dir, TERM_STATS)
-    run_ts = run_posts.groupBy("field", "term").agg(
-        F.count(F.lit(1)).alias("df"))
+    aff_ts = (spark.read.parquet(base_dir)
+              .where(F.col("bucket").isin(affected))
+              .groupBy("field", "term").agg(F.count(F.lit(1)).alias("df")))
     if os.path.isdir(ts_dir):
         old_ts = spark.read.parquet(ts_dir)
-        new_ts = (old_ts.unionByName(run_ts).groupBy("field", "term")
-                  .agg(F.sum("df").alias("df")))
+        keep = (old_ts.select("field", "term", "df", _bucket_col(config))
+                .where(~F.col("bucket").isin(affected))
+                .drop("bucket"))
+        new_ts = keep.unionByName(aff_ts)
     else:
-        new_ts = run_ts
+        new_ts = aff_ts
     tmp = ts_dir + ".compact"
     new_ts.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(ts_dir):
@@ -275,6 +336,11 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     os.rename(tmp, ts_dir)
 
     mark_compacted(index_dir, runs)
+    # reclaim the folded postings runs — their rows now live in the base
+    # buckets; leaving them would leak a full copy of every appended
+    # posting. Manifest entries stay (status='compacted') for lineage.
+    for e in runs:
+        shutil.rmtree(e["run_path"], ignore_errors=True)
     meta["compacted_buckets"] = affected
     meta["n_runs_compacted"] = len(runs)
     with open(os.path.join(index_dir, META), "w") as fh:

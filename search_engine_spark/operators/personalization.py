@@ -136,19 +136,41 @@ class ProfileStore:
     def compact(self) -> None:
         """Fold event deltas into one row per (user, doc, type) per bucket
         — a per-bucket Spark job, run when delta-file counts grow (the
-        LSM pattern again; profiles stay readable throughout)."""
+        LSM pattern again; profiles stay readable throughout).
+
+        Safe against concurrent :meth:`add_event`: the input set is a
+        SNAPSHOT of the bucket's delta files taken up front; only exactly
+        those files are read and deleted, so an event file landing while
+        the fold runs is never touched. The live bucket dir is never
+        swapped — the folded file moves IN, then the snapshot inputs are
+        removed — so a crash can no longer drop a bucket; the worst case
+        is the folded window double-counted until operator cleanup
+        (at-least-once accounting — clicks are advisory boosts, the
+        reference's in-memory engine offers no durability at all)."""
         import os
         import shutil
-        for name in os.listdir(self.path):
+        import uuid
+        for name in sorted(os.listdir(self.path)):
             if not name.startswith("ubucket="):
                 continue
             d = os.path.join(self.path, name)
-            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) <= 1:
+            if name.endswith(".compact"):  # crash debris from an old fold:
+                shutil.rmtree(d, ignore_errors=True)  # inputs still live
                 continue
-            folded = (self.spark.read.parquet(d)
+            snapshot = sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet"))
+            if len(snapshot) <= 1:
+                continue
+            folded = (self.spark.read.parquet(*snapshot)
                       .groupBy("user_id", "doc_id", "event_type")
                       .agg(F.sum("n").alias("n"), F.max("ts").alias("ts")))
             tmp = d + ".compact"
             folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(d)
-            os.rename(tmp, d)
+            for f in sorted(os.listdir(tmp)):
+                if f.endswith(".parquet"):
+                    shutil.move(os.path.join(tmp, f),
+                                os.path.join(d, f"fold-{uuid.uuid4().hex}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            for f in snapshot:
+                os.remove(f)

@@ -345,7 +345,8 @@ class SparkSearchEngine:
         return ts.where(F.col("field").isin(fields))
 
     def _single_term(self, field: str, norm_value: str, fuzziness: int,
-                     scoring: bool, pre_stemmed: bool = False) -> _Node:
+                     scoring: bool, pre_stemmed: bool = False,
+                     surface: str | None = None) -> _Node:
         """term/match/fuzzy core (QueryProcessor._processSingleTerm:146-207):
         exact or Levenshtein dictionary match + synonym expansion, then
         postings lookup.
@@ -360,11 +361,13 @@ class SparkSearchEngine:
             # S6 synonym hook: accepts a dict or a synonyms.SynonymEngine;
             # single-token synonyms extend the exact-term IN-list, multi-word
             # synonyms are analyzed and expanded as AND-of-tokens candidates.
-            # Synonyms are looked up by the SURFACE form, then every final
-            # token (value + expansions) is stemmed for stemmed indexes.
+            # Synonyms are looked up by the SURFACE form (callers that
+            # pre-stem — _match — pass it via ``surface``), then every
+            # final token (value + expansions) is stemmed for stemmed
+            # indexes.
             values = [norm_value]
             multi: list = []
-            for syn in self.synonyms.get(norm_value, ()):
+            for syn in self.synonyms.get(surface or norm_value, ()):
                 toks = pyan.standard(str(syn).lower())
                 if len(toks) > 1:
                     multi.append(self._stem_query_tokens(toks))
@@ -452,13 +455,15 @@ class SparkSearchEngine:
         # stem HERE with the language detected over the WHOLE analyzed value
         # (per-token detection would route marker-free tokens of a detected
         # query — 'laufenden' in 'der die und laufenden' — to the porter)
+        surfaces = list(tokens)  # pre-stem forms: the synonym-lookup keys
         tokens = self._stem_query_tokens(tokens)
         if len(tokens) == 1:
             return self._single_term(field, tokens[0], fz or 0, scoring,
-                                     pre_stemmed=True)
+                                     pre_stemmed=True, surface=surfaces[0])
         # multi-token: AND of tokens (string-query semantics, QueryParser.ts:33-42)
         nodes = [self._single_term(field, t, fz or 0, scoring,
-                                   pre_stemmed=True) for t in tokens]
+                                   pre_stemmed=True, surface=s)
+                 for t, s in zip(tokens, surfaces)]
         cand = nodes[0].cand
         for n in nodes[1:]:
             cand = cand.join(n.cand, "doc_id", "semi")

@@ -70,6 +70,13 @@ class SearchService:
         self._docs: dict = {}           # index name -> docs DataFrame
         self._queries = 0
         self._t0 = time.time()
+        # ThreadingHTTPServer runs handlers concurrently: index MUTATIONS
+        # (append/flush/snapshot) serialize behind one lock — append ids
+        # are additionally reserved O_EXCL on disk (lsm.append_docs), but
+        # flush-vs-append and flush-vs-flush have no disk-level arbiter.
+        # Searches stay lock-free (they read immutable committed state).
+        import threading
+        self._mutate_lock = threading.Lock()
 
     def create_index(self, name: str, docs_path: str,
                      fields: dict | None = None,
@@ -148,18 +155,19 @@ class SearchService:
         from .operators.lsm import append_docs
         cfg = self._index_config(name)
         ixdir = self.catalog._dir(name)
-        batch = self.spark.createDataFrame(documents)
-        batch = batch.dropDuplicates([cfg.id_col])
-        existing = load_index(self.spark, ixdir).doc_stats \
-            .select(F.col("doc_id").alias(cfg.id_col))
-        fresh = batch.join(existing, cfg.id_col, "anti").cache()
-        try:
-            n_fresh = fresh.count()
-            if n_fresh:
-                append_docs(fresh, ixdir, cfg)
-        finally:
-            fresh.unpersist()
-        meta = self.catalog.stats(name)
+        with self._mutate_lock:
+            batch = self.spark.createDataFrame(documents)
+            batch = batch.dropDuplicates([cfg.id_col])
+            existing = load_index(self.spark, ixdir).doc_stats \
+                .select(F.col("doc_id").alias(cfg.id_col))
+            fresh = batch.join(existing, cfg.id_col, "anti").cache()
+            try:
+                n_fresh = fresh.count()
+                if n_fresh:
+                    append_docs(fresh, ixdir, cfg)
+            finally:
+                fresh.unpersist()
+            meta = self.catalog.stats(name)
         return {
             "message": f"Added {n_fresh} documents to index '{name}'",
             "addedCount": n_fresh,
@@ -175,8 +183,9 @@ class SearchService:
         from .operators.index_build import load_index
         from .operators.wand import write_blocks
         ixdir = self.catalog._dir(name)
-        idx = load_index(self.spark, ixdir)
-        metrics = write_blocks(idx, ixdir)
+        with self._mutate_lock:
+            idx = load_index(self.spark, ixdir)
+            metrics = write_blocks(idx, ixdir)
         return {
             "message": f"Snapshot saved for index '{name}'",
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -190,8 +199,9 @@ class SearchService:
             raise KeyError(name)
         from .operators.lsm import compact_runs, live_runs
         ixdir = self.catalog._dir(name)
-        n_runs = len(live_runs(ixdir))
-        compact_runs(self.spark, ixdir)
+        with self._mutate_lock:
+            n_runs = len(live_runs(ixdir))
+            compact_runs(self.spark, ixdir)
         return {
             "message": f"Flushed index '{name}' successfully",
             "flushedWorkers": n_runs,

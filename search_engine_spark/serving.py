@@ -441,15 +441,27 @@ class ServingIndex:
         fold), top ``k`` (None = all)."""
         from .analysis.analyzers import standard
         from .plans.dsl import greedy_phrase_match
+        fields = self._fields_for(field)  # '*' resolves like the DSL does
+        if len(fields) != 1:
+            raise ValueError(
+                "multi-field phrase (field='*' over a multi-field index) "
+                "merges positions across fields — run it on the Spark DSL "
+                "path (_phrase); the serving path answers concrete fields")
+        field = fields[0]
         tokens = self._stem_query_tokens(standard(str(value)))
         if not tokens:
             return []
         per_tok = [self.postings_with_positions(field, t) for t in tokens]
-        if int(slop) == 0:
+        vectorizable = all(
+            d.size == 0 or int(d.max()) < (1 << 32) for d, *_ in per_tok)
+        if int(slop) == 0 and vectorizable:
             # exact phrase needs no candidate intersect: surviving start
             # keys already imply the doc holds every token in place
             accepted = self._phrase_accept_exact(field, tokens)
         else:
+            # slop > 0, or doc ids past the 2^32 key-packing headroom
+            # (sparse 64-bit id spaces): per-doc greedy proximity —
+            # slop=0 through the same matcher is exact adjacency
             cand = per_tok[0][0]
             for docs, *_ in per_tok[1:]:
                 cand = np.intersect1d(cand, docs, assume_unique=True)
@@ -475,18 +487,19 @@ class ServingIndex:
         return [(int(acc[i]), float(scores[i])) for i in order]
 
     def _phrase_keys(self, field: str, term: str) -> np.ndarray:
-        """Sorted ``doc << 32 | pos`` occurrence keys for one term — the
-        phrase-query working set, cached in the LRU (built once per term;
-        doc ids must fit 31 bits, positions 32)."""
+        """Sorted ``doc << 32 | pos`` occurrence keys (uint64) for one term
+        — the phrase-query working set, cached in the LRU (built once per
+        term). Supports doc ids up to 2^32; phrase() routes larger (sparse
+        64-bit) id spaces to the per-doc greedy path instead."""
         key = ("pkeys", field, term)
         hit = self._postings_cache.get(key)
         if hit is not None:
             self._postings_cache.move_to_end(key)
             return hit
         docs, tfs, dls, flat, off = self.postings_with_positions(field, term)
-        if docs.size and int(docs.max()) >= (1 << 31):
-            raise ValueError("doc ids >= 2^31 — phrase keys need 31-bit ids")
-        keys = np.sort((np.repeat(docs, tfs) << np.int64(32)) | flat)
+        keys = np.sort(
+            (np.repeat(docs, tfs).astype(np.uint64) << np.uint64(32))
+            | flat.astype(np.uint64))
         self._postings_cache[key] = keys
         while len(self._postings_cache) > self.cache_terms:
             self._postings_cache.popitem(last=False)
@@ -508,17 +521,19 @@ class ServingIndex:
             if j == jmin:
                 continue
             # shift the anchor key to token j's expected position; an
-            # anchor with pos < jmin-j borrows into the doc bits and can
-            # never match a real key (positions ≪ 2^32), so invalid
-            # starts filter themselves
-            want = s + np.int64(j - jmin)
+            # anchor with pos < jmin-j borrows into the doc bits (modular
+            # uint64 arithmetic) and can never match a real key
+            # (positions ≪ 2^32), so invalid starts filter themselves
+            d = j - jmin
+            want = s + np.uint64(d) if d >= 0 else s - np.uint64(-d)
             ks = key_sets[j]
             i = np.searchsorted(ks, want)
             i[i == ks.size] = 0
             s = s[ks[i] == want]
             if s.size == 0:
                 return []
-        return np.unique((s - np.int64(jmin)) >> np.int64(32)).tolist()
+        return np.unique(
+            (s - np.uint64(jmin)) >> np.uint64(32)).astype(np.int64).tolist()
 
     def _phrase_accept_sloppy(self, per_tok: list, cand: np.ndarray,
                               slop: int) -> list:
@@ -654,7 +669,8 @@ class ServingIndex:
             members = self.phrase(f, v, slop=slop, members_only=True)
             from .analysis.analyzers import standard
             tokens = self._stem_query_tokens(standard(str(v)))
-            pairs = [(f, t) for t in tokens]
+            # phrase() validated the field resolves to exactly one
+            pairs = [(self._fields_for(f)[0], t) for t in tokens]
             return np.asarray(members, dtype=np.int64), pairs
         if "bool" in q:
             return self._bool(q["bool"])
