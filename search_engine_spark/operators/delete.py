@@ -129,7 +129,8 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     os.rename(tmp, os.path.join(index_dir, DOC_STATS))
 
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
-    build_term_stats(postings_r).write.mode("overwrite").parquet(
+    build_term_stats(postings_r).sortWithinPartitions(
+        "field", "term").write.mode("overwrite").parquet(
         os.path.join(index_dir, TERM_STATS))
 
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))

@@ -330,7 +330,8 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     else:
         new_ts = aff_ts
     tmp = ts_dir + ".compact"
-    new_ts.write.mode("overwrite").parquet(tmp)
+    new_ts.sortWithinPartitions("field", "term") \
+        .write.mode("overwrite").parquet(tmp)
     if os.path.isdir(ts_dir):
         shutil.rmtree(ts_dir)
     os.rename(tmp, ts_dir)

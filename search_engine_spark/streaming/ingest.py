@@ -110,7 +110,8 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
         dl = (postings_r.where(F.col("field").isin(list(config.fields)))
               .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
     dl.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
-    build_term_stats(postings_r).write.mode("overwrite").parquet(
+    build_term_stats(postings_r).sortWithinPartitions(
+        "field", "term").write.mode("overwrite").parquet(
         os.path.join(index_dir, TERM_STATS))
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS))
     stats = ds.agg(F.count(F.lit(1)).alias("n"),

@@ -291,3 +291,29 @@ class TestPhraseLargeDocIds:
         srv = self._serve(spark, tmp_path, base)
         got = srv.phrase("text", "quick brown", k=10)
         assert sorted(d for d, _ in got) == [base + 1, base + 3]
+
+
+# ------------------------------------------------ sorted dictionary files
+
+def test_term_stats_files_are_term_sorted(spark, tmp_path):
+    """Dictionary files must be (field, term)-sorted so parquet row-group
+    min/max stats give prefix/wildcard scans tight lexicographic slices."""
+    import pyarrow.parquet as pq
+    from search_engine_spark.operators.index_build import TERM_STATS
+    docs = _docs(spark, [(i, " ".join(f"w{(i * 7 + j) % 97}"
+                                      for j in range(20)), "en")
+                         for i in range(200)])
+    ixdir = str(tmp_path / "ix")
+    write_index(docs, ixdir, IndexConfig(**CFG))
+    ts_dir = os.path.join(ixdir, TERM_STATS)
+    checked = 0
+    for name in os.listdir(ts_dir):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(ts_dir, name),
+                          columns=["field", "term"])
+        pairs = list(zip(t.column("field").to_pylist(),
+                         t.column("term").to_pylist()))
+        assert pairs == sorted(pairs), f"unsorted dictionary file {name}"
+        checked += 1
+    assert checked > 0
