@@ -440,30 +440,31 @@ class ServingIndex:
         DSL's scoring (BM25 summed over the phrase tokens, sorted term
         fold), top ``k`` (None = all)."""
         from .analysis.analyzers import standard
-        from .plans.dsl import greedy_phrase_match
         fields = self._fields_for(field)  # '*' resolves like the DSL does
-        if len(fields) != 1:
-            raise ValueError(
-                "multi-field phrase (field='*' over a multi-field index) "
-                "merges positions across fields — run it on the Spark DSL "
-                "path (_phrase); the serving path answers concrete fields")
-        field = fields[0]
         tokens = self._stem_query_tokens(standard(str(value)))
         if not tokens:
             return []
-        per_tok = [self.postings_with_positions(field, t) for t in tokens]
-        vectorizable = all(
-            d.size == 0 or int(d.max()) < (1 << 32) for d, *_ in per_tok)
+        vectorizable = True
+        for f in fields:
+            for t in set(tokens):
+                d = self.postings_with_positions(f, t)[0]
+                if d.size and int(d.max()) >= (1 << 32):
+                    vectorizable = False
         if int(slop) == 0 and vectorizable:
             # exact phrase needs no candidate intersect: surviving start
-            # keys already imply the doc holds every token in place
-            accepted = self._phrase_accept_exact(field, tokens)
+            # keys already imply the doc holds every token in place.
+            # Multi-field ('*') merges each token's occurrences across
+            # fields first — the serving twin of the DSL's per-doc
+            # collect_set union (plans/dsl.py _phrase).
+            key_sets = [self._merged_keys(fields, t) for t in tokens]
+            accepted = self._phrase_accept_exact_keys(key_sets)
         else:
             # slop > 0, or doc ids past the 2^32 key-packing headroom
             # (sparse 64-bit id spaces): per-doc greedy proximity —
             # slop=0 through the same matcher is exact adjacency
+            per_tok = [self._merged_occurrences(fields, t) for t in tokens]
             cand = per_tok[0][0]
-            for docs, *_ in per_tok[1:]:
+            for docs, _, _ in per_tok[1:]:
                 cand = np.intersect1d(cand, docs, assume_unique=True)
             if cand.size == 0:
                 return []
@@ -474,13 +475,19 @@ class ServingIndex:
             return []
         acc = np.asarray(accepted, dtype=np.int64)
         scores = np.zeros(acc.size, dtype=np.float64)
-        for t in sorted(set(tokens)):  # sorted term fold == DSL order
-            docs, tfs, dls, _, _ = self.postings_with_positions(field, t)
+        # sorted (field, term) fold == the DSL's array_sort struct fold; a
+        # doc missing one pair's postings (multi-field) contributes nothing
+        # for that pair, matching the DSL's left-join + coalesce(0)
+        for f, t in sorted({(f, t) for f in fields for t in tokens}):
+            docs, tfs, dls, _, _ = self.postings_with_positions(f, t)
+            if docs.size == 0:
+                continue
             idf = self._idf(docs.size)
             s = np.maximum(0.0, 1.0 * idf
                            * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-            i = np.searchsorted(docs, acc)
-            scores += s[i]
+            i = np.minimum(np.searchsorted(docs, acc), docs.size - 1)
+            m = docs[i] == acc
+            scores[m] += s[i[m]]
         order = np.lexsort((acc, -scores))
         if k is not None:
             order = order[:k]
@@ -505,14 +512,59 @@ class ServingIndex:
             self._postings_cache.popitem(last=False)
         return keys
 
-    def _phrase_accept_exact(self, field: str, tokens: list) -> list:
+    def _merged_keys(self, fields: list, term: str) -> np.ndarray:
+        """One term's sorted occurrence keys merged across ``fields`` —
+        single field passes through the per-field LRU'd key set; multi-field
+        ('*') unions and dedupes, mirroring the DSL's per-doc collect_set
+        of positions across fields."""
+        if len(fields) == 1:
+            return self._phrase_keys(fields[0], term)
+        parts = [self._phrase_keys(f, term) for f in fields]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.zeros(0, dtype=np.uint64)
+        if len(parts) == 1:
+            return parts[0]
+        return np.unique(np.concatenate(parts))
+
+    def _merged_occurrences(self, fields: list, term: str):
+        """(unique_docs, flat_positions, offsets) for one term with the
+        position lists merged (set-union) across ``fields`` — doc i's
+        positions are ``flat[off[i]:off[i+1]]``, sorted ascending. Works
+        for any 64-bit doc-id space (no key packing)."""
+        if len(fields) == 1:
+            docs, tfs, dls, flat, off = \
+                self.postings_with_positions(fields[0], term)
+            return docs, flat, off
+        d_parts, p_parts = [], []
+        for f in fields:
+            docs, tfs, dls, flat, off = self.postings_with_positions(f, term)
+            if docs.size:
+                d_parts.append(np.repeat(docs, tfs))
+                p_parts.append(flat)
+        if not d_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(1, dtype=np.int64)
+        docs_occ = np.concatenate(d_parts)
+        pos_occ = np.concatenate(p_parts)
+        o = np.lexsort((pos_occ, docs_occ))
+        docs_occ, pos_occ = docs_occ[o], pos_occ[o]
+        keep = np.ones(docs_occ.size, dtype=bool)
+        keep[1:] = (docs_occ[1:] != docs_occ[:-1]) | \
+                   (pos_occ[1:] != pos_occ[:-1])
+        docs_occ, pos_occ = docs_occ[keep], pos_occ[keep]
+        uniq, counts = np.unique(docs_occ, return_counts=True)
+        off = np.zeros(uniq.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        return uniq, pos_occ, off
+
+    def _phrase_accept_exact_keys(self, key_sets: list) -> list:
         """Docs holding the tokens at CONSECUTIVE positions — fully
         vectorized: the condition 'exists p: p+j ∈ pos_j(doc) ∀j' becomes
         a sorted-key membership chain over per-term occurrence keys,
         started from the RAREST token (smallest key set) so head-term
         phrases prune immediately. ~ms of numpy where a per-doc Python
         loop measured SECONDS at 200k pages."""
-        key_sets = [self._phrase_keys(field, t) for t in tokens]
         if any(k.size == 0 for k in key_sets):
             return []
         jmin = min(range(len(key_sets)), key=lambda j: key_sets[j].size)
@@ -538,12 +590,14 @@ class ServingIndex:
     def _phrase_accept_sloppy(self, per_tok: list, cand: np.ndarray,
                               slop: int) -> list:
         """Greedy per-doc proximity check (the reference's sloppy-phrase
-        semantics); candidate sets here are proximity-bounded and small."""
+        semantics); candidate sets here are proximity-bounded and small.
+        ``per_tok`` entries are (docs, flat_positions, offsets) merged
+        occurrence triples (see _merged_occurrences)."""
         from .plans.dsl import greedy_phrase_match
         accepted = []
         for d in cand.tolist():
             matches = []
-            for docs, tfs, dls, flat, off in per_tok:
+            for docs, flat, off in per_tok:
                 i = int(np.searchsorted(docs, d))
                 matches.append(flat[off[i]:off[i + 1]].tolist())
             if greedy_phrase_match(matches, slop, 0):
@@ -669,8 +723,7 @@ class ServingIndex:
             members = self.phrase(f, v, slop=slop, members_only=True)
             from .analysis.analyzers import standard
             tokens = self._stem_query_tokens(standard(str(v)))
-            # phrase() validated the field resolves to exactly one
-            pairs = [(self._fields_for(f)[0], t) for t in tokens]
+            pairs = [(fld, t) for fld in self._fields_for(f) for t in tokens]
             return np.asarray(members, dtype=np.int64), pairs
         if "bool" in q:
             return self._bool(q["bool"])

@@ -47,6 +47,8 @@ QUERIES = [
     {"fuzzy": {"field": "name", "value": "helo", "fuzziness": 1}},
     {"match_phrase": {"field": "content", "value": "quick brown fox"}},
     {"match_phrase": {"field": "content", "value": "quick fox", "slop": 1}},
+    {"match_phrase": {"field": "*", "value": "quick brown"}},
+    {"match_phrase": {"field": "*", "value": "quick fox", "slop": 2}},
     {"bool": {"must": [{"term": {"field": "status", "value": "active"}},
                        {"match": {"field": "name", "value": "hello"}}]}},
     {"bool": {"should": [{"match": {"field": "name", "value": "hello"}},
@@ -100,6 +102,21 @@ def test_phrase_members_match_dsl(setup):
     want = sorted(r["doc_id"] for r in eng.candidates(q).collect())
     got = srv.phrase("content", "quick brown fox", members_only=True)
     assert got == want and got  # non-trivial
+
+
+def test_multifield_phrase_members_match_dsl(setup):
+    # '*' merges each token's positions across name/content/status — the
+    # serving path must accept exactly the DSL's per-doc collect_set-union
+    # semantics, in both the exact keyed path and the sloppy greedy path
+    eng, srv = setup
+    for q in ({"match_phrase": {"field": "*", "value": "quick brown"}},
+              {"match_phrase": {"field": "*", "value": "quick fox",
+                                "slop": 2}}):
+        want = sorted(r["doc_id"] for r in eng.candidates(q).collect())
+        body = q["match_phrase"]
+        got = srv.phrase("*", body["value"], slop=body.get("slop", 0),
+                         members_only=True)
+        assert got == want and got, q
 
 
 def test_phrase_latency_budget(setup):
