@@ -513,14 +513,18 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     postings = _read(POSTINGS)
     doc_stats = _read(DOC_STATS)
     term_stats = _read(TERM_STATS)
-    from .lsm import union_with_runs
+    from .lsm import live_runs, union_with_runs
     postings, doc_stats, term_stats = union_with_runs(
         spark, index_dir, config, postings, doc_stats, term_stats)
     if postings is None:
         raise FileNotFoundError(
             f"no postings (base or committed runs) under {index_dir}")
-    return InvertedIndex(postings, doc_stats, term_stats,
-                         meta["total_docs"], meta["avg_dl"], config)
+    idx = InvertedIndex(postings, doc_stats, term_stats,
+                        meta["total_docs"], meta["avg_dl"], config)
+    # lineage for block snapshots: exactly the runs this handle unioned —
+    # write_blocks records it so serving readers can detect staleness
+    idx.includes_runs = sorted(e["run_path"] for e in live_runs(index_dir))
+    return idx
 
 
 # ---------------------------------------------------------------------------

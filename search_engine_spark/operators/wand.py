@@ -183,22 +183,58 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
         "postings_per_sec": round((row["n_postings"] or 0) / max(secs, 1e-9), 1),
         "terms_per_sec": round(row["n_terms"] / max(secs, 1e-9), 1),
     }
+    # snapshot lineage: which LSM runs this block table covers — exactly
+    # the runs the index handle unioned at load_index time (in-session
+    # builds carry none). Readers compare against live_runs() to refuse a
+    # stale serving artifact instead of silently missing appended docs.
+    inc = getattr(index, "includes_runs", None)
+    if inc is None:
+        from .lsm import live_runs
+        inc = sorted(e["run_path"] for e in live_runs(index_dir))
+    metrics["includes_runs"] = inc
     with open(os.path.join(index_dir, "blocks_meta.json"), "w") as fh:
         json.dump(metrics, fh, indent=1)
     return metrics
 
 
-def load_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
+def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
+                       where: str) -> None:
+    """Raise when committed LSM runs were appended AFTER the block table
+    was written — the snapshot silently lacks those docs otherwise. Deletes
+    need no rebuild (readers filter tombstones merge-on-read); adds do:
+    compact_runs() + write_blocks(), or pass allow_stale to serve the old
+    snapshot knowingly."""
+    from .lsm import live_runs
+    included = set((blocks_meta or {}).get("includes_runs", []))
+    missing = [e["run_path"] for e in live_runs(index_dir)
+               if e["run_path"] not in included]
+    if missing:
+        raise ValueError(
+            f"{where}: block snapshot is STALE — {len(missing)} committed "
+            f"run(s) appended after write_blocks() (e.g. {missing[0]}); "
+            "results would silently miss those docs. Rebuild with "
+            "write_blocks() (optionally compact_runs() first), or opt in "
+            "to the old snapshot with allow_stale=True.")
+
+
+def load_blocks(spark: SparkSession, index_dir: str,
+                allow_stale: bool = False) -> DataFrame:
     """Blocks table reader. The build-time collection ``avg_dl`` from
     blocks_meta.json rides along on the returned DataFrame handle
     (``_se_build_avg_dl``) so :func:`wand_topk` can scale stale block-max
-    bounds automatically after deletes — no opt-in parameter needed."""
+    bounds automatically after deletes — no opt-in parameter needed.
+    Refuses a snapshot missing LSM runs appended since write_blocks()
+    unless ``allow_stale``."""
     import json
     df = spark.read.parquet(os.path.join(index_dir, BLOCKS))
     meta_path = os.path.join(index_dir, "blocks_meta.json")
+    bm = None
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
-            df._se_build_avg_dl = json.load(fh).get("avg_dl")
+            bm = json.load(fh)
+        df._se_build_avg_dl = bm.get("avg_dl")
+    if not allow_stale:
+        check_blocks_fresh(index_dir, bm, f"load_blocks({index_dir})")
     return df
 
 

@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 from .operators.index_build import META, TERM_STATS, bucket_of, check_bucket_fn
 from .operators.postings_codec import (bm25_qnorm, decode_block,
                                        decode_blocks_batch, decode_positions)
-from .operators.wand import BLOCKS
+from .operators.wand import BLOCKS, check_blocks_fresh
 
 K1, B = 1.2, 0.75
 
@@ -68,7 +68,7 @@ def _lev_within(a: str, b: str, k: int) -> bool:
 class ServingIndex:
     """Millisecond BM25 top-k over a persisted index's block table."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, allow_stale: bool = False):
         self.index_dir = index_dir
         with open(os.path.join(index_dir, META)) as fh:
             self.meta = json.load(fh)
@@ -82,6 +82,16 @@ class ServingIndex:
         if not os.path.isdir(blocks_dir):
             raise FileNotFoundError(
                 f"no block index at {blocks_dir} — run write_blocks() first")
+        # refuse to serve a snapshot missing LSM runs appended after
+        # write_blocks (silently absent docs); deletes are fine — the
+        # tombstone read below binds the CURRENT delete state
+        bm = None
+        bmp = os.path.join(index_dir, "blocks_meta.json")
+        if os.path.isfile(bmp):
+            with open(bmp) as fh:
+                bm = json.load(fh)
+        if not allow_stale:
+            check_blocks_fresh(index_dir, bm, f"ServingIndex({index_dir})")
         # merge-on-read deletes: the immutable block table still holds
         # tombstoned docs' payloads; decoded postings are filtered against
         # the tombstone set so served results and df (hence idf/scores)

@@ -155,6 +155,37 @@ class TestDeleteInterplay:
         assert got2 == got
 
 
+class TestBlockSnapshotStaleness:
+    def test_serving_refuses_stale_blocks(self, spark, tmp_path):
+        from search_engine_spark.operators.wand import (load_blocks,
+                                                        write_blocks)
+        from search_engine_spark.serving import ServingIndex
+        docs = _docs(spark, 30)
+        ixdir = str(tmp_path / "ix")
+        write_index(docs.where(F.col("doc_id") < 20), ixdir,
+                    IndexConfig(**CFG))
+        write_blocks(load_index(spark, ixdir), ixdir)
+        ServingIndex(ixdir)  # fresh: fine
+        append_docs(docs.where(F.col("doc_id") >= 20), ixdir,
+                    IndexConfig(**CFG))
+        # blocks now silently lack docs 20-29 — readers must refuse
+        with pytest.raises(ValueError, match="STALE"):
+            ServingIndex(ixdir)
+        with pytest.raises(ValueError, match="STALE"):
+            load_blocks(spark, ixdir)
+        # explicit opt-in serves the old snapshot
+        srv = ServingIndex(ixdir, allow_stale=True)
+        assert srv.postings("text", "alpha")[0].size > 0
+        # rebuilding blocks over the base ∪ runs handle covers the runs
+        write_blocks(load_index(spark, ixdir), ixdir)
+        srv = ServingIndex(ixdir)
+        assert 25 in srv.postings("text", "alpha")[0].tolist()
+        # compaction after the rebuild keeps the snapshot fresh
+        compact_runs(spark, ixdir)
+        ServingIndex(ixdir)
+        load_blocks(spark, ixdir)
+
+
 class TestStreamingQueryableWithoutMerge:
     def test_stream_runs_serve_before_merge(self, spark, tmp_path):
         from search_engine_spark.streaming.ingest import stream_index_runs

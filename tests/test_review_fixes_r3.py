@@ -249,21 +249,31 @@ class TestServingPhraseFields:
                                            "value": "quick brown"}}, k=10)
         assert [d for d, _ in got] == [1]
 
-    def test_multi_field_star_raises(self, spark, tmp_path):
+    def test_multi_field_star_merges_positions(self, spark, tmp_path):
+        # '*' over a multi-field index is now SERVED (was a ValueError):
+        # positions union across fields like the DSL's per-doc collect_set,
+        # so 'brown slow' spans text→body via the merged position lists
         from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.plans.dsl import SparkSearchEngine
         from search_engine_spark.serving import ServingIndex
         ixdir = str(tmp_path / "ix")
         docs = spark.createDataFrame(
-            [(1, "quick brown", "slow green", "en")],
+            [(1, "quick brown", "slow green", "en"),
+             (2, "quick red", "slow green", "en")],
             "doc_id long, text string, body string, lang string")
         cfg = IndexConfig(id_col="doc_id",
                           fields={"text": "text", "body": "text"},
                           n_buckets=8)
         write_index(docs, ixdir, cfg)
-        write_blocks(load_index(spark, ixdir), ixdir)
+        idx = load_index(spark, ixdir)
+        write_blocks(idx, ixdir)
         srv = ServingIndex(ixdir)
-        with pytest.raises(ValueError, match="multi-field phrase"):
-            srv.phrase("*", "quick brown")
+        eng = SparkSearchEngine(idx, docs)
+        for value in ("quick brown", "brown slow", "quick slow"):
+            q = {"match_phrase": {"field": "*", "value": value}}
+            want = sorted(r["doc_id"]
+                          for r in eng.candidates(q).collect())
+            assert srv.phrase("*", value, members_only=True) == want, value
 
 
 # -------------------------------------------------- large-doc-id phrases
