@@ -41,6 +41,11 @@ def main(argv=None):
     ap.add_argument("--blocks", action="store_true",
                     help="also build the compressed WAND block index")
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--extract-html", nargs="?", const="html",
+                    default=None, metavar="HTML_COL",
+                    help="fill null text from this binary html column "
+                         "(Arrow-batched extractor, map-only; byte-"
+                         "identical to pre-extracted text per url)")
     args = ap.parse_args(argv)
 
     from search_engine_spark.operators.index_build import (
@@ -49,6 +54,9 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("build-index").getOrCreate()
     docs = spark.read.parquet(args.input)
+    if args.extract_html:
+        from search_engine_spark.sources.extract import with_extracted_text
+        docs = with_extracted_text(docs, html_col=args.extract_html)
     if args.assign_ids:
         docs = assign_doc_ids(docs, key_col=args.assign_ids)
     fields = dict(kv.split(":") for kv in args.fields.split(","))
