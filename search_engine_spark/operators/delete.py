@@ -142,6 +142,11 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     meta["dl_sum"] = int(stats["dlsum"] or 0)
     meta["n_postings"] = postings_r.count()
     meta.pop("n_tombstones", None)
+    # dropping the tombstone table removes the merge-on-read filter a
+    # pre-existing block snapshot depends on — bump the delete epoch so
+    # check_blocks_fresh refuses those blocks instead of resurrecting
+    # the physically-deleted docs
+    meta["delete_epoch"] = int(meta.get("delete_epoch", 0)) + 1
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
     shutil.rmtree(tomb_path)

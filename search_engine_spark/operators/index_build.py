@@ -513,17 +513,23 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
     postings = _read(POSTINGS)
     doc_stats = _read(DOC_STATS)
     term_stats = _read(TERM_STATS)
-    from .lsm import live_runs, union_with_runs
+    from .lsm import accounted_runs, union_with_runs
+    # ONE manifest scan feeds both the union and the lineage stamp — a run
+    # committing concurrently is simply not unioned and not claimed
+    acc = accounted_runs(index_dir)
+    live = [e for e in acc if e.get("status") == "committed"]
     postings, doc_stats, term_stats = union_with_runs(
-        spark, index_dir, config, postings, doc_stats, term_stats)
+        spark, index_dir, config, postings, doc_stats, term_stats,
+        runs=live)
     if postings is None:
         raise FileNotFoundError(
             f"no postings (base or committed runs) under {index_dir}")
     idx = InvertedIndex(postings, doc_stats, term_stats,
                         meta["total_docs"], meta["avg_dl"], config)
-    # lineage for block snapshots: exactly the runs this handle unioned —
-    # write_blocks records it so serving readers can detect staleness
-    idx.includes_runs = sorted(e["run_path"] for e in live_runs(index_dir))
+    # lineage for block snapshots: every run whose docs this handle can
+    # see (unioned live + compacted-into-base) — write_blocks records it
+    # so serving readers can detect staleness
+    idx.includes_runs = sorted(e["run_path"] for e in acc)
     return idx
 
 

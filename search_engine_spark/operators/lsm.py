@@ -69,6 +69,18 @@ def live_runs(index_dir: str) -> list:
             if e.get("status") == "committed" and e.get("doc_stats_path")]
 
 
+def accounted_runs(index_dir: str) -> list:
+    """Every run whose docs are part of the CURRENT queryable view:
+    committed runs (served via the base ∪ runs union) plus compacted runs
+    (folded into the base). This is the lineage a block snapshot must
+    cover to be fresh — compaction moves a run between the two states
+    without changing the doc set, so the accounted list is monotonic and
+    a snapshot can never become fresh by compaction alone."""
+    return [e for _, e in _manifest_entries(index_dir)
+            if e.get("status") in ("committed", "compacted")
+            and e.get("doc_stats_path")]
+
+
 def mark_compacted(index_dir: str, entries: list) -> None:
     """Flip the given manifest entries to status='compacted' (kept for
     lineage: predicate, counts, timings stay auditable per snapshot)."""
@@ -220,14 +232,18 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
 def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
                     base_postings: DataFrame | None,
                     base_doc_stats: DataFrame | None,
-                    base_term_stats: DataFrame | None):
+                    base_term_stats: DataFrame | None,
+                    runs: list | None = None):
     """(postings, doc_stats, term_stats) over base ∪ live runs.
 
     Run postings get the bucket column on the fly (no rewrite); term_stats
     merges additively — base df + per-run counts — which only costs when a
     query actually evaluates the dictionary (runs are small by
-    construction, so the merge is a broadcast-sized aggregate)."""
-    runs = live_runs(index_dir)
+    construction, so the merge is a broadcast-sized aggregate). Pass
+    ``runs`` to pin the run list to one manifest scan (load_index does,
+    so its lineage stamp can't race a concurrent append)."""
+    if runs is None:
+        runs = live_runs(index_dir)
     if not runs:
         return base_postings, base_doc_stats, base_term_stats
     run_posts = spark.read.parquet(*[e["run_path"] for e in runs]) \

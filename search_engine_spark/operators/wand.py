@@ -184,14 +184,20 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
         "terms_per_sec": round(row["n_terms"] / max(secs, 1e-9), 1),
     }
     # snapshot lineage: which LSM runs this block table covers — exactly
-    # the runs the index handle unioned at load_index time (in-session
-    # builds carry none). Readers compare against live_runs() to refuse a
-    # stale serving artifact instead of silently missing appended docs.
-    inc = getattr(index, "includes_runs", None)
-    if inc is None:
-        from .lsm import live_runs
-        inc = sorted(e["run_path"] for e in live_runs(index_dir))
-    metrics["includes_runs"] = inc
+    # the runs the load_index handle could see (unioned live + compacted
+    # into base). A handle with no stamp (in-session build_index) covers
+    # NONE: claiming live runs it never unioned would pass the freshness
+    # check over blocks missing those docs. Readers compare against
+    # accounted_runs() to refuse a stale serving artifact.
+    metrics["includes_runs"] = list(getattr(index, "includes_runs", []))
+    # delete lineage: compact_deletes bumps meta.delete_epoch when it
+    # drops the tombstone table (the filter old blocks rely on) — stamp
+    # the epoch the snapshot was built under so readers can compare
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            metrics["delete_epoch"] = int(
+                json.load(fh).get("delete_epoch", 0))
     with open(os.path.join(index_dir, "blocks_meta.json"), "w") as fh:
         json.dump(metrics, fh, indent=1)
     return metrics
@@ -199,22 +205,41 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
 
 def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
                        where: str) -> None:
-    """Raise when committed LSM runs were appended AFTER the block table
-    was written — the snapshot silently lacks those docs otherwise. Deletes
-    need no rebuild (readers filter tombstones merge-on-read); adds do:
-    compact_runs() + write_blocks(), or pass allow_stale to serve the old
-    snapshot knowingly."""
-    from .lsm import live_runs
+    """Raise when LSM runs were appended AFTER the block table was written
+    — the snapshot silently lacks those docs otherwise. Compares against
+    ALL runs in the queryable view (committed AND compacted): compaction
+    only moves a run's docs into the base, so it can never make an old
+    snapshot fresh. Deletes need no rebuild (readers filter tombstones
+    merge-on-read); adds do: write_blocks() over a fresh load_index handle
+    (optionally compact_runs() first), or pass allow_stale to serve the
+    old snapshot knowingly."""
+    from .lsm import accounted_runs
     included = set((blocks_meta or {}).get("includes_runs", []))
-    missing = [e["run_path"] for e in live_runs(index_dir)
+    missing = [e["run_path"] for e in accounted_runs(index_dir)
                if e["run_path"] not in included]
     if missing:
         raise ValueError(
-            f"{where}: block snapshot is STALE — {len(missing)} committed "
-            f"run(s) appended after write_blocks() (e.g. {missing[0]}); "
-            "results would silently miss those docs. Rebuild with "
-            "write_blocks() (optionally compact_runs() first), or opt in "
-            "to the old snapshot with allow_stale=True.")
+            f"{where}: block snapshot is STALE — {len(missing)} run(s) "
+            f"appended after write_blocks() (e.g. {missing[0]}); results "
+            "would silently miss those docs. Rebuild with write_blocks() "
+            "over a fresh load_index handle (optionally compact_runs() "
+            "first), or opt in to the old snapshot with allow_stale=True.")
+    # physical delete compaction drops the tombstone table old snapshots
+    # rely on to filter deleted docs — an epoch mismatch means this
+    # snapshot may still hold their payloads with nothing masking them
+    import json
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.isfile(meta_path):
+        with open(meta_path) as fh:
+            now_epoch = int(json.load(fh).get("delete_epoch", 0))
+        built_epoch = int((blocks_meta or {}).get("delete_epoch", 0))
+        if built_epoch != now_epoch:
+            raise ValueError(
+                f"{where}: block snapshot is STALE — compact_deletes ran "
+                f"after write_blocks() (delete epoch {built_epoch} → "
+                f"{now_epoch}) and removed the tombstone table this "
+                "snapshot needs to mask deleted docs. Rebuild with "
+                "write_blocks(), or opt in with allow_stale=True.")
 
 
 def load_blocks(spark: SparkSession, index_dir: str,

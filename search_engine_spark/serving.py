@@ -65,6 +65,18 @@ def _lev_within(a: str, b: str, k: int) -> bool:
     return prev[-1] <= k
 
 
+def _masked_add(scores: np.ndarray, acc: np.ndarray,
+                docs: np.ndarray, s: np.ndarray) -> None:
+    """scores[j] += s[i] for every acc[j] present in sorted ``docs`` at i
+    (docs must be non-empty). The one membership-gather used by every
+    scoring fold — index-order accumulation keeps the bitwise parity with
+    the Spark path's sorted-struct fold."""
+    i = np.searchsorted(docs, acc)
+    i[i == docs.size] = 0
+    m = docs[i] == acc
+    scores[m] += s[i[m]]
+
+
 class ServingIndex:
     """Millisecond BM25 top-k over a persisted index's block table."""
 
@@ -495,9 +507,7 @@ class ServingIndex:
             idf = self._idf(docs.size)
             s = np.maximum(0.0, 1.0 * idf
                            * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-            i = np.minimum(np.searchsorted(docs, acc), docs.size - 1)
-            m = docs[i] == acc
-            scores[m] += s[i[m]]
+            _masked_add(scores, acc, docs, s)
         order = np.lexsort((acc, -scores))
         if k is not None:
             order = order[:k]
@@ -541,11 +551,19 @@ class ServingIndex:
         """(unique_docs, flat_positions, offsets) for one term with the
         position lists merged (set-union) across ``fields`` — doc i's
         positions are ``flat[off[i]:off[i+1]]``, sorted ascending. Works
-        for any 64-bit doc-id space (no key packing)."""
+        for any 64-bit doc-id space (no key packing). Multi-field merges
+        are LRU-cached like the single-field key sets — Zipfian traffic
+        repeats head terms, and a phrase with a repeated token would
+        otherwise redo the lexsort within one query."""
         if len(fields) == 1:
             docs, tfs, dls, flat, off = \
                 self.postings_with_positions(fields[0], term)
             return docs, flat, off
+        key = ("mocc", tuple(fields), term)
+        hit = self._postings_cache.get(key)
+        if hit is not None:
+            self._postings_cache.move_to_end(key)
+            return hit
         d_parts, p_parts = [], []
         for f in fields:
             docs, tfs, dls, flat, off = self.postings_with_positions(f, term)
@@ -554,19 +572,24 @@ class ServingIndex:
                 p_parts.append(flat)
         if not d_parts:
             z = np.zeros(0, dtype=np.int64)
-            return z, z, np.zeros(1, dtype=np.int64)
-        docs_occ = np.concatenate(d_parts)
-        pos_occ = np.concatenate(p_parts)
-        o = np.lexsort((pos_occ, docs_occ))
-        docs_occ, pos_occ = docs_occ[o], pos_occ[o]
-        keep = np.ones(docs_occ.size, dtype=bool)
-        keep[1:] = (docs_occ[1:] != docs_occ[:-1]) | \
-                   (pos_occ[1:] != pos_occ[:-1])
-        docs_occ, pos_occ = docs_occ[keep], pos_occ[keep]
-        uniq, counts = np.unique(docs_occ, return_counts=True)
-        off = np.zeros(uniq.size + 1, dtype=np.int64)
-        np.cumsum(counts, out=off[1:])
-        return uniq, pos_occ, off
+            entry = (z, z, np.zeros(1, dtype=np.int64))
+        else:
+            docs_occ = np.concatenate(d_parts)
+            pos_occ = np.concatenate(p_parts)
+            o = np.lexsort((pos_occ, docs_occ))
+            docs_occ, pos_occ = docs_occ[o], pos_occ[o]
+            keep = np.ones(docs_occ.size, dtype=bool)
+            keep[1:] = (docs_occ[1:] != docs_occ[:-1]) | \
+                       (pos_occ[1:] != pos_occ[:-1])
+            docs_occ, pos_occ = docs_occ[keep], pos_occ[keep]
+            uniq, counts = np.unique(docs_occ, return_counts=True)
+            off = np.zeros(uniq.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            entry = (uniq, pos_occ, off)
+        self._postings_cache[key] = entry
+        while len(self._postings_cache) > self.cache_terms:
+            self._postings_cache.popitem(last=False)
+        return entry
 
     def _phrase_accept_exact_keys(self, key_sets: list) -> list:
         """Docs holding the tokens at CONSECUTIVE positions — fully
@@ -832,10 +855,7 @@ class ServingIndex:
                 idf = self._idf(docs.size)
                 s = np.maximum(0.0, 1.0 * idf
                                * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-                i = np.searchsorted(docs, cand)
-                i[i == docs.size] = 0
-                hitmask = docs[i] == cand
-                scores[hitmask] += s[i[hitmask]]
+                _masked_add(scores, cand, docs, s)
             order = np.lexsort((cand, -scores))[from_:from_ + k]
             out = [(int(cand[i]), float(scores[i])) for i in order]
         if ck is not None:

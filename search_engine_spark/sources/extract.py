@@ -12,8 +12,9 @@ Extraction semantics (deterministic, dependency-free):
 - decode utf-8 (errors replaced, never raised — a malformed capture must
   not kill a 10^12-row build);
 - keep character data from BODY content only: everything inside ``<head>``,
-  ``<script>``, ``<style>``, ``<template>`` and comments is dropped
-  (titles/scripts are markup metadata, not page text);
+  ``<title>``, ``<script>``, ``<style>``, ``<template>`` and comments is
+  dropped (titles/scripts are markup metadata, not page text); ``</head>``
+  may be omitted (it is optional in HTML5) — ``<body>`` implies it;
 - entities unescaped (``&amp;`` → ``&``) by html.parser itself;
 - whitespace collapsed to single spaces, leading/trailing stripped — the
   canonical form that makes the invariant byte-exact regardless of how the
@@ -36,31 +37,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-_SKIP = frozenset(("script", "style", "head", "template"))
+_SKIP = frozenset(("script", "style", "template", "title"))
 
-# void elements never push onto the skip stack (no matching end tag)
-_VOID = frozenset(("area", "base", "br", "col", "embed", "hr", "img",
-                   "input", "link", "meta", "source", "track", "wbr"))
+# <head> content ends at any of these even when </head> is omitted —
+# HTML5 makes the head end tag optional (implied by the first body-level
+# element), and html.parser does NOT synthesize implied end tags, so a
+# depth counter keyed on </head> would swallow the whole document body.
+_HEAD_ENDERS = frozenset(("body", "frameset"))
 
 
 class _TextExtractor(HTMLParser):
-    """Collects character data outside head/script/style/template."""
+    """Collects character data outside head/title/script/style/template."""
 
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self._skip_depth = 0
+        self._skip_depth = 0   # script/style/template/title nesting
+        self._in_head = False
+        self._body_seen = False
         self.parts: list = []
 
     def handle_starttag(self, tag, attrs):
-        if tag in _SKIP and tag not in _VOID:
+        if tag in _SKIP:
             self._skip_depth += 1
+        elif tag == "head" and not self._body_seen:
+            self._in_head = True
+        elif tag in _HEAD_ENDERS:
+            self._in_head = False
+            self._body_seen = True
 
     def handle_endtag(self, tag):
         if tag in _SKIP and self._skip_depth > 0:
             self._skip_depth -= 1
+        elif tag == "head":
+            self._in_head = False
 
     def handle_data(self, data):
-        if self._skip_depth == 0 and data:
+        if self._skip_depth == 0 and not self._in_head and data:
             self.parts.append(data)
 
 
@@ -92,8 +104,12 @@ def with_extracted_text(pages: DataFrame, html_col: str = "html",
     null (captures that shipped with pre-extracted text keep it — the
     invariant guarantees both routes agree). Column-level, map-only; the
     optimizer pipelines it into the index build's one source scan."""
-    extracted = extract_text_udf(F.col(html_col))
     if out_col in pages.columns:
-        return pages.withColumn(out_col,
-                                F.coalesce(F.col(out_col), extracted))
-    return pages.withColumn(out_col, extracted)
+        # gate INSIDE the UDF input: Spark evaluates pandas UDFs in an
+        # unconditional ArrowEvalPython node, so coalesce(text, udf(html))
+        # would still parse every row — feeding None for already-extracted
+        # rows makes them a map lookup instead of an HTMLParser pass
+        gated = F.when(F.col(out_col).isNull(), F.col(html_col))
+        return pages.withColumn(
+            out_col, F.coalesce(F.col(out_col), extract_text_udf(gated)))
+    return pages.withColumn(out_col, extract_text_udf(F.col(html_col)))

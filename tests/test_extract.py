@@ -39,10 +39,23 @@ def test_extractor_edge_cases():
     assert extract_text(
         "<body>x<script>var y=1;</script> z<style>p{}</style>!</body>") \
         == "x z!"
-    # void elements inside a skip region must not unbalance the stack
+    # void elements inside head don't disturb the head flag
     assert extract_text("<head><meta><link></head><p>ok</p>") == "ok"
     # undecodable bytes are replaced, not raised
     assert "ok" in extract_text(b"<p>ok\xff</p>")
+
+
+def test_extractor_implied_head_end():
+    # </head> is OPTIONAL in HTML5 (implied by <body>); html.parser never
+    # synthesizes implied end tags, so head must end on the <body> start
+    # tag or the whole document body is silently dropped
+    assert extract_text(
+        "<html><head><title>t</title><body><p>hello world</p></body>"
+        "</html>") == "hello world"
+    # title outside any head is still markup metadata, not page text
+    assert extract_text("<title>t</title><p>x</p>") == "x"
+    # a stray <head> after body content must not re-enter skip mode
+    assert extract_text("<body>a<head></head>b</body>") == "ab"
 
 
 def test_with_extracted_text_fills_only_nulls(spark):

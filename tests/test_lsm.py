@@ -185,6 +185,65 @@ class TestBlockSnapshotStaleness:
         ServingIndex(ixdir)
         load_blocks(spark, ixdir)
 
+    def test_compaction_cannot_unstale_blocks(self, spark, tmp_path):
+        # the guard compares against committed AND compacted runs:
+        # append → compact (e.g. the server's /flush) with NO blocks
+        # rebuild must stay STALE — the snapshot still lacks those docs
+        from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.serving import ServingIndex
+        docs = _docs(spark, 30)
+        ixdir = str(tmp_path / "ix")
+        write_index(docs.where(F.col("doc_id") < 20), ixdir,
+                    IndexConfig(**CFG))
+        write_blocks(load_index(spark, ixdir), ixdir)
+        append_docs(docs.where(F.col("doc_id") >= 20), ixdir,
+                    IndexConfig(**CFG))
+        compact_runs(spark, ixdir)
+        with pytest.raises(ValueError, match="STALE"):
+            ServingIndex(ixdir)
+
+    def test_unstamped_handle_claims_no_runs(self, spark, tmp_path):
+        # write_blocks from an in-session build_index handle (no lineage
+        # stamp) into a dir holding runs must record NO coverage — the
+        # handle never unioned those runs, so the snapshot stays STALE
+        from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.serving import ServingIndex
+        docs = _docs(spark, 30)
+        ixdir = str(tmp_path / "ix")
+        write_index(docs.where(F.col("doc_id") < 20), ixdir,
+                    IndexConfig(**CFG))
+        append_docs(docs.where(F.col("doc_id") >= 20), ixdir,
+                    IndexConfig(**CFG))
+        idx = build_index(docs.where(F.col("doc_id") < 20),
+                          IndexConfig(**CFG))
+        write_blocks(idx, ixdir)
+        with pytest.raises(ValueError, match="STALE"):
+            ServingIndex(ixdir)
+
+    def test_compact_deletes_stales_blocks(self, spark, tmp_path):
+        # physical delete compaction drops the tombstone table old
+        # snapshots rely on to mask deleted docs — serving them would
+        # resurrect the deletes, so the delete epoch must flag STALE
+        from search_engine_spark.operators.delete import (
+            compact_deletes, delete_docs)
+        from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.serving import ServingIndex
+        docs = _docs(spark, 30)
+        ixdir = str(tmp_path / "ix")
+        write_index(docs, ixdir, IndexConfig(**CFG))
+        write_blocks(load_index(spark, ixdir), ixdir)
+        delete_docs(spark, ixdir, [1, 2, 3])
+        # tombstones present: snapshot is maskable, still servable
+        srv = ServingIndex(ixdir)
+        assert 1 not in srv.postings("text", "alpha")[0].tolist()
+        compact_deletes(spark, ixdir)
+        with pytest.raises(ValueError, match="compact_deletes"):
+            ServingIndex(ixdir)
+        # rebuilding over the compacted base restores freshness
+        write_blocks(load_index(spark, ixdir), ixdir)
+        srv = ServingIndex(ixdir)
+        assert 1 not in srv.postings("text", "alpha")[0].tolist()
+
 
 class TestStreamingQueryableWithoutMerge:
     def test_stream_runs_serve_before_merge(self, spark, tmp_path):
