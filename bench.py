@@ -69,6 +69,20 @@ def main():
         queries["index_build"] = round(build_s, 3)
         docs_per_sec = n_pages / build_s
 
+        # ---- html -> text extraction throughput (ingest adapter) ----
+        # the raw-capture route: text column nulled, refilled from the
+        # binary html column by the Arrow-batched extractor (map-only)
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.sources.extract import with_extracted_text
+        t0 = time.time()
+        n_ex = (with_extracted_text(
+                    pages.withColumn("text", F.lit(None).cast("string")))
+                .where(F.length("text") > 0).count())
+        ex_s = time.time() - t0
+        queries["extract_html"] = round(ex_s, 3)
+        queries["extract_pages_per_sec"] = round(n_ex / max(ex_s, 1e-9), 1)
+
         # ---- query latency over the persisted index ----
         idx = load_index(spark, index_dir)
         idx.term_stats = idx.term_stats.cache()
