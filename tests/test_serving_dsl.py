@@ -159,3 +159,47 @@ def test_stemmed_serving_search(spark, tmp_path):
     assert [d for d, _ in got] == [0]
     got2 = srv.search({"prefix": {"field": "text", "value": "tab"}}, k=10)
     assert sorted(d for d, _ in got2) == [0, 1]
+
+
+def test_randomized_multifield_phrase_parity(spark, tmp_path):
+    # randomized corpora + random 2-3 token phrases (repeats allowed, so
+    # the merged-occurrence LRU and the repeated-token fold are exercised)
+    # must agree with the DSL on members for slop 0/1/2, single and '*'
+    import random
+
+    from search_engine_spark.operators.index_build import (IndexConfig,
+                                                           load_index,
+                                                           write_index)
+    from search_engine_spark.operators.wand import write_blocks
+    from search_engine_spark.plans.dsl import SparkSearchEngine
+    from search_engine_spark.serving import ServingIndex
+
+    rng = random.Random(42)
+    vocab = ["ax", "bee", "cod", "dew", "elk", "fig"]
+    rows = []
+    for i in range(120):
+        f1 = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        f2 = " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 8)))
+        rows.append((i, f1, f2))
+    docs = spark.createDataFrame(rows, "doc_id long, a string, b string")
+    ixdir = str(tmp_path / "ix")
+    cfg = IndexConfig(id_col="doc_id", fields={"a": "text", "b": "text"},
+                      n_buckets=8)
+    write_index(docs, ixdir, cfg)
+    idx = load_index(spark, ixdir)
+    write_blocks(idx, ixdir)
+    eng = SparkSearchEngine(idx, docs)
+    srv = ServingIndex(ixdir)
+    n_nonempty = 0
+    for trial in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
+        field = rng.choice(["a", "b", "*"])
+        slop = rng.choice([0, 0, 1, 2])
+        q = {"match_phrase": {"field": field, "value": " ".join(toks),
+                              "slop": slop}}
+        want = sorted(r["doc_id"] for r in eng.candidates(q).collect())
+        got = srv.phrase(field, " ".join(toks), slop=slop,
+                         members_only=True)
+        assert got == want, (q, got[:5], want[:5])
+        n_nonempty += bool(want)
+    assert n_nonempty >= 6  # the comparison wasn't vacuous
