@@ -35,8 +35,8 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .operators.index_build import META, TERM_STATS, bucket_of, check_bucket_fn
-from .operators.postings_codec import (bm25_qnorm, decode_block,
-                                       decode_blocks_batch, decode_positions)
+from .operators.postings_codec import (bm25_qnorm, decode_blocks_batch,
+                                       decode_positions)
 from .operators.wand import BLOCKS, check_blocks_fresh
 
 K1, B = 1.2, 0.75
@@ -264,33 +264,32 @@ class ServingIndex:
             self._postings_cache.move_to_end(key)
             return hit
         pairs = self._term_blocks(field, term, with_pos=True)
-        doc_p, tf_p, dl_p, pos_p = [], [], [], []
-        for payload, pos_payload in pairs:
-            docs, tfs, dls = decode_block(payload)
-            flat, off = decode_positions(pos_payload, tfs)
-            doc_p.append(docs)
-            tf_p.append(tfs)
-            dl_p.append(dls)
-            pos_p.append((flat, off))
-        if doc_p:
-            docs = np.concatenate(doc_p)
-            tfs = np.concatenate(tf_p)
-            dls = np.concatenate(dl_p)
-            flat = np.concatenate([f for f, _ in pos_p])
-        else:
-            docs = tfs = dls = flat = np.zeros(0, dtype=np.int64)
-        offsets = np.zeros(docs.size + 1, dtype=np.int64)
-        np.cumsum(tfs, out=offsets[1:])
+        # batch decode: ONE varbyte pass over all main payloads and ONE
+        # over all positions payloads. Positions deltas restart per doc
+        # (first value absolute), so the concatenated buffer decodes with
+        # the global tf array exactly like per-block calls — a head term's
+        # thousands of blocks would otherwise pay per-block numpy setup
+        # (measured ~2 ms/block → tens of seconds at 1M docs).
+        docs, tfs, dls = decode_blocks_batch([p for p, _ in pairs])
+        flat, offsets = decode_positions(
+            b"".join(bytes(pp) for _, pp in pairs), tfs)
         if docs.size and not np.all(docs[:-1] <= docs[1:]):
             # restore global docID order (multi-file buckets) — per-doc
-            # position slices are permuted along with their doc rows
+            # position slices are permuted along with their doc rows.
+            # Vectorized segment gather (a per-doc Python slice loop costs
+            # ~0.7 s per million docs): element j of the permuted flat
+            # array maps back to old_start[seg(j)] + (j - new_start[seg(j)])
             o = np.argsort(docs, kind="stable")
-            flat = np.concatenate(
-                [flat[offsets[i]:offsets[i + 1]] for i in o.tolist()]) \
-                if flat.size else flat
+            lens = tfs[o]
+            new_off = np.zeros(docs.size + 1, dtype=np.int64)
+            np.cumsum(lens, out=new_off[1:])
+            if flat.size:
+                idx = (np.arange(flat.size, dtype=np.int64)
+                       - np.repeat(new_off[:-1], lens)
+                       + np.repeat(offsets[:-1][o], lens))
+                flat = flat[idx]
             docs, tfs, dls = docs[o], tfs[o], dls[o]
-            offsets = np.zeros(docs.size + 1, dtype=np.int64)
-            np.cumsum(tfs, out=offsets[1:])
+            offsets = new_off
         t = self._tombstones
         if t is not None and t.size and docs.size:
             pos = np.searchsorted(t, docs)
