@@ -29,6 +29,10 @@ def main(argv=None):
     ap.add_argument("--index", required=True, help="existing index dir")
     ap.add_argument("--compact", action="store_true",
                     help="fold live runs into the base after appending")
+    ap.add_argument("--extract-html", nargs="?", const="html",
+                    default=None, metavar="HTML_COL",
+                    help="fill null text from this binary html column "
+                         "(same extractor as jobs/build_index.py)")
     args = ap.parse_args(argv)
 
     from search_engine_spark.operators.index_build import META, IndexConfig
@@ -44,6 +48,9 @@ def main(argv=None):
                          stem_lang_col=meta.get("stem_lang_col", "lang"),
                          analyzers=meta.get("analyzers") or {})
     docs = spark.read.parquet(args.input)
+    if args.extract_html:
+        from search_engine_spark.sources.extract import with_extracted_text
+        docs = with_extracted_text(docs, html_col=args.extract_html)
     entry = append_docs(docs, args.index, config)
     print(json.dumps({"appended": entry["n_docs"],
                       "n_postings": entry["n_postings"],
