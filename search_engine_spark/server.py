@@ -69,6 +69,8 @@ class SearchService:
         self.catalog = IndexCatalog(spark, root)
         self._docs: dict = {}           # index name -> docs DataFrame
         self._queries = 0
+        self._served_fast = 0           # answered off the block snapshot
+        self._serving_cache: dict = {}  # name -> (state, ServingIndex|None)
         self._t0 = time.time()
         # ThreadingHTTPServer runs handlers concurrently: index MUTATIONS
         # (append/flush/snapshot) serialize behind one lock — append ids
@@ -99,9 +101,37 @@ class SearchService:
         docs = self._docs.get(name)
         if docs is None:
             raise RuntimeError(f"no docs table registered for index {name!r}")
-        eng = self.catalog.engine(docs, name)
         t0 = time.time()
         query = body.get("query") or {"match_all": {}}
+        # millisecond fast path: inverted-index-resident queries with no
+        # aggregations are answered straight off the block snapshot (the
+        # reference answers its whole DSL in-process, server.ts <50 ms);
+        # anything else — and any index without a FRESH snapshot — falls
+        # through to the Spark plan below
+        if not opts["aggregations"] and isinstance(query, dict):
+            srv = self._serving(name)
+            if srv is not None:
+                try:
+                    pairs, total = srv.search_with_total(
+                        query, k=opts["size"], from_=opts["from"])
+                except ValueError:
+                    pairs = None  # op outside the serving surface
+                if pairs is not None:
+                    self._queries += 1
+                    self._served_fast += 1
+                    return {
+                        "hits": [{"doc_id": d, "score": s}
+                                 for d, s in pairs],
+                        "total": total,
+                        "from": opts["from"], "size": opts["size"],
+                        "aggregations": {}, "facets": {},
+                        "_performance": {
+                            "queryTime":
+                                f"{round((time.time() - t0) * 1000)}ms",
+                            "servedBy": "blocks",
+                        },
+                    }
+        eng = self.catalog.engine(docs, name)
         # ONE compiled plan serves both hits and total: the scored frame is
         # persisted for the request, the count materializes it, and the
         # top-k sort-limit reads the cached rows — the candidate subtree
@@ -135,6 +165,24 @@ class SearchService:
                 "queryTime": f"{round((time.time() - t0) * 1000)}ms",
             },
         }
+
+    def _serving(self, name: str):
+        """ServingIndex over the index's block snapshot, cached per
+        delete/append state fingerprint; None when no FRESH snapshot
+        exists (no blocks yet, runs appended since write_blocks, or
+        compact_deletes dropped the tombstone table) — callers fall back
+        to the Spark path. POST /snapshot rebuilds and re-enables it."""
+        state = self.catalog._delete_state(name)
+        cached = self._serving_cache.get(name)
+        if cached is not None and cached[0] == state:
+            return cached[1]
+        from .serving import ServingIndex
+        try:
+            srv = ServingIndex(self.catalog._dir(name))
+        except (ValueError, FileNotFoundError):
+            srv = None
+        self._serving_cache[name] = (state, srv)
+        return srv
 
     def _index_config(self, name: str) -> IndexConfig:
         meta = self.catalog.stats(name)
@@ -186,6 +234,9 @@ class SearchService:
         with self._mutate_lock:
             idx = load_index(self.spark, ixdir)
             metrics = write_blocks(idx, ixdir)
+        # new snapshot under the same meta state: force a re-open so the
+        # serving fast path picks up the rebuilt (fresh) blocks
+        self._serving_cache.pop(name, None)
         return {
             "message": f"Snapshot saved for index '{name}'",
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -215,6 +266,7 @@ class SearchService:
 
     def performance(self) -> dict:
         return {"queries": self._queries,
+                "served_by_blocks": self._served_fast,
                 "uptime": time.time() - self._t0,
                 "spark": {"app_id": self.spark.sparkContext.applicationId}}
 

@@ -853,6 +853,13 @@ class ServingIndex:
         (QueryProcessor.ts:74-111). Results are LRU-cached per
         (query, k, from_) like the reference's QueryCache; pass
         ``use_cache=False`` to force recompute."""
+        return self.search_with_total(query, k, from_, use_cache)[0]
+
+    def search_with_total(self, query: dict, k: int = 10, from_: int = 0,
+                          use_cache: bool = True) -> tuple:
+        """search() plus the TOTAL candidate count (pre-pagination) from
+        the same compile — the shape the HTTP facade needs (hits + total
+        from one evaluation, server.ts parity)."""
         ck = None
         if use_cache:
             try:
@@ -864,8 +871,9 @@ class ServingIndex:
                 hit = self._result_cache.get(ck)
                 if hit is not None:
                     self._result_cache.move_to_end(ck)
-                    return list(hit)
+                    return list(hit[0]), hit[1]
         cand, score_terms = self._compile(query)
+        total = int(cand.size)
         if cand.size == 0:
             out = []
         else:
@@ -881,7 +889,7 @@ class ServingIndex:
             order = _topk_order(cand, scores, from_ + k)[from_:]
             out = [(int(cand[i]), float(scores[i])) for i in order]
         if ck is not None:
-            self._result_cache[ck] = list(out)
+            self._result_cache[ck] = (list(out), total)
             while len(self._result_cache) > self.cache_results:
                 self._result_cache.popitem(last=False)
-        return out
+        return out, total

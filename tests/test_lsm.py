@@ -312,3 +312,36 @@ class TestRestEndpoints:
         from search_engine_spark.serving import ServingIndex
         srv = ServingIndex(service.catalog._dir("idx"))
         assert srv.topk("text", ["alpha"], k=3)
+
+    def test_search_fast_path_lifecycle(self, service):
+        q = {"query": {"term": {"field": "text", "value": "alpha"}}}
+        # before any snapshot: Spark path
+        spark_res = service.search("idx", q)
+        assert "servedBy" not in spark_res["_performance"]
+        # after /snapshot: the same query is answered off the blocks,
+        # result-identical (rel 1e-12 — JVM ln vs libm log)
+        service.snapshot("idx")
+        fast = service.search("idx", q)
+        assert fast["_performance"]["servedBy"] == "blocks"
+        assert [h["doc_id"] for h in fast["hits"]] == \
+               [h["doc_id"] for h in spark_res["hits"]]
+        assert fast["total"] == spark_res["total"]
+        for a, b in zip(fast["hits"], spark_res["hits"]):
+            assert a["score"] == pytest.approx(b["score"], rel=1e-12)
+        assert service.performance()["served_by_blocks"] == 1
+        # docs-table op stays on the Spark path
+        rng = service.search("idx", {"query": {
+            "range": {"field": "doc_id", "gte": 0}}})
+        assert "servedBy" not in rng["_performance"]
+        # an append makes the snapshot STALE: fall back to Spark (the
+        # appended doc must be visible), then /snapshot re-enables
+        service.add_documents("idx", [
+            {"doc_id": 300, "text": "alpha late", "lang": "en"}])
+        res = service.search("idx", q)
+        assert "servedBy" not in res["_performance"]
+        assert 300 in [h["doc_id"] for h in res["hits"]] or \
+               res["total"] == spark_res["total"] + 1
+        service.snapshot("idx")
+        res2 = service.search("idx", q)
+        assert res2["_performance"]["servedBy"] == "blocks"
+        assert res2["total"] == spark_res["total"] + 1
