@@ -72,8 +72,6 @@ def main():
         # ---- html -> text extraction throughput (ingest adapter) ----
         # the raw-capture route: text column nulled, refilled from the
         # binary html column by the Arrow-batched extractor (map-only)
-        from pyspark.sql import functions as F
-
         from search_engine_spark.sources.extract import with_extracted_text
         t0 = time.time()
         n_ex = (with_extracted_text(

@@ -72,9 +72,13 @@ class IndexCatalog:
             return json.load(fh)
 
     def _delete_state(self, name: str) -> tuple:
-        """Fingerprint of the index's delete state: meta mtime + tombstone
-        file listing. The cached engine binds its tombstone anti-join at
-        load time, so any tombstone change must invalidate the cache."""
+        """Fingerprint of the index's mutable state: meta mtime + tombstone
+        file listing + LSM manifest listing. The cached engine binds its
+        tombstone anti-join and run union at load time, so any delete OR
+        append must invalidate the cache — the manifest listing catches
+        appends even on filesystems whose mtime granularity would make two
+        meta rewrites within one tick look identical (each append commits
+        a NEW manifest file, so the listing always changes)."""
         d = self._dir(name)
         parts: list = []
         meta_path = os.path.join(d, META)
@@ -83,6 +87,10 @@ class IndexCatalog:
         tomb_dir = os.path.join(d, "tombstones")
         if os.path.isdir(tomb_dir):
             parts.append(tuple(sorted(os.listdir(tomb_dir))))
+        from .operators.index_build import MANIFEST
+        man_dir = os.path.join(d, MANIFEST)
+        if os.path.isdir(man_dir):
+            parts.append(tuple(sorted(os.listdir(man_dir))))
         return tuple(parts)
 
     def delete_docs(self, name: str, doc_ids: list) -> dict:

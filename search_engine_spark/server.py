@@ -25,6 +25,7 @@ Endpoints (request/response shapes mirror server.ts):
 from __future__ import annotations
 
 import json
+import logging
 import time
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -34,6 +35,8 @@ from pyspark.sql import functions as F
 
 from .catalog import IndexCatalog
 from .operators.index_build import IndexConfig
+
+log = logging.getLogger(__name__)
 
 #: request clamps (PerformanceOptimizations.ts:183-213)
 MAX_SIZE = 100
@@ -71,6 +74,7 @@ class SearchService:
         self._queries = 0
         self._served_fast = 0           # answered off the block snapshot
         self._serving_cache: dict = {}  # name -> (state, ServingIndex|None)
+        self._snap_busy: set = set()    # names mid-/snapshot block rewrite
         self._t0 = time.time()
         # ThreadingHTTPServer runs handlers concurrently: index MUTATIONS
         # (append/flush/snapshot) serialize behind one lock — append ids
@@ -114,8 +118,23 @@ class SearchService:
                 try:
                     pairs, total = srv.search_with_total(
                         query, k=opts["size"], from_=opts["from"])
-                except ValueError:
-                    pairs = None  # op outside the serving surface
+                except ValueError as e:
+                    if "serving surface" in str(e):
+                        pairs = None  # docs-table op — expected fallback
+                    else:
+                        # damaged/raced snapshot artifact: drop the handle
+                        # so the next request re-opens, answer via Spark,
+                        # and SAY so — a silent permanent fallback hides a
+                        # 100x latency regression from operators
+                        self._serving_cache.pop(name, None)
+                        log.warning("serving fast path failed for %r "
+                                    "(falling back to Spark): %s", name, e)
+                        pairs = None
+                except Exception as e:
+                    self._serving_cache.pop(name, None)
+                    log.warning("serving fast path failed for %r "
+                                "(falling back to Spark): %s", name, e)
+                    pairs = None
                 if pairs is not None:
                     self._queries += 1
                     self._served_fast += 1
@@ -171,7 +190,15 @@ class SearchService:
         delete/append state fingerprint; None when no FRESH snapshot
         exists (no blocks yet, runs appended since write_blocks, or
         compact_deletes dropped the tombstone table) — callers fall back
-        to the Spark path. POST /snapshot rebuilds and re-enables it."""
+        to the Spark path. POST /snapshot rebuilds and re-enables it.
+
+        Searches stay lock-free, so a handle must never be built over (or
+        cached across) a concurrent /snapshot rewrite of the blocks dir:
+        ``_snap_busy`` brackets the rewrite, and any construction that
+        overlaps it is discarded — that request just takes the Spark
+        path."""
+        if name in self._snap_busy:
+            return None
         state = self.catalog._delete_state(name)
         cached = self._serving_cache.get(name)
         if cached is not None and cached[0] == state:
@@ -181,6 +208,8 @@ class SearchService:
             srv = ServingIndex(self.catalog._dir(name))
         except (ValueError, FileNotFoundError):
             srv = None
+        if name in self._snap_busy:
+            return None  # overlapped a rewrite: don't trust, don't cache
         self._serving_cache[name] = (state, srv)
         return srv
 
@@ -232,8 +261,14 @@ class SearchService:
         from .operators.wand import write_blocks
         ixdir = self.catalog._dir(name)
         with self._mutate_lock:
-            idx = load_index(self.spark, ixdir)
-            metrics = write_blocks(idx, ixdir)
+            # bracket the rewrite: lock-free searches must not build or
+            # cache a ServingIndex over a half-written blocks dir
+            self._snap_busy.add(name)
+            try:
+                idx = load_index(self.spark, ixdir)
+                metrics = write_blocks(idx, ixdir)
+            finally:
+                self._snap_busy.discard(name)
         # new snapshot under the same meta state: force a re-open so the
         # serving fast path picks up the rebuilt (fresh) blocks
         self._serving_cache.pop(name, None)

@@ -76,6 +76,8 @@ def _topk_order(docs: np.ndarray, scores: np.ndarray,
     whole array, ~5× cheaper on head-term result sets (1M rows: sort 1M
     → partition 1M + sort ~m)."""
     n = scores.size
+    if m is not None and m <= 0:
+        return np.zeros(0, dtype=np.int64)  # k=0 / from_ past everything
     if m is None or m >= n:
         out = np.lexsort((docs, -scores))
         return out if m is None else out[:m]
@@ -154,6 +156,13 @@ class ServingIndex:
         # lookups into O(k) scoring with no parquet decode. The artifact
         # is immutable (tombstones bind at construction), so entries
         # never need invalidation.
+        # one lock guards BOTH LRUs' bookkeeping (get+move / put+evict):
+        # the HTTP facade shares one ServingIndex across handler threads,
+        # and an unguarded get-then-move_to_end races a concurrent evict
+        # (KeyError). Decode/score work stays outside the lock; worst case
+        # two threads compute the same entry and one insert wins.
+        import threading
+        self._cache_lock = threading.Lock()
         self._postings_cache: "OrderedDict" = OrderedDict()
         self.cache_terms = 4096
         # query-result LRU (the reference's QueryCache,
@@ -190,6 +199,21 @@ class ServingIndex:
             h = (pf, stats)
             self._pf_cache[path] = h
         return h
+
+    def _cache_get(self, cache: "OrderedDict", key):
+        """LRU hit under the lock (get + recency bump as one step)."""
+        with self._cache_lock:
+            hit = cache.get(key)
+            if hit is not None:
+                cache.move_to_end(key)
+            return hit
+
+    def _cache_put(self, cache: "OrderedDict", key, value, limit: int):
+        """LRU insert + eviction as one locked step."""
+        with self._cache_lock:
+            cache[key] = value
+            while len(cache) > limit:
+                cache.popitem(last=False)
 
     def _term_blocks(self, field: str, term: str, with_pos: bool = False):
         """All payload bytes for one (field, term): pruned bucket dir +
@@ -229,9 +253,8 @@ class ServingIndex:
         tombstoned docs are filtered out (merge-on-read). Decoded arrays
         are LRU-cached per (field, term) — see __init__."""
         key = (field, term)
-        hit = self._postings_cache.get(key)
+        hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
-            self._postings_cache.move_to_end(key)
             return hit
         docs, tfs, dls = decode_blocks_batch(self._term_blocks(field, term))
         if docs.size and not np.all(docs[:-1] <= docs[1:]):
@@ -248,9 +271,7 @@ class ServingIndex:
             if not live.all():
                 docs, tfs, dls = docs[live], tfs[live], dls[live]
         entry = (docs, tfs, dls)
-        self._postings_cache[key] = entry
-        while len(self._postings_cache) > self.cache_terms:
-            self._postings_cache.popitem(last=False)
+        self._cache_put(self._postings_cache, key, entry, self.cache_terms)
         return entry
 
     def postings_with_positions(self, field: str, term: str):
@@ -259,9 +280,8 @@ class ServingIndex:
         Tombstoned docs are dropped (positions included). Cached in the
         same bounded LRU under a ('pos', field, term) key."""
         key = ("pos", field, term)
-        hit = self._postings_cache.get(key)
+        hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
-            self._postings_cache.move_to_end(key)
             return hit
         pairs = self._term_blocks(field, term, with_pos=True)
         # batch decode: ONE varbyte pass over all main payloads and ONE
@@ -302,9 +322,7 @@ class ServingIndex:
                 offsets = np.zeros(docs.size + 1, dtype=np.int64)
                 np.cumsum(tfs, out=offsets[1:])
         entry = (docs, tfs, dls, flat, offsets)
-        self._postings_cache[key] = entry
-        while len(self._postings_cache) > self.cache_terms:
-            self._postings_cache.popitem(last=False)
+        self._cache_put(self._postings_cache, key, entry, self.cache_terms)
         return entry
 
     # -- term dictionary (expansions) ---------------------------------------
@@ -541,17 +559,14 @@ class ServingIndex:
         term). Supports doc ids up to 2^32; phrase() routes larger (sparse
         64-bit) id spaces to the per-doc greedy path instead."""
         key = ("pkeys", field, term)
-        hit = self._postings_cache.get(key)
+        hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
-            self._postings_cache.move_to_end(key)
             return hit
         docs, tfs, dls, flat, off = self.postings_with_positions(field, term)
         keys = np.sort(
             (np.repeat(docs, tfs).astype(np.uint64) << np.uint64(32))
             | flat.astype(np.uint64))
-        self._postings_cache[key] = keys
-        while len(self._postings_cache) > self.cache_terms:
-            self._postings_cache.popitem(last=False)
+        self._cache_put(self._postings_cache, key, keys, self.cache_terms)
         return keys
 
     def _merged_keys(self, fields: list, term: str) -> np.ndarray:
@@ -582,9 +597,8 @@ class ServingIndex:
                 self.postings_with_positions(fields[0], term)
             return docs, flat, off
         key = ("mocc", tuple(fields), term)
-        hit = self._postings_cache.get(key)
+        hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
-            self._postings_cache.move_to_end(key)
             return hit
         d_parts, p_parts = [], []
         for f in fields:
@@ -608,9 +622,7 @@ class ServingIndex:
             off = np.zeros(uniq.size + 1, dtype=np.int64)
             np.cumsum(counts, out=off[1:])
             entry = (uniq, pos_occ, off)
-        self._postings_cache[key] = entry
-        while len(self._postings_cache) > self.cache_terms:
-            self._postings_cache.popitem(last=False)
+        self._cache_put(self._postings_cache, key, entry, self.cache_terms)
         return entry
 
     def _phrase_accept_exact_keys(self, key_sets: list) -> list:
@@ -868,9 +880,8 @@ class ServingIndex:
             except TypeError:
                 ck = None
             if ck is not None:
-                hit = self._result_cache.get(ck)
+                hit = self._cache_get(self._result_cache, ck)
                 if hit is not None:
-                    self._result_cache.move_to_end(ck)
                     return list(hit[0]), hit[1]
         cand, score_terms = self._compile(query)
         total = int(cand.size)
@@ -889,7 +900,6 @@ class ServingIndex:
             order = _topk_order(cand, scores, from_ + k)[from_:]
             out = [(int(cand[i]), float(scores[i])) for i in order]
         if ck is not None:
-            self._result_cache[ck] = (list(out), total)
-            while len(self._result_cache) > self.cache_results:
-                self._result_cache.popitem(last=False)
+            self._cache_put(self._result_cache, ck, (list(out), total),
+                            self.cache_results)
         return out, total

@@ -130,6 +130,18 @@ def test_phrase_latency_budget(setup):
     assert p < 0.05, f"serving phrase {p * 1000:.1f} ms >= 50 ms"
 
 
+def test_zero_k_and_far_pagination(setup):
+    # k=0 / from_ past everything must return [] (regression: the
+    # partition-select top-k crashed on kth == n)
+    _, srv = setup
+    assert srv.topk("name", ["hello"], k=0) == []
+    assert srv.phrase("content", "quick brown", k=0) == []
+    assert srv.search({"term": {"field": "name", "value": "hello"}},
+                      k=0) == []
+    assert srv.search({"term": {"field": "name", "value": "hello"}},
+                      k=10, from_=100000) == []
+
+
 def test_suggest_matches_dsl(setup):
     eng, srv = setup
     want = [(r["term"], r["df"])
