@@ -1,0 +1,127 @@
+"""Doc-values sidecar: per-document field columns for serving-side aggs.
+
+The reference keeps every document in process memory (``idx.documents``,
+SearchEngine.ts:241), so its aggregations are in-memory loops over field
+values. The Spark-native equivalent of that RAM doc store is a compact
+columnar sidecar next to the block index: ``doc_values/`` holds ONLY the
+agg-able scalar columns (keyword / numeric / bool / timestamp — never the
+indexed text bodies or binaries), doc_id-sorted so a serving node gathers
+matched docs' values with one searchsorted per query.
+
+Scale story: at 100 TB of text the scalar metadata columns are a few GB —
+the sidecar is range-partitioned by doc_id, so a sharded serving tier maps
+id ranges to nodes and each loads only its slice; the writer is one
+repartitionByRange (the only shuffle) over a column-pruned scan.
+
+Timestamps are stored as epoch MILLIS (long) — exactly
+``unix_millis(cast(col as timestamp))`` — so the serving twin buckets
+date_histograms with the same integer arithmetic as the Spark path
+(agg_compile._date_histogram) regardless of session timezone.
+
+Staleness: the sidecar stamps the LSM run lineage it was built over
+(``includes_runs``, same convention as blocks_meta — wand.write_blocks);
+readers compare against lsm.accounted_runs and treat a stale sidecar as
+absent (aggregations fall back to the Spark path) rather than undercount.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_VALUES = "doc_values"
+DV_META = "doc_values_meta.json"
+
+#: spark simpleString prefixes we can serve aggregations over
+_SERVABLE_TYPES = ("string", "boolean", "tinyint", "smallint", "int",
+                   "bigint", "float", "double", "decimal", "date",
+                   "timestamp")
+
+
+def servable_fields(docs: DataFrame, id_col: str,
+                    exclude: tuple = ()) -> list:
+    """Scalar columns worth carrying in the sidecar — every servable-typed
+    top-level column except the id and the indexed text bodies (callers
+    pass the text-typed columns of IndexConfig.fields via ``exclude``;
+    keyword/email/url/phone columns stay — they're the terms-agg fields)."""
+    out = []
+    for name, dtype in docs.dtypes:
+        if name == id_col or name in exclude:
+            continue
+        if dtype.startswith(_SERVABLE_TYPES):
+            out.append(name)
+    return out
+
+
+def _dv_kind(dtype: str) -> str:
+    """Logical kind the serving twin dispatches on."""
+    if dtype.startswith(("timestamp", "date")):
+        return "ms"
+    if dtype == "boolean":
+        return "bool"
+    if dtype.startswith(("tinyint", "smallint", "int", "bigint")):
+        return "int"
+    if dtype.startswith(("float", "double", "decimal")):
+        return "float"
+    return "str"
+
+
+def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
+                     id_col: str = "doc_id", n_files: int = 1,
+                     includes_runs: list | None = None) -> dict:
+    """Persist the sidecar. One shuffle (range partition by doc_id); each
+    output file is a doc_id-sorted slice, so readers merge slices with a
+    single argsort over file order (or map id ranges to serving shards)."""
+    kinds = {}
+    cols = [F.col(id_col).cast("long").alias("doc_id")]
+    for name, dtype in docs.select(*fields).dtypes:
+        kind = _dv_kind(dtype)
+        kinds[name] = kind
+        if kind == "ms":
+            cols.append(F.unix_millis(F.col(name).cast("timestamp"))
+                        .alias(name))
+        elif kind == "float":
+            cols.append(F.col(name).cast("double").alias(name))
+        elif kind == "int":
+            cols.append(F.col(name).cast("long").alias(name))
+        else:
+            cols.append(F.col(name))
+    path = os.path.join(index_dir, DOC_VALUES)
+    (docs.select(*cols)
+         .repartitionByRange(max(1, int(n_files)), "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(path))
+    meta = {"fields": kinds, "id_col": id_col,
+            "includes_runs": list(includes_runs or [])}
+    mp = os.path.join(index_dir, DV_META)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(mp + ".tmp", mp)
+    return meta
+
+
+def load_doc_values_meta(index_dir: str) -> dict | None:
+    mp = os.path.join(index_dir, DV_META)
+    if not os.path.isfile(mp):
+        return None
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def check_doc_values_fresh(index_dir: str, dv_meta: dict) -> bool:
+    """False when LSM runs were appended after the sidecar was written —
+    aggregations over it would silently undercount those docs. Mirrors
+    wand.check_blocks_fresh but soft: callers fall back to Spark."""
+    from .lsm import accounted_runs
+    included = set(dv_meta.get("includes_runs", []))
+    return all(e["run_path"] in included
+               for e in accounted_runs(index_dir))
+
+
+def doc_values_frame(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The sidecar as a DataFrame (doc_id + stored columns) — handy for
+    tests and for Spark-side joins against serving-era artifacts."""
+    return spark.read.parquet(os.path.join(index_dir, DOC_VALUES))

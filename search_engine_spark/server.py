@@ -107,17 +107,27 @@ class SearchService:
             raise RuntimeError(f"no docs table registered for index {name!r}")
         t0 = time.time()
         query = body.get("query") or {"match_all": {}}
-        # millisecond fast path: inverted-index-resident queries with no
-        # aggregations are answered straight off the block snapshot (the
-        # reference answers its whole DSL in-process, server.ts <50 ms);
-        # anything else — and any index without a FRESH snapshot — falls
-        # through to the Spark plan below
-        if not opts["aggregations"] and isinstance(query, dict):
+        # millisecond fast path: inverted-index-resident queries are
+        # answered straight off the block snapshot (the reference answers
+        # its whole DSL in-process, server.ts <50 ms) — INCLUDING
+        # aggregations when every agg type/field is servable from the
+        # doc-values sidecar (serving.can_aggregate). Anything else — and
+        # any index without a FRESH snapshot — falls through to the Spark
+        # plan below.
+        if isinstance(query, dict):
             srv = self._serving(name)
-            if srv is not None:
+            agg_cfg = opts["aggregations"]
+            if srv is not None and (not agg_cfg or
+                                    srv.can_aggregate(agg_cfg)):
                 try:
-                    pairs, total = srv.search_with_total(
-                        query, k=opts["size"], from_=opts["from"])
+                    if agg_cfg:
+                        pairs, total, fast_aggs = srv.search_with_aggs(
+                            query, agg_cfg,
+                            k=opts["size"], from_=opts["from"])
+                    else:
+                        pairs, total = srv.search_with_total(
+                            query, k=opts["size"], from_=opts["from"])
+                        fast_aggs = {}
                 except ValueError as e:
                     if "serving surface" in str(e):
                         pairs = None  # docs-table op — expected fallback
@@ -143,7 +153,7 @@ class SearchService:
                                  for d, s in pairs],
                         "total": total,
                         "from": opts["from"], "size": opts["size"],
-                        "aggregations": {}, "facets": {},
+                        "aggregations": fast_aggs, "facets": {},
                         "_performance": {
                             "queryTime":
                                 f"{round((time.time() - t0) * 1000)}ms",
@@ -163,18 +173,19 @@ class SearchService:
                    .offset(opts["from"]).limit(opts["size"]))
             hits = [{"doc_id": r["doc_id"], "score": r["score"]}
                     for r in top.collect()]
+            aggregations = {}
+            if opts["aggregations"]:
+                # the reference computes every agg over the MATCHED set
+                # (SearchEngine.ts:541-560) — the persisted scored frame
+                # already materialized it, so each agg is one scan of the
+                # hit-scoped docs, not a recompute of the query
+                from .operators.agg_compile import compile_aggregations
+                aggregations = compile_aggregations(
+                    opts["aggregations"], docs, scored.select("doc_id"),
+                    id_col=self._index_config(name).id_col,
+                    tombstones=self._tombstones_frame(name))
         finally:
             scored.unpersist()
-        aggregations = {}
-        for agg_name, cfg in opts["aggregations"].items():
-            terms = cfg.get("terms")
-            if isinstance(terms, dict) and terms.get("field"):
-                from .operators.aggregations import terms_agg
-                rows = terms_agg(docs, terms["field"],
-                                 size=int(terms.get("size") or 10)).collect()
-                aggregations[agg_name] = {
-                    "buckets": [{"key": r["value"],
-                                 "doc_count": r["doc_count"]} for r in rows]}
         self._queries += 1
         return {
             "hits": hits, "total": total,
@@ -212,6 +223,16 @@ class SearchService:
             return None  # overlapped a rewrite: don't trust, don't cache
         self._serving_cache[name] = (state, srv)
         return srv
+
+    def _tombstones_frame(self, name: str):
+        """DataFrame[doc_id] of deleted docs, or None — global agg scopes
+        must not count tombstoned docs (the reference physically removes
+        them from idx.documents)."""
+        import os
+        tomb = os.path.join(self.catalog._dir(name), "tombstones")
+        if not os.path.isdir(tomb):
+            return None
+        return self.spark.read.parquet(tomb).select("doc_id")
 
     def _index_config(self, name: str) -> IndexConfig:
         meta = self.catalog.stats(name)
@@ -267,6 +288,23 @@ class SearchService:
             try:
                 idx = load_index(self.spark, ixdir)
                 metrics = write_blocks(idx, ixdir)
+                # doc-values sidecar: the scalar metadata columns serving
+                # needs to answer aggregations without a Spark job. Same
+                # run lineage as the blocks → same freshness horizon.
+                docs = self._docs.get(name)
+                if docs is not None:
+                    from .operators.doc_values import (servable_fields,
+                                                       write_doc_values)
+                    cfg = self._index_config(name)
+                    fields = servable_fields(
+                        docs, cfg.id_col,
+                        exclude=tuple(k for k, t in cfg.fields.items()
+                                      if t == "text"))
+                    if fields:
+                        dv = write_doc_values(
+                            docs, ixdir, fields, id_col=cfg.id_col,
+                            includes_runs=metrics.get("includes_runs", []))
+                        metrics["doc_values_fields"] = sorted(dv["fields"])
             finally:
                 self._snap_busy.discard(name)
         # new snapshot under the same meta state: force a re-open so the

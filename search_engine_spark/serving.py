@@ -903,3 +903,236 @@ class ServingIndex:
             self._cache_put(self._result_cache, ck, (list(out), total),
                             self.cache_results)
         return out, total
+
+    # -- aggregations over the doc-values sidecar ---------------------------
+
+    def _doc_values(self):
+        """(sorted doc ids, {field: (kind, values, notnull mask)}) from the
+        doc_values sidecar, loaded once; None when the sidecar is absent or
+        STALE (LSM runs appended after it was written — aggregating over it
+        would silently undercount; callers fall back to the Spark path).
+        Values are numpy: str → object array, int/ms → int64, float →
+        float64 (NaN-masked), bool → bool_."""
+        dv = getattr(self, "_dv", None)
+        if dv is not None:
+            return dv if dv != () else None
+        from .operators.doc_values import (DOC_VALUES,
+                                           check_doc_values_fresh,
+                                           load_doc_values_meta)
+        meta = load_doc_values_meta(self.index_dir)
+        path = os.path.join(self.index_dir, DOC_VALUES)
+        if meta is None or not os.path.isdir(path) or \
+                not check_doc_values_fresh(self.index_dir, meta):
+            self._dv = ()
+            return None
+        import pyarrow.dataset as pads
+        table = pads.dataset(path, format="parquet").to_table()
+        ids = np.asarray(table.column("doc_id"), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # slices arrive per-file
+        ids = ids[order]
+        cols: dict = {}
+        for name, kind in meta["fields"].items():
+            if name not in table.column_names:
+                continue
+            arr = table.column(name).combine_chunks()
+            mask = ~np.asarray(arr.is_null(), dtype=bool)[order]
+            if kind in ("int", "ms"):
+                vals = np.asarray(arr.fill_null(0), dtype=np.int64)[order]
+            elif kind == "float":
+                vals = np.asarray(arr.fill_null(float("nan")),
+                                  dtype=np.float64)[order]
+            elif kind == "bool":
+                vals = np.asarray(arr.fill_null(False), dtype=bool)[order]
+            else:
+                vals = np.asarray(arr.to_pandas(), dtype=object)[order]
+            cols[name] = (kind, vals, mask)
+        self._dv = (ids, cols)
+        return self._dv
+
+    def can_aggregate(self, aggs: dict) -> bool:
+        """True when every agg type AND every touched field (with the kind
+        each agg needs) is answerable from the doc-values sidecar."""
+        from .operators.agg_compile import (DV_KINDS_FOR, dv_requirements,
+                                            servable)
+        if not aggs or not servable(aggs):
+            return False
+        dv = self._doc_values()
+        if dv is None:
+            return False
+        _, cols = dv
+        for field, need in dv_requirements(aggs):
+            got = cols.get(field)
+            if got is None or got[0] not in DV_KINDS_FOR[need]:
+                return False
+        return True
+
+    def _dv_gather(self, scope: np.ndarray | None):
+        """Row indices of ``scope`` doc ids in the sidecar (None = every
+        live doc — tombstone-filtered, like the reference's idx.documents
+        after deletes)."""
+        ids, _ = self._doc_values()
+        if scope is None:
+            scope = self._all_doc_ids()
+        if scope.size == 0 or ids.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        i = np.searchsorted(ids, scope)
+        i[i == ids.size] = 0
+        return i[ids[i] == scope]
+
+    def aggregate(self, aggs: dict, doc_ids: np.ndarray | None) -> dict:
+        """Millisecond twin of agg_compile.compile_aggregations over the
+        matched doc set (``doc_ids`` sorted; None = global context). The
+        key formatters are SHARED with the Spark path, so the JSON output
+        is identical (parity-tested in tests/test_agg_json.py)."""
+        rows = self._dv_gather(doc_ids)
+        return self._aggregate_rows(aggs, rows)
+
+    def _aggregate_rows(self, aggs: dict, rows: np.ndarray) -> dict:
+        from .operators import agg_compile as ac
+        _, cols = self._doc_values()
+        result: dict = {}
+        for name, cfg in (aggs or {}).items():
+            if not isinstance(cfg, dict):
+                continue
+            if isinstance(cfg.get("terms"), dict):
+                result[name] = self._dv_terms(cols, rows, cfg["terms"])
+            elif isinstance(cfg.get("histogram"), dict):
+                body = cfg["histogram"]
+                v, ok = self._dv_numeric(cols, rows, body["field"])
+                interval = float(body["interval"])
+                b = np.floor(v[ok] / interval) * interval
+                uniq, cnt = np.unique(b, return_counts=True)
+                result[name] = {"buckets": [
+                    {"key": ac.hist_key(k), "doc_count": int(c)}
+                    for k, c in zip(uniq.tolist(), cnt.tolist())]}
+            elif isinstance(cfg.get("date_histogram"), dict):
+                body = cfg["date_histogram"]
+                kind, vals, mask = cols[body["field"]]
+                ims = ac.DATE_INTERVALS_MS.get(
+                    str(body.get("interval")), ac.DATE_INTERVALS_MS["1d"])
+                ms = vals[rows]
+                ok = mask[rows]
+                b = (ms[ok] // ims) * ims
+                uniq, cnt = np.unique(b, return_counts=True)
+                result[name] = {"buckets": [
+                    {"key": ac.iso_ms(int(k)),
+                     "key_as_string": ac.iso_ms(int(k)),
+                     "doc_count": int(c)}
+                    for k, c in zip(uniq.tolist(), cnt.tolist())]}
+            elif isinstance(cfg.get("range"), dict):
+                body = cfg["range"]
+                v, ok = self._dv_numeric(cols, rows, body["field"])
+                vv = v[ok]
+                buckets = []
+                for r in (body.get("ranges") or []):
+                    m = np.ones(vv.size, dtype=bool)
+                    if r.get("from") is not None:
+                        m &= vv >= float(r["from"])
+                    if r.get("to") is not None:
+                        m &= vv < float(r["to"])
+                    buckets.append({"key": ac.range_key(r),
+                                    "from": r.get("from"), "to": r.get("to"),
+                                    "doc_count": int(m.sum())})
+                result[name] = {"buckets": buckets}
+            elif isinstance(cfg.get("global"), dict):
+                grows = self._dv_gather(None)
+                entry = {"doc_count": int(grows.size)}
+                sub = cfg["global"].get("aggs") or {}
+                if sub:
+                    entry.update(self._aggregate_rows(sub, grows))
+                result[name] = entry
+            elif isinstance(cfg.get("filter"), dict):
+                frows = rows[self._dv_filter(cols, rows, cfg["filter"])]
+                entry = {"doc_count": int(frows.size)}
+                sub = cfg.get("aggs") or {}
+                if sub:
+                    entry.update(self._aggregate_rows(sub, frows))
+                result[name] = entry
+        return result
+
+    @staticmethod
+    def _dv_numeric(cols: dict, rows: np.ndarray, field: str):
+        kind, vals, mask = cols[field]
+        v = vals[rows]
+        ok = mask[rows]
+        if kind == "int":
+            v = v.astype(np.float64)
+        else:
+            ok = ok & ~np.isnan(v)
+        return v, ok
+
+    @staticmethod
+    def _dv_terms(cols: dict, rows: np.ndarray, body: dict) -> dict:
+        from .operators.agg_compile import key_str
+        kind, vals, mask = cols[body["field"]]
+        size = int(body.get("size") or 10)
+        v = vals[rows][mask[rows]]
+        uniq, cnt = np.unique(v, return_counts=True)
+        pairs = sorted(
+            ((int(c), key_str(k)) for k, c in
+             zip(uniq.tolist(), cnt.tolist())),
+            key=lambda p: (-p[0], p[1]))[:size]
+        return {"buckets": [{"key": k, "doc_count": c}
+                            for c, k in pairs]}
+
+    @staticmethod
+    def _dv_filter(cols: dict, rows: np.ndarray, flt: dict) -> np.ndarray:
+        """Boolean mask over ``rows`` for a filter-agg predicate
+        (term strict-eq / match lowercase-contains / numeric range)."""
+        if "term" in flt:
+            kind, vals, mask = cols[flt["term"]["field"]]
+            want = flt["term"].get("value")
+            v = vals[rows]
+            ok = mask[rows]
+            try:
+                return ok & (v == want)
+            except TypeError:
+                return np.zeros(rows.size, dtype=bool)
+        if "match" in flt:
+            kind, vals, mask = cols[flt["match"]["field"]]
+            needle = str(flt["match"].get("value", "")).lower()
+            v = vals[rows]
+            ok = mask[rows]
+            hit = np.fromiter(
+                (o and needle in s.lower() for s, o in zip(v, ok)),
+                dtype=bool, count=rows.size)
+            return hit
+        if "range" in flt:
+            body = flt["range"]
+            kind, vals, mask = cols[body["field"]]
+            v = vals[rows].astype(np.float64)
+            ok = mask[rows] & ~np.isnan(v)
+            if body.get("gte") is not None:
+                ok &= v >= float(body["gte"])
+            if body.get("gt") is not None:
+                ok &= v > float(body["gt"])
+            if body.get("lte") is not None:
+                ok &= v <= float(body["lte"])
+            if body.get("lt") is not None:
+                ok &= v < float(body["lt"])
+            return ok
+        return np.ones(rows.size, dtype=bool)
+
+    def search_with_aggs(self, query: dict, aggs: dict, k: int = 10,
+                         from_: int = 0) -> tuple:
+        """(ranked pairs, total, aggregations) from ONE compile — the
+        matched candidate set feeds both the scorer and every agg scope
+        (the reference's QueryEngine computes aggs over the same matched
+        set it ranks, SearchEngine.ts:541-560)."""
+        cand, score_terms = self._compile(query)
+        total = int(cand.size)
+        out = []
+        if cand.size:
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for f, t in sorted(set(score_terms)):
+                docs, tfs, dls = self.postings(f, t)
+                if docs.size == 0:
+                    continue
+                idf = self._idf(docs.size)
+                s = np.maximum(0.0, 1.0 * idf
+                               * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+                _masked_add(scores, cand, docs, s)
+            order = _topk_order(cand, scores, from_ + k)[from_:]
+            out = [(int(cand[i]), float(scores[i])) for i in order]
+        return out, total, self.aggregate(aggs, cand if cand.size else
+                                          np.zeros(0, dtype=np.int64))

@@ -1,0 +1,272 @@
+"""JSON aggregation surface (SearchEngine.ts:971-1100 parity):
+
+1. the Spark compiler (operators/agg_compile.py) vs a pure-Python oracle
+   implementing the reference's bucket math over the matched doc set;
+2. the millisecond serving twin (ServingIndex.aggregate over the
+   doc-values sidecar) vs the Spark compiler — EXACT dict equality;
+3. the can_aggregate gate (types/fields/kinds the sidecar can answer);
+4. sidecar staleness: LSM runs appended after write_doc_values make the
+   serving path refuse (fall back), never undercount.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from search_engine_spark.operators.agg_compile import compile_aggregations
+from search_engine_spark.operators.doc_values import (doc_values_frame,
+                                                      servable_fields,
+                                                      write_doc_values)
+from search_engine_spark.operators.index_build import (IndexConfig,
+                                                       load_index,
+                                                       write_index)
+from search_engine_spark.operators.wand import write_blocks
+from search_engine_spark.plans.dsl import SparkSearchEngine
+from search_engine_spark.serving import ServingIndex
+
+WORDS = ["hello", "apple", "banana", "quick", "brown", "fox", "jumps",
+         "lazy", "dog", "active", "helo", "application", "nothing"]
+STATUSES = ["active", "archived", "pending"]
+EPOCH = dt.datetime(2025, 1, 1)  # naive — session tz pinned to UTC
+
+N = 120
+
+
+def _row(i: int) -> dict:
+    return {
+        "doc_id": i,
+        "name": f"{WORDS[i % 6]} {WORDS[(i * 3) % 13]}",
+        "content": " ".join(WORDS[(i + j) % 13] for j in range(6)),
+        "status": STATUSES[i % 3],
+        "site": f"s{i % 5}" if i % 17 else None,  # some nulls
+        "price": float((i * 7) % 100) + 0.5 if i % 11 else None,
+        "qty": i % 13,
+        "flag": i % 2 == 0,
+        "ts": EPOCH + dt.timedelta(hours=5 * i),
+    }
+
+
+SCHEMA = ("doc_id long, name string, content string, status string, "
+          "site string, price double, qty long, flag boolean, ts timestamp")
+
+AGGS = {
+    "sites": {"terms": {"field": "site", "size": 3}},
+    "qty_terms": {"terms": {"field": "qty", "size": 5}},
+    "flags": {"terms": {"field": "flag", "size": 3}},
+    "price_hist": {"histogram": {"field": "price", "interval": 25}},
+    "by_day": {"date_histogram": {"field": "ts", "interval": "1d"}},
+    "price_ranges": {"range": {"field": "price", "ranges": [
+        {"to": 25}, {"from": 25, "to": 75, "key": "mid"}, {"from": 75}]}},
+    "cheap": {"filter": {"range": {"field": "price", "lt": 50}},
+              "aggs": {"sites": {"terms": {"field": "site", "size": 10}}}},
+    "s1ish": {"filter": {"match": {"field": "site", "value": "S1"}}},
+    "s2_eq": {"filter": {"term": {"field": "site", "value": "s2"}}},
+    "everything": {"global": {"aggs": {
+        "sites": {"terms": {"field": "site", "size": 10}}}}},
+}
+
+QUERY = {"term": {"field": "status", "value": "active"}}
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    ixdir = str(tmp_path_factory.mktemp("aggix") / "ix")
+    docs = spark.createDataFrame([_row(i) for i in range(N)], SCHEMA)
+    cfg = IndexConfig(id_col="doc_id",
+                      fields={"name": "text", "content": "text",
+                              "status": "keyword"}, n_buckets=8)
+    write_index(docs, ixdir, cfg)
+    idx = load_index(spark, ixdir)
+    metrics = write_blocks(idx, ixdir)
+    fields = servable_fields(docs, "doc_id",
+                             exclude=("name", "content"))
+    write_doc_values(docs, ixdir, fields,
+                     includes_runs=metrics["includes_runs"])
+    eng = SparkSearchEngine(idx, docs)
+    return docs, eng, ServingIndex(ixdir), ixdir
+
+
+# -- pure-Python oracle (reference bucket math, deterministic ties) --------
+
+def _matched_rows():
+    return [r for r in map(_row, range(N)) if r["status"] == "active"]
+
+
+def _key_str(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _oracle(rows):
+    from collections import Counter
+
+    def terms(field, size):
+        c = Counter(_key_str(r[field]) for r in rows if r[field] is not None)
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+        return {"buckets": [{"key": k, "doc_count": n} for k, n in top]}
+
+    out = {"sites": terms("site", 3), "qty_terms": terms("qty", 5),
+           "flags": terms("flag", 3)}
+    c = Counter()
+    for r in rows:
+        if r["price"] is not None:
+            c[(r["price"] // 25) * 25] += 1
+    out["price_hist"] = {"buckets": [
+        {"key": int(k), "doc_count": c[k]} for k in sorted(c)]}
+    c = Counter()
+    for r in rows:
+        ms = int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+        c[(ms // 86_400_000) * 86_400_000] += 1
+    out["by_day"] = {"buckets": [
+        {"key": dt.datetime.fromtimestamp(k / 1000, tz=dt.timezone.utc)
+              .strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+         "key_as_string": dt.datetime.fromtimestamp(
+             k / 1000, tz=dt.timezone.utc)
+              .strftime("%Y-%m-%dT%H:%M:%S.000Z"),
+         "doc_count": c[k]} for k in sorted(c)]}
+    prices = [r["price"] for r in rows if r["price"] is not None]
+    out["price_ranges"] = {"buckets": [
+        {"key": "*-25", "from": None, "to": 25,
+         "doc_count": sum(p < 25 for p in prices)},
+        {"key": "mid", "from": 25, "to": 75,
+         "doc_count": sum(25 <= p < 75 for p in prices)},
+        {"key": "75-*", "from": 75, "to": None,
+         "doc_count": sum(p >= 75 for p in prices)}]}
+    cheap = [r for r in rows if r["price"] is not None and r["price"] < 50]
+    cc = Counter(r["site"] for r in cheap if r["site"] is not None)
+    out["cheap"] = {"doc_count": len(cheap), "sites": {"buckets": [
+        {"key": k, "doc_count": n} for k, n in
+        sorted(cc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]}}
+    out["s1ish"] = {"doc_count": sum(
+        1 for r in rows if r["site"] is not None and "s1" in r["site"])}
+    out["s2_eq"] = {"doc_count": sum(
+        1 for r in rows if r["site"] == "s2")}
+    allc = Counter(r["site"] for r in map(_row, range(N))
+                   if r["site"] is not None)
+    out["everything"] = {"doc_count": N, "sites": {"buckets": [
+        {"key": k, "doc_count": n} for k, n in
+        sorted(allc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]}}
+    return out
+
+
+def test_spark_compiler_matches_reference_math(setup):
+    docs, eng, _, _ = setup
+    hits = eng.candidates(QUERY).select("doc_id")
+    got = compile_aggregations(AGGS, docs, hits)
+    assert got == _oracle(_matched_rows())
+
+
+def test_serving_twin_matches_spark_exactly(setup):
+    docs, eng, srv, _ = setup
+    hits = eng.candidates(QUERY).select("doc_id")
+    want = compile_aggregations(AGGS, docs, hits)
+    pairs, total, got = srv.search_with_aggs(QUERY, AGGS, k=10)
+    assert got == want
+    assert total == eng.candidates(QUERY).count()
+    # hits come from the same compile — spot-check against the DSL path
+    dsl = [(r["doc_id"], r["score"])
+           for r in eng.search(QUERY, size=10).collect()]
+    assert [d for d, _ in pairs] == [d for d, _ in dsl]
+
+
+def test_global_scope_isolated_from_query(setup):
+    docs, eng, srv, _ = setup
+    # a query matching nothing still aggregates globally inside `global`
+    q = {"term": {"field": "status", "value": "zzznope"}}
+    aggs = {"g": {"global": {"aggs": {
+        "sites": {"terms": {"field": "site", "size": 10}}}}},
+        "sites": {"terms": {"field": "site", "size": 10}}}
+    hits = eng.candidates(q).select("doc_id")
+    want = compile_aggregations(aggs, docs, hits)
+    _, total, got = srv.search_with_aggs(q, aggs, k=5)
+    assert total == 0
+    assert got == want
+    assert got["sites"]["buckets"] == []          # scoped: empty
+    assert got["g"]["doc_count"] == N             # global: everything
+
+
+def test_empty_buckets_shapes(setup):
+    docs, eng, srv, _ = setup
+    aggs = {"r": {"range": {"field": "price", "ranges": []}},
+            "t": {"terms": {"field": "site"}}}
+    hits = eng.candidates({"match_all": {}}).select("doc_id")
+    want = compile_aggregations(aggs, docs, hits)
+    _, _, got = srv.search_with_aggs({"match_all": {}}, aggs, k=1)
+    assert got == want
+    assert want["r"] == {"buckets": []}
+
+
+def test_can_aggregate_gates(setup):
+    _, _, srv, _ = setup
+    assert srv.can_aggregate(AGGS)
+    # nested is Spark-only
+    assert not srv.can_aggregate(
+        {"n": {"nested": {"path": "meta"},
+               "aggs": {"a": {"terms": {"field": "meta.author"}}}}})
+    # unknown field
+    assert not srv.can_aggregate({"x": {"terms": {"field": "nope"}}})
+    # terms on a float field would render keys differently across engines
+    assert not srv.can_aggregate({"x": {"terms": {"field": "price"}}})
+    # match filter needs a string kind
+    assert not srv.can_aggregate(
+        {"x": {"filter": {"match": {"field": "qty", "value": "3"}}}})
+    # date_histogram needs a ms kind
+    assert not srv.can_aggregate(
+        {"x": {"date_histogram": {"field": "qty", "interval": "1d"}}})
+    # histogram over a servable numeric is fine
+    assert srv.can_aggregate(
+        {"x": {"histogram": {"field": "qty", "interval": 2}}})
+
+
+def test_nested_agg_spark_path(spark):
+    rows = [(i, STATUSES[i % 3],
+             {"author": f"a{i % 4}", "stars": i % 5})
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, status string, "
+              "meta struct<author string, stars long>")
+    aggs = {"m": {"nested": {"path": "meta"},
+                  "aggs": {"authors": {"terms": {"field": "meta.author",
+                                                 "size": 2}}}}}
+    got = compile_aggregations(aggs, docs, None)
+    from collections import Counter
+    c = Counter(f"a{i % 4}" for i in range(40))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert got == {"m": {"doc_count": 40, "authors": {"buckets": [
+        {"key": k, "doc_count": n} for k, n in top]}}}
+
+
+def test_stale_doc_values_refused(setup, spark, tmp_path):
+    """LSM runs appended after the sidecar was written → serving refuses
+    aggregations (can_aggregate False) instead of undercounting."""
+    ixdir = str(tmp_path / "ix2")
+    docs = spark.createDataFrame([_row(i) for i in range(30)], SCHEMA)
+    cfg = IndexConfig(id_col="doc_id",
+                      fields={"name": "text", "status": "keyword"},
+                      n_buckets=4)
+    write_index(docs, ixdir, cfg)
+    idx = load_index(spark, ixdir)
+    m = write_blocks(idx, ixdir)
+    write_doc_values(docs, ixdir, ["site", "qty"],
+                     includes_runs=m["includes_runs"])
+    srv = ServingIndex(ixdir)
+    assert srv.can_aggregate({"q": {"terms": {"field": "site"}}})
+    from search_engine_spark.operators.lsm import append_docs
+    extra = spark.createDataFrame([_row(i) for i in range(30, 36)], SCHEMA)
+    append_docs(extra, ixdir, cfg)
+    stale = ServingIndex(ixdir, allow_stale=True)
+    assert not stale.can_aggregate({"q": {"terms": {"field": "site"}}})
+
+
+def test_doc_values_frame_roundtrip(setup, spark):
+    docs, _, _, ixdir = setup
+    dv = doc_values_frame(spark, ixdir)
+    assert dv.count() == N
+    # ms column stores unix_millis of the timestamp
+    from pyspark.sql import functions as F
+    want = docs.select("doc_id",
+                       F.unix_millis(F.col("ts")).alias("ts"))
+    assert (dv.select("doc_id", "ts").exceptAll(want).count() == 0)

@@ -82,3 +82,49 @@ def test_server_end_to_end(served):
 
     code, _ = _get(base + "/performance")
     assert code == 200
+
+
+def test_aggregations_fast_path_matches_spark(served):
+    """After /snapshot the whole search+aggs request is served off the
+    block snapshot + doc-values sidecar (servedBy blocks), byte-identical
+    to the Spark path's response (hits, total, every agg bucket)."""
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webagg", "docsPath": pages_dir,
+                            "fields": {"text": "text"}})
+    body = {
+        "query": {"match": {"field": "text", "value": "za"}},
+        "size": 5,
+        "aggregations": {
+            "langs": {"terms": {"field": "lang", "size": 3}},
+            "by_day": {"date_histogram": {"field": "warc_ts",
+                                          "interval": "1d"}},
+            "en_only": {"filter": {"term": {"field": "lang",
+                                            "value": "en"}},
+                        "aggs": {"langs": {"terms": {"field": "lang"}}}},
+            "all": {"global": {"aggs": {
+                "langs": {"terms": {"field": "lang", "size": 5}}}}},
+        },
+    }
+    code, spark_res = _post(base + "/search/webagg", body)
+    assert code == 200 and "servedBy" not in spark_res["_performance"]
+    assert spark_res["aggregations"]["all"]["doc_count"] == 120
+
+    code, snap = _post(base + "/index/webagg/snapshot", {})
+    assert code == 200
+    assert "lang" in snap["metrics"]["doc_values_fields"]
+
+    code, fast_res = _post(base + "/search/webagg", body)
+    assert code == 200
+    assert fast_res["_performance"].get("servedBy") == "blocks"
+    assert fast_res["hits"] == spark_res["hits"]
+    assert fast_res["total"] == spark_res["total"]
+    assert fast_res["aggregations"] == spark_res["aggregations"]
+
+    # docs-table operator (range) stays on the Spark path even with a
+    # fresh snapshot — aggregations still computed, hit-scoped
+    code, res = _post(base + "/search/webagg", {
+        "query": {"range": {"field": "doc_id", "gte": 0, "lte": 50}},
+        "aggregations": {"langs": {"terms": {"field": "lang"}}}})
+    assert code == 200 and "servedBy" not in res["_performance"]
+    assert sum(b["doc_count"] for b in
+               res["aggregations"]["langs"]["buckets"]) == res["total"]
