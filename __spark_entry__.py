@@ -493,6 +493,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits=_engine(s, d).candidates({"term": {"field": "text", "value": "dup"}}),
         size=5).orderBy("facet_field", F.desc("doc_count"), "value")
 
+    def _agg_json(s, d):
+        """Request-level JSON aggregations, scoped to the MATCHED doc set
+        (SearchEngine.ts:971-1100 _calculateAggregations over the
+        QueryEngine's result set): terms + range + filter(+sub-terms) +
+        global compiled by operators/agg_compile.compile_aggregations,
+        flattened to (agg, key, doc_count) rows for the oracle."""
+        from search_engine_spark.operators.agg_compile import \
+            compile_aggregations
+        hits = _engine(s, d).candidates(
+            {"term": {"field": "text", "value": "dup"}})
+        res = compile_aggregations({
+            "langs": {"terms": {"field": "lang", "size": 5}},
+            "len_ranges": {"range": {"field": "n_chars", "ranges": [
+                {"to": 150}, {"from": 150, "to": 300}, {"from": 300}]}},
+            "en_only": {"filter": {"term": {"field": "lang",
+                                            "value": "en"}},
+                        "aggs": {"src": {"terms": {"field": "source",
+                                                   "size": 5}}}},
+            "all_docs": {"global": {}},
+        }, _docs(s, d), hits)
+        rows = []
+        for b in res["langs"]["buckets"]:
+            rows.append(("langs", b["key"], b["doc_count"]))
+        for b in res["len_ranges"]["buckets"]:
+            rows.append(("len_ranges", b["key"], b["doc_count"]))
+        rows.append(("en_only", "_count", res["en_only"]["doc_count"]))
+        for b in res["en_only"]["src"]["buckets"]:
+            rows.append(("en_only.src", b["key"], b["doc_count"]))
+        rows.append(("all_docs", "_count", res["all_docs"]["doc_count"]))
+        return s.createDataFrame(rows,
+                                 "agg string, key string, doc_count long")
+    q["agg_json_scoped"] = _agg_json
+
     def _sessionize(s, d):
         ev = _events(s, d)
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -934,6 +967,33 @@ SELECT * FROM (
   SELECT 'source' AS facet_field, source AS value, count(*)::BIGINT AS doc_count
   FROM h WHERE source IS NOT NULL GROUP BY source
   ORDER BY doc_count DESC, value ASC LIMIT 5)
+"""
+    o["agg_json_scoped"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+hits AS (SELECT doc_id FROM t WHERE list_contains(toks, 'dup')),
+h AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+SELECT * FROM (
+  SELECT 'langs' AS agg, lang AS key, count(*)::BIGINT AS doc_count
+  FROM h WHERE lang IS NOT NULL GROUP BY lang
+  ORDER BY doc_count DESC, key ASC LIMIT 5)
+UNION ALL
+SELECT 'len_ranges', '*-150', count(*)::BIGINT FROM h
+  WHERE n_chars IS NOT NULL AND n_chars < 150
+UNION ALL
+SELECT 'len_ranges', '150-300', count(*)::BIGINT FROM h
+  WHERE n_chars IS NOT NULL AND n_chars >= 150 AND n_chars < 300
+UNION ALL
+SELECT 'len_ranges', '300-*', count(*)::BIGINT FROM h
+  WHERE n_chars IS NOT NULL AND n_chars >= 300
+UNION ALL
+SELECT 'en_only', '_count', count(*)::BIGINT FROM h WHERE lang = 'en'
+UNION ALL
+SELECT * FROM (
+  SELECT 'en_only.src', source, count(*)::BIGINT FROM h
+  WHERE lang = 'en' AND source IS NOT NULL GROUP BY source
+  ORDER BY count(*) DESC, source ASC LIMIT 5)
+UNION ALL
+SELECT 'all_docs', '_count', count(*)::BIGINT FROM documents
 """
     o["ev_sessionize"] = """
 WITH e AS (SELECT user_id, epoch_us(ts) AS us,
