@@ -170,10 +170,13 @@ def main():
         # entirely off the block snapshot + doc-values sidecar (the
         # reference's complex-query-with-aggs <50 ms claim) — the Spark
         # path for the same request is seconds (job floor × |aggs|)
-        from search_engine_spark.operators.doc_values import \
-            write_doc_values
+        from search_engine_spark.operators.doc_values import (
+            servable_fields, write_doc_values)
         t0 = time.time()
-        write_doc_values(pages, index_dir, ["lang", "warc_ts"],
+        # same column rule as POST /snapshot: all scalars incl. the text
+        # bodies (hit enrichment); serving aggs load columns lazily
+        write_doc_values(pages, index_dir,
+                         servable_fields(pages, "doc_id"),
                          includes_runs=blocks_metrics["includes_runs"])
         queries["doc_values_build"] = round(time.time() - t0, 3)
         agg_cfg = {

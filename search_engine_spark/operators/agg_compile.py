@@ -187,6 +187,24 @@ def servable(aggs: dict) -> bool:
     return True
 
 
+def compile_facets(fields: list, docs: DataFrame,
+                   hits: DataFrame | None,
+                   id_col: str = "doc_id") -> dict:
+    """FacetEngine.calculate (FacetEngine.ts:124-136): for each configured
+    facet field, {value: count} over the matched doc set — every value
+    with a nonzero count (the reference has no size cap; facet fields are
+    keyword-typed, so cardinality is bounded by the domain). One
+    hit-scoped scan per field."""
+    scoped = _scoped(docs, hits, id_col)
+    out: dict = {}
+    for f in fields:
+        rows = (scoped.where(F.col(f).isNotNull())
+                .groupBy(F.col(f).alias("v"))
+                .agg(F.count(F.lit(1)).alias("c")).collect())
+        out[f] = {key_str(r["v"]): int(r["c"]) for r in rows}
+    return out
+
+
 # -- Spark path -------------------------------------------------------------
 
 def _scoped(docs: DataFrame, hits: DataFrame | None,

@@ -121,6 +121,44 @@ def check_doc_values_fresh(index_dir: str, dv_meta: dict) -> bool:
                for e in accounted_runs(index_dir))
 
 
+def enrich_rows(docs: DataFrame, id_col: str, doc_ids: list,
+                fields: list) -> dict:
+    """{doc_id: JSON-safe stored-field dict} for a small hit page — the
+    Spark-path twin of ServingIndex.enrich (the reference spreads the
+    stored document into each hit, SearchEngine.ts:619-627). The id
+    filter is a pushed-down IN over ≤ page-size ids; values normalize
+    exactly like the sidecar (timestamps → shared ISO-8601-ms formatter),
+    so both paths return byte-identical hits."""
+    if not doc_ids or not fields:
+        return {}
+    from .agg_compile import iso_ms
+    kinds = {}
+    cols = [F.col(id_col).cast("long").alias("__id")]
+    for name, dtype in docs.select(*fields).dtypes:
+        kind = _dv_kind(dtype)
+        kinds[name] = kind
+        if kind == "ms":
+            cols.append(F.unix_millis(F.col(name).cast("timestamp"))
+                        .alias(name))
+        elif kind == "float":
+            cols.append(F.col(name).cast("double").alias(name))
+        elif kind == "int":
+            cols.append(F.col(name).cast("long").alias(name))
+        else:
+            cols.append(F.col(name))
+    rows = (docs.where(F.col(id_col).isin(list(doc_ids)))
+            .select(*cols).collect())
+    out: dict = {}
+    for r in rows:
+        d = {}
+        for name in fields:
+            v = r[name]
+            d[name] = (None if v is None
+                       else iso_ms(int(v)) if kinds[name] == "ms" else v)
+        out[r["__id"]] = d
+    return out
+
+
 def doc_values_frame(spark: SparkSession, index_dir: str) -> DataFrame:
     """The sidecar as a DataFrame (doc_id + stored columns) — handy for
     tests and for Spark-side joins against serving-era artifacts."""

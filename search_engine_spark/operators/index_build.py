@@ -100,6 +100,11 @@ class IndexConfig:
     #: one — e.g. 'whitespace' to index non-ASCII scripts that the
     #: ASCII-\w standard chain would space out, Tokenizer.ts:176-192)
     analyzers: dict = dc_field(default_factory=dict)
+    #: keyword fields auto-faceted on every search response when set
+    #: (the reference's options.facetFields -> FacetEngine,
+    #: SearchEngine.ts:76-101, calculated over the matched doc set at
+    #: SearchEngine.ts:629-634)
+    facet_fields: tuple = ()
 
     def __post_init__(self):
         # explicit-mappings validation (FieldType.ts whitelist): a typo'd
@@ -480,6 +485,7 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "stem_lang": config.stem_lang,
         "stem_lang_col": config.stem_lang_col,
         "analyzers": config.analyzers,
+        "facet_fields": list(config.facet_fields or []),
         "bucket_fn": BUCKET_FN,
         "build_seconds": elapsed,
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
@@ -634,6 +640,7 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         "stem_lang": config.stem_lang,
         "stem_lang_col": config.stem_lang_col,
         "analyzers": config.analyzers,
+        "facet_fields": list(config.facet_fields or []),
         "bucket_fn": BUCKET_FN,
         "n_chunks": n_chunks, "build_seconds": time.time() - t0,
     }

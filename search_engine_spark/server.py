@@ -86,10 +86,12 @@ class SearchService:
 
     def create_index(self, name: str, docs_path: str,
                      fields: dict | None = None,
-                     id_col: str = "doc_id", overwrite: bool = False) -> dict:
+                     id_col: str = "doc_id", overwrite: bool = False,
+                     facet_fields: list | None = None) -> dict:
         docs = self.spark.read.parquet(docs_path)
         cfg = IndexConfig(id_col=id_col,
-                          fields=fields or {"text": "text"})
+                          fields=fields or {"text": "text"},
+                          facet_fields=tuple(facet_fields or ()))
         meta = self.catalog.create_index(name, docs, cfg,
                                          overwrite=overwrite)
         self._docs[name] = docs
@@ -114,20 +116,32 @@ class SearchService:
         # doc-values sidecar (serving.can_aggregate). Anything else — and
         # any index without a FRESH snapshot — falls through to the Spark
         # plan below.
+        cfg = self._index_config(name)
+        facet_fields = list(cfg.facet_fields or ())
         if isinstance(query, dict):
             srv = self._serving(name)
             agg_cfg = opts["aggregations"]
-            if srv is not None and (not agg_cfg or
-                                    srv.can_aggregate(agg_cfg)):
+            if srv is not None and \
+                    (not agg_cfg or srv.can_aggregate(agg_cfg)) and \
+                    (not facet_fields or srv.can_facet(facet_fields)):
                 try:
-                    if agg_cfg:
-                        pairs, total, fast_aggs = srv.search_with_aggs(
-                            query, agg_cfg,
-                            k=opts["size"], from_=opts["from"])
+                    if agg_cfg or facet_fields:
+                        r = srv.serve(query, k=opts["size"],
+                                      from_=opts["from"],
+                                      aggs=agg_cfg or None,
+                                      facet_fields=facet_fields or None)
+                        pairs, total = r["pairs"], r["total"]
+                        fast_aggs, fast_facets = (r["aggregations"],
+                                                  r["facets"])
                     else:
                         pairs, total = srv.search_with_total(
                             query, k=opts["size"], from_=opts["from"])
-                        fast_aggs = {}
+                        fast_aggs, fast_facets = {}, {}
+                    # stored-document enrichment stays INSIDE the guarded
+                    # block: a sidecar mid-rewrite must fall back to
+                    # Spark, not 500
+                    if pairs is not None:
+                        stored = srv.enrich([d for d, _ in pairs])
                 except ValueError as e:
                     if "serving surface" in str(e):
                         pairs = None  # docs-table op — expected fallback
@@ -148,12 +162,15 @@ class SearchService:
                 if pairs is not None:
                     self._queries += 1
                     self._served_fast += 1
+                    # hits carry the stored document like the reference
+                    # (SearchEngine.ts:619-627 spreads docData into each
+                    # hit) — gathered from the doc-values sidecar above
                     return {
-                        "hits": [{"doc_id": d, "score": s}
-                                 for d, s in pairs],
+                        "hits": [{**fl, "doc_id": d, "score": s}
+                                 for (d, s), fl in zip(pairs, stored)],
                         "total": total,
                         "from": opts["from"], "size": opts["size"],
-                        "aggregations": fast_aggs, "facets": {},
+                        "aggregations": fast_aggs, "facets": fast_facets,
                         "_performance": {
                             "queryTime":
                                 f"{round((time.time() - t0) * 1000)}ms",
@@ -171,9 +188,8 @@ class SearchService:
             total = scored.count()
             top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
                    .offset(opts["from"]).limit(opts["size"]))
-            hits = [{"doc_id": r["doc_id"], "score": r["score"]}
-                    for r in top.collect()]
-            aggregations = {}
+            pairs = [(r["doc_id"], r["score"]) for r in top.collect()]
+            aggregations, facets = {}, {}
             if opts["aggregations"]:
                 # the reference computes every agg over the MATCHED set
                 # (SearchEngine.ts:541-560) — the persisted scored frame
@@ -182,15 +198,28 @@ class SearchService:
                 from .operators.agg_compile import compile_aggregations
                 aggregations = compile_aggregations(
                     opts["aggregations"], docs, scored.select("doc_id"),
-                    id_col=self._index_config(name).id_col,
+                    id_col=cfg.id_col,
                     tombstones=self._tombstones_frame(name))
+            if facet_fields:
+                from .operators.agg_compile import compile_facets
+                facets = compile_facets(facet_fields, docs,
+                                        scored.select("doc_id"),
+                                        id_col=cfg.id_col)
         finally:
             scored.unpersist()
+        # stored-document enrichment (SearchEngine.ts:619-627): the same
+        # scalar columns the sidecar carries, pulled from the docs table
+        # with a pushed-down IN over the page's ids
+        from .operators.doc_values import enrich_rows, servable_fields
+        stored = enrich_rows(docs, cfg.id_col, [d for d, _ in pairs],
+                             servable_fields(docs, cfg.id_col))
+        hits = [{**stored.get(d, {}), "doc_id": d, "score": s}
+                for d, s in pairs]
         self._queries += 1
         return {
             "hits": hits, "total": total,
             "from": opts["from"], "size": opts["size"],
-            "aggregations": aggregations, "facets": {},
+            "aggregations": aggregations, "facets": facets,
             "_performance": {
                 "queryTime": f"{round((time.time() - t0) * 1000)}ms",
             },
@@ -241,7 +270,9 @@ class SearchService:
                            positions=meta["positions"],
                            stem_lang=meta.get("stem_lang"),
                            stem_lang_col=meta.get("stem_lang_col", "lang"),
-                           analyzers=meta.get("analyzers") or {})
+                           analyzers=meta.get("analyzers") or {},
+                           facet_fields=tuple(meta.get("facet_fields")
+                                              or ()))
 
     def add_documents(self, name: str, documents: list) -> dict:
         """LSM append (server.ts:353-385): id-dedup against the current
@@ -288,18 +319,18 @@ class SearchService:
             try:
                 idx = load_index(self.spark, ixdir)
                 metrics = write_blocks(idx, ixdir)
-                # doc-values sidecar: the scalar metadata columns serving
-                # needs to answer aggregations without a Spark job. Same
-                # run lineage as the blocks → same freshness horizon.
+                # doc-values sidecar: every scalar column — keyword/
+                # numeric/date metadata for serving-side aggregations AND
+                # the text bodies for hit enrichment (the reference's RAM
+                # doc store holds full documents; columns load lazily at
+                # serve time, so an agg on `lang` never pays for `text`).
+                # Same run lineage as the blocks → same freshness horizon.
                 docs = self._docs.get(name)
                 if docs is not None:
                     from .operators.doc_values import (servable_fields,
                                                        write_doc_values)
                     cfg = self._index_config(name)
-                    fields = servable_fields(
-                        docs, cfg.id_col,
-                        exclude=tuple(k for k, t in cfg.fields.items()
-                                      if t == "text"))
+                    fields = servable_fields(docs, cfg.id_col)
                     if fields:
                         dv = write_doc_values(
                             docs, ixdir, fields, id_col=cfg.id_col,
@@ -392,7 +423,8 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                         b["indexName"], b["docsPath"],
                         fields=b.get("fields"),
                         id_col=b.get("idCol", "doc_id"),
-                        overwrite=bool(b.get("overwrite")))
+                        overwrite=bool(b.get("overwrite")),
+                        facet_fields=b.get("facetFields"))
                     self._json(200, {"indexName": b["indexName"],
                                      "meta": meta})
                 elif self.path.startswith("/index/"):

@@ -99,6 +99,51 @@ def _masked_add(scores: np.ndarray, acc: np.ndarray,
     scores[m] += s[i[m]]
 
 
+class _DVColumns:
+    """Lazy column store over the doc-values sidecar: ``cols[name]`` →
+    (kind, values, notnull mask) numpy triple, loaded (and permuted into
+    doc_id order) on first touch only — str → object, int/ms → int64,
+    float → float64 (NaN-masked), bool → bool_."""
+
+    def __init__(self, ds, kinds: dict, order: np.ndarray):
+        self._ds, self._kinds, self._order = ds, kinds, order
+        self._loaded: dict = {}
+
+    def kind(self, name: str) -> str | None:
+        return self._kinds.get(name)
+
+    def names(self) -> list:
+        return list(self._kinds)
+
+    def get(self, name: str):
+        return self[name] if name in self._kinds else None
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._kinds
+
+    def __getitem__(self, name: str):
+        hit = self._loaded.get(name)
+        if hit is not None:
+            return hit
+        kind = self._kinds[name]
+        arr = self._ds.to_table(columns=[name]).column(name) \
+            .combine_chunks()
+        mask = ~np.asarray(arr.is_null(), dtype=bool)[self._order]
+        if kind in ("int", "ms"):
+            vals = np.asarray(arr.fill_null(0),
+                              dtype=np.int64)[self._order]
+        elif kind == "float":
+            vals = np.asarray(arr.fill_null(float("nan")),
+                              dtype=np.float64)[self._order]
+        elif kind == "bool":
+            vals = np.asarray(arr.fill_null(False),
+                              dtype=bool)[self._order]
+        else:
+            vals = np.asarray(arr.to_pandas(), dtype=object)[self._order]
+        self._loaded[name] = (kind, vals, mask)
+        return self._loaded[name]
+
+
 class ServingIndex:
     """Millisecond BM25 top-k over a persisted index's block table."""
 
@@ -885,20 +930,7 @@ class ServingIndex:
                     return list(hit[0]), hit[1]
         cand, score_terms = self._compile(query)
         total = int(cand.size)
-        if cand.size == 0:
-            out = []
-        else:
-            scores = np.zeros(cand.size, dtype=np.float64)
-            for f, t in sorted(set(score_terms)):
-                docs, tfs, dls = self.postings(f, t)
-                if docs.size == 0:
-                    continue
-                idf = self._idf(docs.size)
-                s = np.maximum(0.0, 1.0 * idf
-                               * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-                _masked_add(scores, cand, docs, s)
-            order = _topk_order(cand, scores, from_ + k)[from_:]
-            out = [(int(cand[i]), float(scores[i])) for i in order]
+        out = self._score_pairs(cand, score_terms, k, from_)
         if ck is not None:
             self._cache_put(self._result_cache, ck, (list(out), total),
                             self.cache_results)
@@ -907,12 +939,12 @@ class ServingIndex:
     # -- aggregations over the doc-values sidecar ---------------------------
 
     def _doc_values(self):
-        """(sorted doc ids, {field: (kind, values, notnull mask)}) from the
-        doc_values sidecar, loaded once; None when the sidecar is absent or
-        STALE (LSM runs appended after it was written — aggregating over it
-        would silently undercount; callers fall back to the Spark path).
-        Values are numpy: str → object array, int/ms → int64, float →
-        float64 (NaN-masked), bool → bool_."""
+        """(sorted doc ids, lazy column store) from the doc_values sidecar;
+        None when the sidecar is absent or STALE (LSM runs appended after
+        it was written — aggregating over it would silently undercount;
+        callers fall back to the Spark path). Columns load one at a time
+        on first touch (the sidecar may carry full text bodies for hit
+        enrichment — an agg on `lang` must not pay to load them)."""
         dv = getattr(self, "_dv", None)
         if dv is not None:
             return dv if dv != () else None
@@ -926,27 +958,11 @@ class ServingIndex:
             self._dv = ()
             return None
         import pyarrow.dataset as pads
-        table = pads.dataset(path, format="parquet").to_table()
-        ids = np.asarray(table.column("doc_id"), dtype=np.int64)
+        ds = pads.dataset(path, format="parquet")
+        ids = np.asarray(ds.to_table(columns=["doc_id"]).column("doc_id"),
+                         dtype=np.int64)
         order = np.argsort(ids, kind="stable")  # slices arrive per-file
-        ids = ids[order]
-        cols: dict = {}
-        for name, kind in meta["fields"].items():
-            if name not in table.column_names:
-                continue
-            arr = table.column(name).combine_chunks()
-            mask = ~np.asarray(arr.is_null(), dtype=bool)[order]
-            if kind in ("int", "ms"):
-                vals = np.asarray(arr.fill_null(0), dtype=np.int64)[order]
-            elif kind == "float":
-                vals = np.asarray(arr.fill_null(float("nan")),
-                                  dtype=np.float64)[order]
-            elif kind == "bool":
-                vals = np.asarray(arr.fill_null(False), dtype=bool)[order]
-            else:
-                vals = np.asarray(arr.to_pandas(), dtype=object)[order]
-            cols[name] = (kind, vals, mask)
-        self._dv = (ids, cols)
+        self._dv = (ids[order], _DVColumns(ds, meta["fields"], order))
         return self._dv
 
     def can_aggregate(self, aggs: dict) -> bool:
@@ -961,8 +977,8 @@ class ServingIndex:
             return False
         _, cols = dv
         for field, need in dv_requirements(aggs):
-            got = cols.get(field)
-            if got is None or got[0] not in DV_KINDS_FOR[need]:
+            kind = cols.kind(field)
+            if kind is None or kind not in DV_KINDS_FOR[need]:
                 return False
         return True
 
@@ -1113,26 +1129,108 @@ class ServingIndex:
             return ok
         return np.ones(rows.size, dtype=bool)
 
+    def enrich(self, doc_ids: list, fields: list | None = None) -> list:
+        """JSON-safe stored-field dicts for hit docs, gathered from the
+        sidecar (the reference spreads the stored document into each hit,
+        SearchEngine.ts:619-627). Timestamps render as ISO-8601 ms (the
+        same formatter the agg paths share), missing docs/fields → None.
+        Returns empty dicts when no fresh sidecar exists — the HTTP layer
+        then serves bare (doc_id, score) hits."""
+        dv = self._doc_values()
+        if dv is None or not doc_ids:
+            return [{} for _ in doc_ids]
+        ids, cols = dv
+        from .operators.agg_compile import iso_ms
+        q = np.asarray(doc_ids, dtype=np.int64)
+        i = np.searchsorted(ids, q)
+        i[i == ids.size] = 0
+        ok = ids[i] == q
+        out = [{} for _ in doc_ids]
+        for name in (fields or cols.names()):
+            got = cols.get(name)
+            if got is None:
+                continue
+            kind, vals, mask = got
+            for j in range(q.size):
+                if not ok[j] or not mask[i[j]]:
+                    out[j][name] = None
+                    continue
+                v = vals[i[j]]
+                out[j][name] = (iso_ms(int(v)) if kind == "ms"
+                                else bool(v) if kind == "bool"
+                                else int(v) if kind == "int"
+                                else float(v) if kind == "float" else v)
+        return out
+
+    def stored_fields(self) -> list:
+        """Sidecar column names (empty when absent/stale)."""
+        dv = self._doc_values()
+        return dv[1].names() if dv else []
+
+    def can_facet(self, fields: list) -> bool:
+        dv = self._doc_values()
+        if dv is None:
+            return False
+        return all(dv[1].kind(f) in ("str", "int", "bool")
+                   for f in fields)
+
+    def facets(self, fields: list, doc_ids: np.ndarray | None) -> dict:
+        """FacetEngine.calculate twin (FacetEngine.ts:124-136):
+        {field: {value: count}} over the matched doc set — every value
+        with a nonzero count, like the reference (no size cap)."""
+        from .operators.agg_compile import key_str
+        rows = self._dv_gather(doc_ids)
+        _, cols = self._doc_values()
+        out: dict = {}
+        for f in fields:
+            got = cols.get(f)
+            if got is None:
+                out[f] = {}
+                continue
+            _, vals, mask = got
+            v = vals[rows][mask[rows]]
+            uniq, cnt = np.unique(v, return_counts=True)
+            out[f] = {key_str(k): int(c)
+                      for k, c in zip(uniq.tolist(), cnt.tolist())}
+        return out
+
     def search_with_aggs(self, query: dict, aggs: dict, k: int = 10,
                          from_: int = 0) -> tuple:
         """(ranked pairs, total, aggregations) from ONE compile — the
         matched candidate set feeds both the scorer and every agg scope
         (the reference's QueryEngine computes aggs over the same matched
         set it ranks, SearchEngine.ts:541-560)."""
+        r = self.serve(query, k=k, from_=from_, aggs=aggs)
+        return r["pairs"], r["total"], r["aggregations"]
+
+    def _score_pairs(self, cand: np.ndarray, score_terms: list,
+                     k: int, from_: int) -> list:
+        if not cand.size:
+            return []
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for f, t in sorted(set(score_terms)):
+            docs, tfs, dls = self.postings(f, t)
+            if docs.size == 0:
+                continue
+            idf = self._idf(docs.size)
+            s = np.maximum(0.0, 1.0 * idf
+                           * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
+            _masked_add(scores, cand, docs, s)
+        order = _topk_order(cand, scores, from_ + k)[from_:]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def serve(self, query: dict, k: int = 10, from_: int = 0,
+              aggs: dict | None = None,
+              facet_fields: list | None = None) -> dict:
+        """One-compile full response: ranked pairs, total, aggregations,
+        and facets all computed from the SAME matched candidate set —
+        the reference's request flow (SearchEngine.ts:541-650)."""
         cand, score_terms = self._compile(query)
-        total = int(cand.size)
-        out = []
-        if cand.size:
-            scores = np.zeros(cand.size, dtype=np.float64)
-            for f, t in sorted(set(score_terms)):
-                docs, tfs, dls = self.postings(f, t)
-                if docs.size == 0:
-                    continue
-                idf = self._idf(docs.size)
-                s = np.maximum(0.0, 1.0 * idf
-                               * bm25_qnorm(tfs, dls, self.avg_dl, K1, B))
-                _masked_add(scores, cand, docs, s)
-            order = _topk_order(cand, scores, from_ + k)[from_:]
-            out = [(int(cand[i]), float(scores[i])) for i in order]
-        return out, total, self.aggregate(aggs, cand if cand.size else
-                                          np.zeros(0, dtype=np.int64))
+        resp = {"pairs": self._score_pairs(cand, score_terms, k, from_),
+                "total": int(cand.size),
+                "aggregations": {}, "facets": {}}
+        if aggs:
+            resp["aggregations"] = self.aggregate(aggs, cand)
+        if facet_fields:
+            resp["facets"] = self.facets(facet_fields, cand)
+        return resp

@@ -128,3 +128,34 @@ def test_aggregations_fast_path_matches_spark(served):
     assert code == 200 and "servedBy" not in res["_performance"]
     assert sum(b["doc_count"] for b in
                res["aggregations"]["langs"]["buckets"]) == res["total"]
+
+
+def test_facets_and_enriched_hits_parity(served):
+    """facetFields at index creation → every response carries
+    {field: {value: count}} facets over the matched set
+    (FacetEngine.calculate, SearchEngine.ts:629-634), and hits spread the
+    stored document (SearchEngine.ts:619-627) — identical on the Spark
+    path and the snapshot fast path."""
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webfac", "docsPath": pages_dir,
+                            "fields": {"text": "text"},
+                            "facetFields": ["lang"]})
+    body = {"query": {"match": {"field": "text", "value": "za"}},
+            "size": 4}
+    code, spark_res = _post(base + "/search/webfac", body)
+    assert code == 200 and "servedBy" not in spark_res["_performance"]
+    # facets: every matched lang with its count, no size cap
+    assert sum(spark_res["facets"]["lang"].values()) == spark_res["total"]
+    # hits carry the stored document (scalar columns + text body)
+    h0 = spark_res["hits"][0]
+    assert {"doc_id", "score", "lang", "url", "warc_ts", "text"} <= set(h0)
+    assert h0["warc_ts"].endswith("Z") and "T" in h0["warc_ts"]
+
+    code, _ = _post(base + "/index/webfac/snapshot", {})
+    assert code == 200
+    code, fast_res = _post(base + "/search/webfac", body)
+    assert code == 200
+    assert fast_res["_performance"].get("servedBy") == "blocks"
+    assert fast_res["hits"] == spark_res["hits"]
+    assert fast_res["facets"] == spark_res["facets"]
+    assert fast_res["total"] == spark_res["total"]
