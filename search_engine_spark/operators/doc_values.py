@@ -46,13 +46,37 @@ def servable_fields(docs: DataFrame, id_col: str,
     """Scalar columns worth carrying in the sidecar — every servable-typed
     top-level column except the id and the indexed text bodies (callers
     pass the text-typed columns of IndexConfig.fields via ``exclude``;
-    keyword/email/url/phone columns stay — they're the terms-agg fields)."""
+    keyword/email/url/phone columns stay — they're the terms-agg fields).
+    One-level STRUCT scalar leaves ride along as dotted names
+    ('location.lat') so serving can answer geo_distance / struct-field
+    range / exists and struct-leaf terms aggs; deeper nesting, arrays, and
+    binaries stay Spark-side."""
     out = []
-    for name, dtype in docs.dtypes:
+    for f in docs.schema.fields:
+        name, dtype = f.name, f.dataType.simpleString()
         if name == id_col or name in exclude:
             continue
         if dtype.startswith(_SERVABLE_TYPES):
             out.append(name)
+        elif dtype.startswith("struct"):
+            for leaf in f.dataType.fields:
+                if leaf.dataType.simpleString().startswith(_SERVABLE_TYPES):
+                    out.append(f"{name}.{leaf.name}")
+    return out
+
+
+def field_types(docs: DataFrame, fields: list) -> dict:
+    """{field: spark dtype simpleString} resolving one-level dotted
+    struct-leaf names against the schema."""
+    flat = {f.name: f.dataType for f in docs.schema.fields}
+    out = {}
+    for name in fields:
+        if name in flat:
+            out[name] = flat[name].simpleString()
+            continue
+        parent, _, leaf = name.partition(".")
+        sub = {x.name: x.dataType for x in flat[parent].fields}
+        out[name] = sub[leaf].simpleString()
     return out
 
 
@@ -77,7 +101,7 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
     single argsort over file order (or map id ranges to serving shards)."""
     kinds = {}
     cols = [F.col(id_col).cast("long").alias("doc_id")]
-    for name, dtype in docs.select(*fields).dtypes:
+    for name, dtype in field_types(docs, fields).items():
         kind = _dv_kind(dtype)
         kinds[name] = kind
         if kind == "ms":
@@ -88,7 +112,7 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
         elif kind == "int":
             cols.append(F.col(name).cast("long").alias(name))
         else:
-            cols.append(F.col(name))
+            cols.append(F.col(name).alias(name))
     path = os.path.join(index_dir, DOC_VALUES)
     (docs.select(*cols)
          .repartitionByRange(max(1, int(n_files)), "doc_id")
@@ -134,7 +158,7 @@ def enrich_rows(docs: DataFrame, id_col: str, doc_ids: list,
     from .agg_compile import iso_ms
     kinds = {}
     cols = [F.col(id_col).cast("long").alias("__id")]
-    for name, dtype in docs.select(*fields).dtypes:
+    for name, dtype in field_types(docs, fields).items():
         kind = _dv_kind(dtype)
         kinds[name] = kind
         if kind == "ms":
@@ -145,7 +169,7 @@ def enrich_rows(docs: DataFrame, id_col: str, doc_ids: list,
         elif kind == "int":
             cols.append(F.col(name).cast("long").alias(name))
         else:
-            cols.append(F.col(name))
+            cols.append(F.col(name).alias(name))
     rows = (docs.where(F.col(id_col).isin(list(doc_ids)))
             .select(*cols).collect())
     out: dict = {}

@@ -288,13 +288,27 @@ class SparkSearchEngine:
                 # schema) = no match, the reference's builder semantics —
                 # never an AnalysisException at query time
                 return self._empty()
-            cand = (self.docs.where(F.col(f).isNotNull())
-                    .select(F.col(self.id_col).alias("doc_id")))
+            cand = self._live(self.docs.where(F.col(f).isNotNull())
+                              .select(F.col(self.id_col).alias("doc_id")))
             return _Node(cand, [])
         return self._empty()
 
     def _empty(self) -> _Node:
         return _Node(self._all_docs.where(F.lit(False)), [])
+
+    def _live(self, cand: DataFrame) -> DataFrame:
+        """Docs-table candidates minus tombstones. Postings-resident
+        operators inherit delete filtering from the merge-on-read index
+        view (load_index_with_deletes), but range/geo/exists scan the RAW
+        docs table — without this anti-join a deleted doc would keep
+        matching pure docs-table queries (the reference physically removes
+        docs, SearchEngine.ts:270-287). Broadcast (tombstones are bounded
+        small); no-op when the index has no delete state."""
+        tomb = getattr(self.index, "tombstones", None)
+        if tomb is None:
+            return cand
+        return cand.join(F.broadcast(tomb.select("doc_id").distinct()),
+                         "doc_id", "anti")
 
     @staticmethod
     def _leaf_args(body: dict):
@@ -500,8 +514,8 @@ class SparkSearchEngine:
             pred = pred & (col <= F.lit(body["lte"]))
         if "lt" in body:
             pred = pred & (col < F.lit(body["lt"]))
-        cand = self.docs.where(pred).select(
-            F.col(self.id_col).alias("doc_id"))
+        cand = self._live(self.docs.where(pred).select(
+            F.col(self.id_col).alias("doc_id")))
         return _Node(cand, [])
 
     def _geo(self, body: dict) -> _Node:
@@ -509,25 +523,10 @@ class SparkSearchEngine:
         numeric distance = km; '5km'/'500m' strings; center {lat,lon} or
         [a,b] with the range heuristic."""
         field = body.get("field")
-        dist = body.get("distance")
-        center = body.get("location") or body.get("center")
-        if field is None or dist is None or center is None:
+        params = geo_params(body)
+        if field is None or params is None:
             return self._empty()
-        if isinstance(dist, (int, float)):
-            meters = float(dist) * 1000.0
-        else:
-            s = str(dist).strip().lower()
-            if s.endswith("km"):
-                meters = float(s[:-2]) * 1000.0
-            elif s.endswith("m"):
-                meters = float(s[:-1])
-            else:
-                meters = float(s) * 1000.0
-        if isinstance(center, (list, tuple)):
-            a, bb = center[0], center[1]
-            clat, clon = (a, bb) if abs(a) <= 90 and abs(bb) <= 180 else (bb, a)
-        else:
-            clat, clon = center["lat"], center["lon"]
+        clat, clon, meters = params
 
         dtype = dict(self.docs.dtypes).get(field, "")
         if dtype.startswith("array"):
@@ -535,8 +534,9 @@ class SparkSearchEngine:
         else:
             lat, lon = F.col(f"{field}.lat"), F.col(f"{field}.lon")
         dist_m = _haversine_m(F.lit(float(clat)), F.lit(float(clon)), lat, lon)
-        cand = (self.docs.where(lat.isNotNull() & (dist_m <= F.lit(meters)))
-                .select(F.col(self.id_col).alias("doc_id")))
+        cand = self._live(
+            self.docs.where(lat.isNotNull() & (dist_m <= F.lit(meters)))
+            .select(F.col(self.id_col).alias("doc_id")))
         return _Node(cand, [])
 
     def _phrase(self, body: dict, scoring: bool) -> _Node:
@@ -721,6 +721,34 @@ def _schema_has_path(schema, path: str) -> bool:
             return False
         cur = cur[part].dataType
     return True
+
+
+def geo_params(body: dict):
+    """(center_lat, center_lon, meters) from a geo_distance body, or None
+    when distance/center are missing — numeric distance = km, '5km'/'500m'
+    strings, center as {lat,lon} or [a,b] with the range heuristic
+    (QueryProcessor.ts:437-527). Shared by the Spark plan and the serving
+    twin so both parse requests identically."""
+    dist = body.get("distance")
+    center = body.get("location") or body.get("center")
+    if dist is None or center is None:
+        return None
+    if isinstance(dist, (int, float)):
+        meters = float(dist) * 1000.0
+    else:
+        s = str(dist).strip().lower()
+        if s.endswith("km"):
+            meters = float(s[:-2]) * 1000.0
+        elif s.endswith("m"):
+            meters = float(s[:-1])
+        else:
+            meters = float(s) * 1000.0
+    if isinstance(center, (list, tuple)):
+        a, bb = center[0], center[1]
+        clat, clon = (a, bb) if abs(a) <= 90 and abs(bb) <= 180 else (bb, a)
+    else:
+        clat, clon = center["lat"], center["lon"]
+    return float(clat), float(clon), meters
 
 
 def _haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:

@@ -212,7 +212,8 @@ class SearchService:
         # with a pushed-down IN over the page's ids
         from .operators.doc_values import enrich_rows, servable_fields
         stored = enrich_rows(docs, cfg.id_col, [d for d, _ in pairs],
-                             servable_fields(docs, cfg.id_col))
+                             [f for f in servable_fields(docs, cfg.id_col)
+                              if "." not in f])
         hits = [{**stored.get(d, {}), "doc_id": d, "score": s}
                 for d, s in pairs]
         self._queries += 1

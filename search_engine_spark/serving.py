@@ -837,12 +837,118 @@ class ServingIndex:
             tokens = self._stem_query_tokens(standard(str(v)))
             pairs = [(fld, t) for fld in self._fields_for(f) for t in tokens]
             return np.asarray(members, dtype=np.int64), pairs
+        if "range" in q:
+            return self._dv_range_docs(q["range"]), []
+        if "exists" in q:
+            return self._dv_exists_docs(q["exists"]), []
+        if "geo_distance" in q:
+            return self._dv_geo_docs(q["geo_distance"]), []
         if "bool" in q:
             return self._bool(q["bool"])
         raise ValueError(
             f"operator {sorted(q)} is not in the serving surface — "
-            "range/geo/exists/nested (docs-table operators) run on the "
-            "Spark DSL path")
+            "nested (and any docs-table operator whose field is not in "
+            "the doc-values sidecar) runs on the Spark DSL path")
+
+    # -- docs-table operators over the sidecar ------------------------------
+
+    def _dv_field(self, field: str, where: str):
+        """(kind, values, notnull mask) for a docs-table predicate — raises
+        the fallback ValueError when there is no fresh sidecar or the
+        field is not carried (struct/array/binary or never written)."""
+        dv = self._doc_values()
+        if dv is None:
+            raise ValueError(
+                f"{where}: not in the serving surface — no fresh "
+                "doc-values sidecar (write_doc_values at snapshot time); "
+                "runs on the Spark DSL path")
+        if field == self._dv_id_col:
+            # the id column itself (range/exists over doc ids): the sorted
+            # id array IS its own doc-values column, never null
+            ids = dv[0]
+            return ("int", ids, np.ones(ids.size, dtype=bool))
+        got = dv[1].get(field)
+        if got is None:
+            raise ValueError(
+                f"{where}: field {field!r} is not in the serving surface "
+                "(not carried by the doc-values sidecar); runs on the "
+                "Spark DSL path")
+        return got
+
+    def _dv_docs_where(self, final_mask: np.ndarray) -> np.ndarray:
+        """Sidecar rows → LIVE candidate doc ids (sorted): intersect with
+        the tombstone-filtered doc registry, mirroring the Spark plan's
+        _live() anti-join."""
+        ids, _ = self._doc_values()
+        return np.intersect1d(ids[final_mask], self._all_doc_ids(),
+                              assume_unique=True)
+
+    def _dv_range_docs(self, body: dict) -> np.ndarray:
+        """range twin of dsl._range: gte/gt/lte/lt over a sidecar column.
+        int/float/str kinds only — timestamp bounds involve Spark's
+        string→timestamp coercion rules, so those stay on the Spark
+        path."""
+        field = body.get("field")
+        if not field:
+            return np.zeros(0, dtype=np.int64)
+        kind, vals, mask = self._dv_field(field, "range")
+        if kind not in ("int", "float", "str"):
+            raise ValueError(
+                f"range: {field!r} has kind {kind!r} — not in the serving "
+                "surface; runs on the Spark DSL path")
+        rows = np.flatnonzero(mask)
+        v = vals[rows]
+        sel = np.ones(rows.size, dtype=bool)
+        try:
+            if "gte" in body:
+                sel &= v >= body["gte"]
+            if "gt" in body:
+                sel &= v > body["gt"]
+            if "lte" in body:
+                sel &= v <= body["lte"]
+            if "lt" in body:
+                sel &= v < body["lt"]
+        except TypeError:
+            # incomparable bound type (e.g. string bound on numbers) —
+            # Spark would raise an analysis-time cast too; match _empty
+            return np.zeros(0, dtype=np.int64)
+        out = np.zeros(vals.size, dtype=bool)
+        out[rows[sel]] = True
+        return self._dv_docs_where(out)
+
+    def _dv_exists_docs(self, body: dict) -> np.ndarray:
+        field = body.get("field")
+        if not field:
+            return np.zeros(0, dtype=np.int64)
+        _, _, mask = self._dv_field(str(field), "exists")
+        return self._dv_docs_where(mask)
+
+    def _dv_geo_docs(self, body: dict) -> np.ndarray:
+        """geo_distance twin of dsl._geo: numpy haversine (R=6371e3 m)
+        over the struct's lat/lon leaves carried as dotted sidecar
+        columns. Caveat: libm vs JVM trig may differ by 1 ulp, so a doc
+        EXACTLY on the distance boundary could differ from the Spark
+        plan — the same envelope as serving-vs-Spark score parity."""
+        from .plans.dsl import geo_params
+        field = body.get("field")
+        params = geo_params(body)
+        if field is None or params is None:
+            return np.zeros(0, dtype=np.int64)
+        clat, clon, meters = params
+        _, lat, mlat = self._dv_field(f"{field}.lat", "geo_distance")
+        _, lon, mlon = self._dv_field(f"{field}.lon", "geo_distance")
+        rows = np.flatnonzero(mlat & mlon)
+        phi1 = math.radians(clat)
+        phi2 = np.radians(lat[rows])
+        dphi = np.radians(lat[rows] - clat)
+        dlmb = np.radians(lon[rows] - clon)
+        a = (np.sin(dphi / 2) * np.sin(dphi / 2)
+             + math.cos(phi1) * np.cos(phi2)
+             * np.sin(dlmb / 2) * np.sin(dlmb / 2))
+        dist = 6371e3 * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+        out = np.zeros(lat.size, dtype=bool)
+        out[rows[dist <= meters]] = True
+        return self._dv_docs_where(out)
 
     def _bool(self, bq: dict):
         empty = np.zeros(0, dtype=np.int64)
@@ -962,6 +1068,7 @@ class ServingIndex:
         ids = np.asarray(ds.to_table(columns=["doc_id"]).column("doc_id"),
                          dtype=np.int64)
         order = np.argsort(ids, kind="stable")  # slices arrive per-file
+        self._dv_id_col = meta.get("id_col", "doc_id")
         self._dv = (ids[order], _DVColumns(ds, meta["fields"], order))
         return self._dv
 
@@ -1146,7 +1253,9 @@ class ServingIndex:
         i[i == ids.size] = 0
         ok = ids[i] == q
         out = [{} for _ in doc_ids]
-        for name in (fields or cols.names()):
+        # default: top-level scalars only (dotted struct leaves exist for
+        # geo/range/aggs, not for spreading flattened keys into hits)
+        for name in (fields or [n for n in cols.names() if "." not in n]):
             got = cols.get(name)
             if got is None:
                 continue

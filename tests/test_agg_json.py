@@ -45,11 +45,15 @@ def _row(i: int) -> dict:
         "qty": i % 13,
         "flag": i % 2 == 0,
         "ts": EPOCH + dt.timedelta(hours=5 * i),
+        "location": ({"lat": 50.0 + (i % 7 - 3) * 0.3,
+                      "lon": 8.0 + (i % 5 - 2) * 0.4}
+                     if i % 13 else None),
     }
 
 
 SCHEMA = ("doc_id long, name string, content string, status string, "
-          "site string, price double, qty long, flag boolean, ts timestamp")
+          "site string, price double, qty long, flag boolean, ts timestamp, "
+          "location struct<lat: double, lon: double>")
 
 AGGS = {
     "sites": {"terms": {"field": "site", "size": 3}},
@@ -270,3 +274,91 @@ def test_doc_values_frame_roundtrip(setup, spark):
     want = docs.select("doc_id",
                        F.unix_millis(F.col("ts")).alias("ts"))
     assert (dv.select("doc_id", "ts").exceptAll(want).count() == 0)
+
+
+# -- docs-table operators served off the sidecar ---------------------------
+
+DOCS_QUERIES = [
+    {"range": {"field": "price", "gte": 20, "lt": 70}},
+    {"range": {"field": "qty", "gte": 5, "lte": 9}},
+    {"range": {"field": "site", "gte": "s2"}},     # str lexicographic
+    {"range": {"field": "doc_id", "gte": 30, "lt": 90}},  # the id column
+    {"exists": {"field": "doc_id"}},
+    {"exists": {"field": "price"}},
+    {"exists": {"field": "site"}},
+    {"exists": {"field": "location.lat"}},
+    {"geo_distance": {"field": "location", "distance": "120km",
+                      "location": {"lat": 50.0, "lon": 8.0}}},
+    {"geo_distance": {"field": "location", "distance": 45,
+                      "center": [50.0, 8.0]}},     # km number + list form
+    {"bool": {"must": [{"term": {"field": "status", "value": "active"}}],
+              "filter": [{"range": {"field": "qty", "lte": 6}}]}},
+    {"bool": {"should": [{"range": {"field": "price", "gte": 90}},
+                         {"term": {"field": "site", "value": "s1"}}]}},
+    {"bool": {"must": [{"exists": {"field": "site"}}],
+              "must_not": [{"range": {"field": "qty", "lt": 3}}]}},
+]
+
+
+@pytest.mark.parametrize("qi", range(len(DOCS_QUERIES)))
+def test_docs_table_ops_match_dsl(setup, qi):
+    """range/exists/geo_distance — the docs-table operators — served off
+    the doc-values sidecar, result-identical to the Spark DSL path, alone
+    and composed under bool."""
+    docs, eng, srv, _ = setup
+    q = DOCS_QUERIES[qi]
+    want = [(r["doc_id"], r["score"])
+            for r in eng.search(q, size=200).collect()]
+    got = srv.search(q, k=200, use_cache=False)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    assert want, q  # non-trivial
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12, abs=1e-15), (q, gd)
+
+
+def test_docs_table_fallbacks(setup):
+    _, _, srv, _ = setup
+    # timestamp range: Spark's string->timestamp coercion stays Spark-side
+    with pytest.raises(ValueError, match="serving surface"):
+        srv.search({"range": {"field": "ts", "gte": "2025-01-02"}}, k=5)
+    # field the sidecar does not carry
+    with pytest.raises(ValueError, match="serving surface"):
+        srv.search({"exists": {"field": "nope"}}, k=5)
+    # incomparable bound -> empty, like the Spark plan's cast failure
+    assert srv.search({"range": {"field": "site", "gte": 3}}, k=5,
+                      use_cache=False) == []
+
+
+def test_docs_table_ops_respect_deletes(spark, tmp_path):
+    """Tombstoned docs must stop matching PURE docs-table queries on both
+    paths (the reference physically removes docs; dsl._live anti-join /
+    serving _dv_docs_where intersection)."""
+    from search_engine_spark.operators.delete import (
+        delete_docs, load_index_with_deletes)
+    ixdir = str(tmp_path / "ix")
+    docs = spark.createDataFrame([_row(i) for i in range(40)], SCHEMA)
+    cfg = IndexConfig(id_col="doc_id",
+                      fields={"name": "text", "status": "keyword"},
+                      n_buckets=4)
+    write_index(docs, ixdir, cfg)
+    m = write_blocks(load_index(spark, ixdir), ixdir)
+    write_doc_values(docs, ixdir,
+                     servable_fields(docs, "doc_id",
+                                     exclude=("name", "content")),
+                     includes_runs=m["includes_runs"])
+    dead = [4, 9, 14]
+    delete_docs(spark, ixdir, dead)
+    eng = SparkSearchEngine(load_index_with_deletes(spark, ixdir), docs)
+    q = {"range": {"field": "qty", "gte": 0}}  # matches everything alive
+    spark_ids = [r["doc_id"] for r in eng.search(q, size=100).collect()]
+    assert spark_ids and not set(dead) & set(spark_ids)
+    srv = ServingIndex(ixdir)  # deletes bind at construction
+    got = [d for d, _ in srv.search(q, k=100)]
+    assert got == spark_ids
+    # exists + geo also exclude the tombstones
+    for q2 in ({"exists": {"field": "site"}},
+               {"geo_distance": {"field": "location", "distance": "500km",
+                                 "location": {"lat": 50.0, "lon": 8.0}}}):
+        w = [r["doc_id"] for r in eng.search(q2, size=100).collect()]
+        g = [d for d, _ in srv.search(q2, k=100)]
+        assert g == w and not set(dead) & set(g), q2

@@ -150,9 +150,16 @@ def test_suggest_matches_dsl(setup):
 
 
 def test_docs_table_ops_rejected(setup):
+    # docs-table operators need the doc-values sidecar (this fixture
+    # writes none) — they raise the fallback marker instead of silently
+    # returning empty (tests/test_agg_json.py covers the served case)
     _, srv = setup
     with pytest.raises(ValueError, match="serving surface"):
         srv.search({"range": {"field": "doc_id", "gte": 1}})
+    with pytest.raises(ValueError, match="serving surface"):
+        srv.search({"nested": {"path": "meta",
+                               "query": {"term": {"field": "meta.author",
+                                                  "value": "x"}}}})
 
 
 def test_stemmed_serving_search(spark, tmp_path):
