@@ -243,7 +243,11 @@ def _date_histogram(scoped: DataFrame, body: dict) -> dict:
     ims = DATE_INTERVALS_MS.get(str(body.get("interval")),
                                 DATE_INTERVALS_MS["1d"])
     ms = F.unix_millis(F.col(field).cast("timestamp"))
-    bucket = (F.floor(ms / F.lit(ims)) * F.lit(ims)).cast("long")
+    # EXACT integer bucket: ms - pmod(ms, ims) == floor(ms/ims)*ims in
+    # int64 (pmod is non-negative, so pre-1970 floors correctly too) —
+    # no double-division rounding anywhere, matching the serving twin's
+    # int64 floor-division bitwise by construction.
+    bucket = (ms - F.pmod(ms, F.lit(ims))).cast("long")
     rows = (scoped.where(ms.isNotNull())
             .groupBy(bucket.alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))

@@ -362,3 +362,22 @@ def test_docs_table_ops_respect_deletes(spark, tmp_path):
         w = [r["doc_id"] for r in eng.search(q2, size=100).collect()]
         g = [d for d, _ in srv.search(q2, k=100)]
         assert g == w and not set(dead) & set(g), q2
+
+
+def test_date_histogram_boundary_exact(spark):
+    """Bucket boundaries are exact integer math on both engines: an event
+    1 ms before midnight stays in the previous day; 1 ms after starts the
+    next (and pre-1970 floors toward -inf, not toward 0)."""
+    day = 86_400_000
+    rows = [(0, dt.datetime(2025, 3, 9, 23, 59, 59, 999000)),
+            (1, dt.datetime(2025, 3, 10, 0, 0, 0, 0)),
+            (2, dt.datetime(2025, 3, 10, 0, 0, 0, 1000)),
+            (3, dt.datetime(1969, 12, 31, 23, 0, 0, 0))]  # pre-epoch
+    docs = spark.createDataFrame(rows, "doc_id long, ts timestamp")
+    got = compile_aggregations(
+        {"d": {"date_histogram": {"field": "ts", "interval": "1d"}}},
+        docs, None)
+    keys = {b["key"]: b["doc_count"] for b in got["d"]["buckets"]}
+    assert keys == {"1969-12-31T00:00:00.000Z": 1,
+                    "2025-03-09T00:00:00.000Z": 1,
+                    "2025-03-10T00:00:00.000Z": 2}
