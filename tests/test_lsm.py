@@ -329,10 +329,15 @@ class TestRestEndpoints:
         for a, b in zip(fast["hits"], spark_res["hits"]):
             assert a["score"] == pytest.approx(b["score"], rel=1e-12)
         assert service.performance()["served_by_blocks"] == 1
-        # docs-table op stays on the Spark path
+        # docs-table ops on sidecar-carried fields (the id column here)
+        # serve off the snapshot too; fields the sidecar lacks fall back
         rng = service.search("idx", {"query": {
             "range": {"field": "doc_id", "gte": 0}}})
-        assert "servedBy" not in rng["_performance"]
+        assert rng["_performance"].get("servedBy") == "blocks"
+        assert rng["total"] >= spark_res["total"] > 0
+        missing = service.search("idx", {"query": {
+            "exists": {"field": "not_a_column"}}})
+        assert "servedBy" not in missing["_performance"]
         # an append makes the snapshot STALE: fall back to Spark (the
         # appended doc must be visible), then /snapshot re-enables
         service.add_documents("idx", [

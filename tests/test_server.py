@@ -120,14 +120,21 @@ def test_aggregations_fast_path_matches_spark(served):
     assert fast_res["total"] == spark_res["total"]
     assert fast_res["aggregations"] == spark_res["aggregations"]
 
-    # docs-table operator (range) stays on the Spark path even with a
-    # fresh snapshot — aggregations still computed, hit-scoped
+    # docs-table operator (range on the id column) + aggs: ALSO served
+    # off the sidecar — the whole request answers without a Spark job,
+    # and the buckets stay hit-scoped and consistent with the total
     code, res = _post(base + "/search/webagg", {
         "query": {"range": {"field": "doc_id", "gte": 0, "lte": 50}},
         "aggregations": {"langs": {"terms": {"field": "lang"}}}})
-    assert code == 200 and "servedBy" not in res["_performance"]
+    assert code == 200
+    assert res["_performance"].get("servedBy") == "blocks"
+    assert res["total"] == 51
     assert sum(b["doc_count"] for b in
                res["aggregations"]["langs"]["buckets"]) == res["total"]
+    # a docs-table field the sidecar cannot serve (binary html) falls back
+    code, res = _post(base + "/search/webagg", {
+        "query": {"exists": {"field": "html"}}})
+    assert code == 200 and "servedBy" not in res["_performance"]
 
 
 def test_facets_and_enriched_hits_parity(served):
