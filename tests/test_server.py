@@ -166,3 +166,46 @@ def test_facets_and_enriched_hits_parity(served):
     assert fast_res["hits"] == spark_res["hits"]
     assert fast_res["facets"] == spark_res["facets"]
     assert fast_res["total"] == spark_res["total"]
+
+
+def test_agg_fast_path_survives_concurrent_snapshots(served):
+    """Search+aggs+facets requests racing POST /snapshot rebuilds: every
+    response must be 200 with the same totals and bucket sums, whichever
+    path served it (a sidecar mid-rewrite falls back to Spark, never 500s
+    or undercounts)."""
+    import queue
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webrace", "docsPath": pages_dir,
+                            "fields": {"text": "text"},
+                            "facetFields": ["lang"]})
+    _post(base + "/index/webrace/snapshot", {})
+    body = {"query": {"match": {"field": "text", "value": "za"}},
+            "size": 3,
+            "aggregations": {"langs": {"terms": {"field": "lang"}}}}
+    want = _post(base + "/search/webrace", body)[1]
+    errors: "queue.Queue" = queue.Queue()
+
+    def worker(n):
+        for _ in range(n):
+            try:
+                code, res = _post(base + "/search/webrace", body)
+                if code != 200:
+                    errors.put(("status", code))
+                elif (res["total"] != want["total"]
+                      or res["aggregations"]["langs"]["buckets"]
+                      != want["aggregations"]["langs"]["buckets"]
+                      or res["facets"] != want["facets"]):
+                    errors.put(("mismatch", res["total"]))
+            except Exception as e:  # noqa: BLE001
+                errors.put(("exc", repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(12,))
+               for _ in range(4)]
+    for t in threads:
+        t.start()
+    for _ in range(2):  # racing rewrites of blocks + sidecar
+        code, _ = _post(base + "/index/webrace/snapshot", {})
+        assert code == 200
+    for t in threads:
+        t.join()
+    assert errors.empty(), list(errors.queue)[:5]
