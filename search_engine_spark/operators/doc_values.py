@@ -157,7 +157,9 @@ def enrich_rows(docs: DataFrame, id_col: str, doc_ids: list,
         return {}
     from .agg_compile import iso_ms
     kinds = {}
-    cols = [F.col(id_col).cast("long").alias("__id")]
+    # raw id, NOT cast: the Spark path enriches string-id corpora too
+    # (only the blocks/serving artifacts require numeric ids)
+    cols = [F.col(id_col).alias("__id")]
     for name, dtype in field_types(docs, fields).items():
         kind = _dv_kind(dtype)
         kinds[name] = kind

@@ -381,3 +381,14 @@ def test_date_histogram_boundary_exact(spark):
     assert keys == {"1969-12-31T00:00:00.000Z": 1,
                     "2025-03-09T00:00:00.000Z": 1,
                     "2025-03-10T00:00:00.000Z": 2}
+
+
+def test_enrich_rows_string_ids(spark):
+    """Spark-path hit enrichment works for string-id corpora (only the
+    serving artifacts require numeric ids)."""
+    from search_engine_spark.operators.doc_values import enrich_rows
+    docs = spark.createDataFrame(
+        [("d1", "en", 5), ("d2", "fr", 7)], "id string, lang string, n long")
+    got = enrich_rows(docs, "id", ["d2", "d1"], ["lang", "n"])
+    assert got == {"d1": {"lang": "en", "n": 5},
+                   "d2": {"lang": "fr", "n": 7}}
