@@ -53,6 +53,8 @@ def clamp_options(body: dict) -> dict:
     from_ = int(body.get("from") or 0)
     out = {"size": min(size, MAX_SIZE), "from": min(max(from_, 0), MAX_FROM)}
     aggs = body.get("aggregations") or body.get("aggs") or {}
+    if not isinstance(aggs, dict):  # [] / scalar: ignore like Object.entries
+        aggs = {}
     clamped_aggs = {}
     for name, cfg in aggs.items():
         cfg = dict(cfg)

@@ -209,3 +209,10 @@ def test_agg_fast_path_survives_concurrent_snapshots(served):
     for t in threads:
         t.join()
     assert errors.empty(), list(errors.queue)[:5]
+
+
+def test_clamp_options_tolerates_non_dict_aggs():
+    # JS Object.entries([]) is empty — a malformed aggregations body must
+    # not 500 (clamp drops it)
+    assert clamp_options({"aggregations": []})["aggregations"] == {}
+    assert clamp_options({"aggregations": "x"})["aggregations"] == {}
