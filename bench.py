@@ -183,11 +183,13 @@ def main():
             "langs": {"terms": {"field": "lang", "size": 5}},
             "by_day": {"date_histogram": {"field": "warc_ts",
                                           "interval": "1d"}}}
-        srv.search_with_aggs(bool_q, agg_cfg, k=10)  # warm: loads sidecar
+        srv.search_with_aggs(bool_q, agg_cfg, k=10,
+                             use_cache=False)  # warm: loads sidecar
         lat_agg = []
         for _ in range(3):
             t0 = time.time()
-            srv.search_with_aggs(bool_q, agg_cfg, k=10)
+            # compute latency, not the serve() result-LRU hit
+            srv.search_with_aggs(bool_q, agg_cfg, k=10, use_cache=False)
             lat_agg.append(time.time() - t0)
         queries["serving_aggs_p50_ms"] = round(
             1000 * statistics.median(lat_agg), 2)

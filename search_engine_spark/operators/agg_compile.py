@@ -187,6 +187,23 @@ def servable(aggs: dict) -> bool:
     return True
 
 
+def has_field(docs: DataFrame, name: str) -> bool:
+    """True when ``name`` (top-level or one-level struct leaf) resolves
+    against the docs schema — every compiled agg/facet checks this first,
+    because an unresolved F.col would raise AnalysisException at run time
+    where the reference's _getFieldValue just yields undefined (empty
+    buckets / zero counts, SearchEngine.ts:989-996)."""
+    if not name:
+        return False
+    flat = {f.name: f.dataType for f in docs.schema.fields}
+    if name in flat:
+        return True
+    parent, _, leaf = str(name).partition(".")
+    dt = flat.get(parent)
+    return bool(leaf and dt is not None and hasattr(dt, "fields")
+                and any(x.name == leaf for x in dt.fields))
+
+
 def compile_facets(fields: list, docs: DataFrame,
                    hits: DataFrame | None,
                    id_col: str = "doc_id") -> dict:
@@ -198,6 +215,9 @@ def compile_facets(fields: list, docs: DataFrame,
     scoped = _scoped(docs, hits, id_col)
     out: dict = {}
     for f in fields:
+        if not has_field(docs, f):
+            out[f] = {}  # unknown facet field = empty, never a crash
+            continue
         rows = (scoped.where(F.col(f).isNotNull())
                 .groupBy(F.col(f).alias("v"))
                 .agg(F.count(F.lit(1)).alias("c")).collect())
@@ -280,10 +300,17 @@ def _ranges(scoped: DataFrame, body: dict) -> dict:
         for i, r in enumerate(ranges)]}
 
 
-def _filter_pred(flt: dict):
+def _filter_pred(flt: dict, docs: DataFrame):
     """Column predicate for a filter agg (SearchEngine.ts
     _applyFilterToDocuments): term strict-eq, match lowercase-contains,
-    range gte/gt/lte/lt on numbers only."""
+    range gte/gt/lte/lt on numbers only. An unknown field matches nothing
+    (doc[field] is undefined in the reference), never an
+    AnalysisException."""
+    for pred in ("term", "match", "range"):
+        body = flt.get(pred)
+        if isinstance(body, dict) and not has_field(docs,
+                                                    body.get("field")):
+            return F.lit(False)
     if "term" in flt:
         body = flt["term"]
         return F.col(body["field"]) == F.lit(body.get("value"))
@@ -353,20 +380,38 @@ def compile_aggregations(aggs: dict, docs: DataFrame,
     if tombstones is not None:
         t = tombstones.select(F.col(tombstones.columns[0]).alias(id_col))
         live = docs.join(F.broadcast(t), id_col, "anti")
+    def _known(body) -> bool:
+        return isinstance(body, dict) and has_field(docs, body.get("field"))
+
     for name, cfg in aggs.items():
         if not isinstance(cfg, dict):
             continue
         if isinstance(cfg.get("terms"), dict):
-            result[name] = _terms(scoped, cfg["terms"])
+            result[name] = (_terms(scoped, cfg["terms"])
+                            if _known(cfg["terms"]) else {"buckets": []})
         elif isinstance(cfg.get("histogram"), dict):
-            result[name] = _histogram(scoped, cfg["histogram"])
+            result[name] = (_histogram(scoped, cfg["histogram"])
+                            if _known(cfg["histogram"])
+                            else {"buckets": []})
         elif isinstance(cfg.get("date_histogram"), dict):
-            result[name] = _date_histogram(scoped, cfg["date_histogram"])
+            result[name] = (_date_histogram(scoped, cfg["date_histogram"])
+                            if _known(cfg["date_histogram"])
+                            else {"buckets": []})
         elif isinstance(cfg.get("range"), dict):
-            result[name] = _ranges(scoped, cfg["range"])
+            body = cfg["range"]
+            if _known(body):
+                result[name] = _ranges(scoped, body)
+            else:  # unknown field: every range present, zero counts
+                result[name] = {"buckets": [
+                    {"key": range_key(r), "from": r.get("from"),
+                     "to": r.get("to"), "doc_count": 0}
+                    for r in (body.get("ranges") or [])]}
         elif isinstance(cfg.get("nested"), dict):
-            result[name] = _nested(scoped, cfg["nested"],
-                                   cfg.get("aggs") or {}, id_col)
+            if has_field(docs, (cfg["nested"] or {}).get("path")):
+                result[name] = _nested(scoped, cfg["nested"],
+                                       cfg.get("aggs") or {}, id_col)
+            else:
+                result[name] = {"doc_count": 0}
         elif isinstance(cfg.get("global"), dict):
             # global ignores the query scope (SearchEngine.ts:1036-1050)
             entry = {"doc_count": int(live.count())}
@@ -376,7 +421,7 @@ def compile_aggregations(aggs: dict, docs: DataFrame,
                     sub, live, None, id_col=id_col))
             result[name] = entry
         elif isinstance(cfg.get("filter"), dict):
-            filtered = scoped.where(_filter_pred(cfg["filter"]))
+            filtered = scoped.where(_filter_pred(cfg["filter"], docs))
             entry = {"doc_count": int(filtered.count())}
             sub = cfg.get("aggs") or {}
             if sub:

@@ -502,7 +502,9 @@ class SparkSearchEngine:
 
     def _range(self, body: dict) -> _Node:
         field = body.get("field")
-        if not field:
+        # nonexistent field (schema-resolved, like _exists) = no match —
+        # never an AnalysisException at query time
+        if not field or not _schema_has_path(self.docs.schema, str(field)):
             return self._empty()
         col = F.col(field)
         pred = col.isNotNull()
@@ -529,6 +531,14 @@ class SparkSearchEngine:
         clat, clon, meters = params
 
         dtype = dict(self.docs.dtypes).get(field, "")
+        # missing field — or a struct without lat/lon leaves — matches
+        # nothing (builder semantics, like _exists/_range), never an
+        # AnalysisException
+        if dtype.startswith("array"):
+            pass
+        elif not (_schema_has_path(self.docs.schema, f"{field}.lat")
+                  and _schema_has_path(self.docs.schema, f"{field}.lon")):
+            return self._empty()
         if dtype.startswith("array"):
             lat, lon = F.col(field)[0], F.col(field)[1]
         else:

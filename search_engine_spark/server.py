@@ -57,6 +57,8 @@ def clamp_options(body: dict) -> dict:
         aggs = {}
     clamped_aggs = {}
     for name, cfg in aggs.items():
+        if not isinstance(cfg, dict):  # null/number entry: drop, not 500
+            continue
         cfg = dict(cfg)
         terms = cfg.get("terms")
         if isinstance(terms, dict) and int(terms.get("size") or 10) > MAX_AGG_TERMS:
@@ -267,6 +269,27 @@ class SearchService:
         return self.spark.read.parquet(tomb).select("doc_id")
 
     def _index_config(self, name: str) -> IndexConfig:
+        """IndexConfig from the index meta, cached per meta.json mtime —
+        the fast path reads this every request, and a ~2 ms response must
+        not re-parse + re-validate config from disk each time. Appends/
+        overwrites rewrite meta.json, so the mtime key invalidates."""
+        import os
+        mp = os.path.join(self.catalog._dir(name), "meta.json")
+        try:
+            mt = os.path.getmtime(mp)
+        except OSError:
+            mt = None
+        cached = getattr(self, "_cfg_cache", None)
+        if cached is None:
+            cached = self._cfg_cache = {}
+        hit = cached.get(name)
+        if hit is not None and hit[0] == mt and mt is not None:
+            return hit[1]
+        cfg = self._index_config_uncached(name)
+        cached[name] = (mt, cfg)
+        return cfg
+
+    def _index_config_uncached(self, name: str) -> IndexConfig:
         meta = self.catalog.stats(name)
         return IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
                            n_buckets=meta["n_buckets"],

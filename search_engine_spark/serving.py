@@ -121,6 +121,31 @@ class _DVColumns:
     def __contains__(self, name: str) -> bool:
         return name in self._kinds
 
+    def gather(self, name: str, rows: np.ndarray):
+        """(kind, values, notnull mask) for ``rows`` (positions in doc_id
+        order) WITHOUT materializing the whole column: a loaded column is
+        sliced; otherwise only those rows are read via dataset take —
+        hit enrichment of a k≤100 page must not pull the full text-body
+        column (O(corpus) RAM) into the serving process."""
+        kind = self._kinds[name]
+        hit = self._loaded.get(name)
+        if hit is not None:
+            _, vals, mask = hit
+            return kind, vals[rows], mask[rows]
+        arr = self._ds.take(self._order[rows], columns=[name]) \
+            .column(name).combine_chunks()
+        mask = ~np.asarray(arr.is_null(), dtype=bool)
+        if kind in ("int", "ms"):
+            vals = np.asarray(arr.fill_null(0), dtype=np.int64)
+        elif kind == "float":
+            vals = np.asarray(arr.fill_null(float("nan")),
+                              dtype=np.float64)
+        elif kind == "bool":
+            vals = np.asarray(arr.fill_null(False), dtype=bool)
+        else:
+            vals = np.asarray(arr.to_pandas(), dtype=object)
+        return kind, vals, mask
+
     def __getitem__(self, name: str):
         hit = self._loaded.get(name)
         if hit is not None:
@@ -909,9 +934,14 @@ class ServingIndex:
             if "lt" in body:
                 sel &= v < body["lt"]
         except TypeError:
-            # incomparable bound type (e.g. string bound on numbers) —
-            # Spark would raise an analysis-time cast too; match _empty
-            return np.zeros(0, dtype=np.int64)
+            # mixed-type bound (numeric bound on a string column, …):
+            # Spark resolves these with implicit casts, so the fast path
+            # must DEFER, not answer differently — raise the fallback
+            # marker and let the Spark plan decide
+            raise ValueError(
+                f"range: bound type does not compare to {field!r}'s "
+                "stored kind — not in the serving surface; runs on the "
+                "Spark DSL path")
         out = np.zeros(vals.size, dtype=bool)
         out[rows[sel]] = True
         return self._dv_docs_where(out)
@@ -1268,17 +1298,21 @@ class ServingIndex:
         ok = ids[i] == q
         out = [{} for _ in doc_ids]
         # default: top-level scalars only (dotted struct leaves exist for
-        # geo/range/aggs, not for spreading flattened keys into hits)
+        # geo/range/aggs, not for spreading flattened keys into hits).
+        # gather() reads ONLY the page's rows — enrichment never loads a
+        # full column (the text bodies would be O(corpus) RAM).
+        rows = i[ok]
+        live = np.flatnonzero(ok)
         for name in (fields or [n for n in cols.names() if "." not in n]):
-            got = cols.get(name)
-            if got is None:
+            if name not in cols:
                 continue
-            kind, vals, mask = got
+            kind, vals, mask = cols.gather(name, rows)
             for j in range(q.size):
-                if not ok[j] or not mask[i[j]]:
-                    out[j][name] = None
+                out[j][name] = None
+            for p, j in enumerate(live.tolist()):
+                if not mask[p]:
                     continue
-                v = vals[i[j]]
+                v = vals[p]
                 out[j][name] = (iso_ms(int(v)) if kind == "ms"
                                 else bool(v) if kind == "bool"
                                 else int(v) if kind == "int"
@@ -1317,12 +1351,13 @@ class ServingIndex:
         return out
 
     def search_with_aggs(self, query: dict, aggs: dict, k: int = 10,
-                         from_: int = 0) -> tuple:
+                         from_: int = 0, use_cache: bool = True) -> tuple:
         """(ranked pairs, total, aggregations) from ONE compile — the
         matched candidate set feeds both the scorer and every agg scope
         (the reference's QueryEngine computes aggs over the same matched
         set it ranks, SearchEngine.ts:541-560)."""
-        r = self.serve(query, k=k, from_=from_, aggs=aggs)
+        r = self.serve(query, k=k, from_=from_, aggs=aggs,
+                       use_cache=use_cache)
         return r["pairs"], r["total"], r["aggregations"]
 
     def _score_pairs(self, cand: np.ndarray, score_terms: list,

@@ -324,9 +324,19 @@ def test_docs_table_fallbacks(setup):
     # field the sidecar does not carry
     with pytest.raises(ValueError, match="serving surface"):
         srv.search({"exists": {"field": "nope"}}, k=5)
-    # incomparable bound -> empty, like the Spark plan's cast failure
-    assert srv.search({"range": {"field": "site", "gte": 3}}, k=5,
-                      use_cache=False) == []
+    # mixed-type bound (numeric vs string column): Spark's implicit casts
+    # own the answer — the fast path must defer, not diverge
+    with pytest.raises(ValueError, match="serving surface"):
+        srv.search({"range": {"field": "site", "gte": 3}}, k=5,
+                   use_cache=False)
+    # unknown fields on the SPARK path: no-match, never an
+    # AnalysisException (builder semantics, like exists)
+    _, eng, _, _ = setup
+    assert eng.search({"range": {"field": "nope", "gte": 1}},
+                      size=5).collect() == []
+    assert eng.search({"geo_distance": {"field": "nope", "distance": "5km",
+                                        "location": {"lat": 0, "lon": 0}}},
+                      size=5).collect() == []
 
 
 def test_docs_table_ops_respect_deletes(spark, tmp_path):

@@ -216,3 +216,23 @@ def test_clamp_options_tolerates_non_dict_aggs():
     # not 500 (clamp drops it)
     assert clamp_options({"aggregations": []})["aggregations"] == {}
     assert clamp_options({"aggregations": "x"})["aggregations"] == {}
+
+
+def test_unknown_facet_field_never_500s(served):
+    """A typo'd facetFields entry must yield empty facets, not a permanent
+    500 on every search (reference FacetEngine: unknown field = empty)."""
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webtypo", "docsPath": pages_dir,
+                            "fields": {"text": "text"},
+                            "facetFields": ["tpyo"]})
+    code, res = _post(base + "/search/webtypo", {
+        "query": {"match": {"field": "text", "value": "za"}},
+        "aggregations": {"bad": {"terms": {"field": "also_missing"}},
+                         "null_entry": None,
+                         "ranges": {"range": {"field": "missing", "ranges": [
+                             {"to": 5}]}}}})
+    assert code == 200
+    assert res["facets"] == {"tpyo": {}}
+    assert res["aggregations"]["bad"] == {"buckets": []}
+    assert res["aggregations"]["ranges"]["buckets"][0]["doc_count"] == 0
+    assert "null_entry" not in res["aggregations"]

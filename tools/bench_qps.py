@@ -78,7 +78,17 @@ def run(index_dir: str, n_workers: int, seconds: float,
     t0 = time.time()
     for p in procs:
         p.start()
-    total = sum(out_q.get() for _ in procs)
+    total = 0
+    for _ in procs:
+        try:  # a worker that died before reporting must FAIL the bench,
+            # not hang it forever on a queue that will never fill
+            total += out_q.get(timeout=seconds + 120)
+        except Exception:
+            for p in procs:
+                p.terminate()
+            raise RuntimeError(
+                "a worker exited without reporting (crashed during "
+                "open/warm?) — check the index dir and mix")
     for p in procs:
         p.join()
     wall = time.time() - t0
