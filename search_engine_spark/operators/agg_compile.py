@@ -262,7 +262,10 @@ def _date_histogram(scoped: DataFrame, body: dict) -> dict:
     field = body["field"]
     ims = DATE_INTERVALS_MS.get(str(body.get("interval")),
                                 DATE_INTERVALS_MS["1d"])
-    ms = F.unix_millis(F.col(field).cast("timestamp"))
+    # try_cast: a non-date value is a NULL bucket-source (skipped), the
+    # reference's isNaN(date) guard — ANSI cast would throw on e.g. a
+    # date_histogram aimed at a string column
+    ms = F.unix_millis(F.col(field).try_cast("timestamp"))
     # EXACT integer bucket: ms - pmod(ms, ims) == floor(ms/ims)*ims in
     # int64 (pmod is non-negative, so pre-1970 floors correctly too) —
     # no double-division rounding anywhere, matching the serving twin's

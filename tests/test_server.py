@@ -236,3 +236,52 @@ def test_unknown_facet_field_never_500s(served):
     assert res["aggregations"]["bad"] == {"buckets": []}
     assert res["aggregations"]["ranges"]["buckets"][0]["doc_count"] == 0
     assert "null_entry" not in res["aggregations"]
+
+
+def test_malformed_bodies_never_500(served):
+    """Fuzz the /search surface with malformed-but-parseable bodies: every
+    response must be 200/400/404 — the clamps and schema guards absorb
+    garbage like the reference's optimizeSearchOptions, never a 500."""
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webfuzz", "docsPath": pages_dir,
+                            "fields": {"text": "text"}})
+    bodies = [
+        {},
+        {"query": None},
+        {"query": {}},
+        {"query": {"unknown_op": {"field": "text", "value": "x"}}},
+        {"query": {"term": {}}},
+        {"query": {"term": {"field": None, "value": None}}},
+        {"query": {"match": {"field": "text"}}},
+        {"query": {"bool": {}}},
+        {"query": {"bool": {"must": {}, "should": None}}},
+        {"query": {"range": {"field": "no_such_col", "gte": 1}}},
+        {"query": {"range": {"field": "text"}}},
+        {"query": {"exists": {}}},
+        {"query": {"exists": {"field": "nope.deep.path"}}},
+        {"query": {"geo_distance": {"field": "nope", "distance": "5km",
+                                    "location": {"lat": 0, "lon": 0}}}},
+        {"query": {"geo_distance": {"field": "text"}}},
+        {"query": {"match_phrase": {"field": "text", "value": ""}}},
+        {"size": -99, "from": -5},
+        {"size": "12"},
+        {"aggregations": []},
+        {"aggregations": {"a": None, "b": 7, "c": "x"}},
+        {"aggregations": {"a": {"terms": {}}}},
+        {"aggregations": {"a": {"terms": {"field": "zzz", "size": -1}}}},
+        {"aggregations": {"a": {"range": {"field": "zzz"}}}},
+        {"aggregations": {"a": {"filter": {"term": {"field": "zzz",
+                                                    "value": 1}}}}},
+        {"aggregations": {"a": {"date_histogram": {"field": "lang",
+                                                   "interval": "bogus"}}}},
+        {"aggregations": {"a": {"global": {}}}},
+        {"aggregations": {"a": {"nested": {"path": "zzz"}}}},
+        {"query": {"bool": {"should": [],
+                            "minimum_should_match": "nope"}}},
+    ]
+    bad = []
+    for b in bodies:
+        code, res = _post(base + "/search/webfuzz", b)
+        if code >= 500:
+            bad.append((b, code, res))
+    assert not bad, bad[:3]
