@@ -114,17 +114,18 @@ def ivf_assign(vectors: DataFrame, centroids: list,
     at scale the vector table is written partitioned by ``cell`` so probes
     read only the probed cells' partitions.
     """
-    best_cos = None
-    cell = F.lit(0)
-    for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(float(x)) for x in c])
-        cos_i = cosine(F.col(vec_col), cc)
-        if best_cos is None:
-            best_cos, cell = cos_i, F.lit(0)
-        else:
-            better = cos_i > best_cos
-            cell = F.when(better, F.lit(i)).otherwise(cell)
-            best_cos = F.when(better, cos_i).otherwise(best_cos)
+    # LINEAR expression: array_max over (cos, -idx) structs. A chained
+    # when(cos_i > best, ...) would embed the previous best TWICE per
+    # step — the expression tree doubles per centroid and ~30 centroids
+    # overflow the analyzer. Struct max compares cos first; the NEGATED
+    # index makes equal-cos ties resolve to the LOWEST centroid index,
+    # identical to the strict-greater chain's first-wins semantics.
+    scores = F.array(*[
+        F.struct(cosine(F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in c])).alias("c"),
+                 F.lit(-i).alias("ni"))
+        for i, c in enumerate(centroids)])
+    cell = -F.array_max(scores)["ni"]
     return vectors.select(F.col(id_col).alias("vec_id"),
                           F.col(vec_col).alias("v"),
                           cell.cast("int").alias("cell"))

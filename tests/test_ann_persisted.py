@@ -97,3 +97,34 @@ def test_neardup_bucket_cap_bounds_pairs(spark, planes):
     capped = similarity.embedding_neardup_pairs(
         vecs, planes, threshold=0.9, max_bucket_size=10).count()
     assert capped == 3  # hot bucket dropped, cold bucket survives
+
+
+def test_serving_vectors_bitwise_matches_spark(spark, vectors, artifact):
+    """ServingVectors (pyarrow+numpy, no Spark) returns the EXACT rows of
+    the Spark persisted readers — same ids, bitwise-equal round6 cosines
+    (left-fold dot via np.add.accumulate == F.aggregate fold; float32
+    products are exact in double)."""
+    from search_engine_spark.serving_vectors import ServingVectors
+    q = _qvec(vectors)
+    sv = ServingVectors(artifact)
+
+    want = [(r["vec_id"], r["cos"]) for r in
+            similarity.lsh_topk_persisted(spark, artifact, q, k=10,
+                                          exclude_id=3).collect()]
+    got = sv.lsh_topk(q, k=10, exclude_id=3)
+    assert got == want and got  # ids AND float bits
+
+    want = [(r["vec_id"], r["cos"]) for r in
+            similarity.ivf_topk_persisted(spark, artifact, q, k=10,
+                                          n_probe=2, exclude_id=3).collect()]
+    got = sv.ivf_topk(q, k=10, n_probe=2, exclude_id=3)
+    assert got == want and got
+
+
+def test_serving_vectors_guards(artifact, vectors):
+    from search_engine_spark.serving_vectors import ServingVectors
+    sv = ServingVectors(artifact)
+    with pytest.raises(ValueError, match="dimension"):
+        sv.lsh_topk([1.0, 2.0], k=5)
+    with pytest.raises(FileNotFoundError):
+        ServingVectors("/tmp/definitely_not_an_artifact_dir")
