@@ -195,13 +195,18 @@ def has_field(docs: DataFrame, name: str) -> bool:
     buckets / zero counts, SearchEngine.ts:989-996)."""
     if not name:
         return False
-    flat = {f.name: f.dataType for f in docs.schema.fields}
-    if name in flat:
-        return True
-    parent, _, leaf = str(name).partition(".")
-    dt = flat.get(parent)
-    return bool(leaf and dt is not None and hasattr(dt, "fields")
-                and any(x.name == leaf for x in dt.fields))
+    from ..plans.dsl import _schema_has_path  # arbitrary-depth dot paths
+    return _schema_has_path(docs.schema, str(name))
+
+
+def _num_or_none(v):
+    """float(v) or None — a non-numeric bound in a filter range matches
+    NOTHING in the reference (NaN comparisons are false in JS), so callers
+    turn it into lit(False) rather than a ValueError → 500."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
 
 
 def compile_facets(fields: list, docs: DataFrame,
@@ -235,8 +240,14 @@ def _scoped(docs: DataFrame, hits: DataFrame | None,
     return docs.join(F.broadcast(h), id_col, "semi")
 
 
+def agg_size(body: dict) -> int:
+    """terms-agg size with garbage tolerance (non-numeric/≤0 → 10)."""
+    s = _num_or_none(body.get("size"))
+    return int(s) if s and s > 0 else 10
+
+
 def _terms(scoped: DataFrame, body: dict) -> dict:
-    field, size = body["field"], int(body.get("size") or 10)
+    field, size = body["field"], agg_size(body)
     rows = (scoped.where(F.col(field).isNotNull())
             .groupBy(F.col(field).alias("v"))
             .agg(F.count(F.lit(1)).alias("c"))
@@ -247,7 +258,10 @@ def _terms(scoped: DataFrame, body: dict) -> dict:
 
 
 def _histogram(scoped: DataFrame, body: dict) -> dict:
-    field, interval = body["field"], float(body["interval"])
+    field = body["field"]
+    interval = _num_or_none(body.get("interval"))
+    if not interval or interval <= 0:  # garbage interval: no buckets
+        return {"buckets": []}
     v = F.col(field).cast("double")  # typeof v === 'number' gate
     bucket = F.floor(v / F.lit(interval)) * F.lit(interval)
     rows = (scoped.where(v.isNotNull())
@@ -290,10 +304,16 @@ def _ranges(scoped: DataFrame, body: dict) -> dict:
     sums = []
     for i, r in enumerate(ranges):
         pred = v.isNotNull()
-        if r.get("from") is not None:
-            pred = pred & (v >= F.lit(float(r["from"])))
-        if r.get("to") is not None:
-            pred = pred & (v < F.lit(float(r["to"])))
+        lo = _num_or_none(r["from"]) if r.get("from") is not None else None
+        hi = _num_or_none(r["to"]) if r.get("to") is not None else None
+        if (r.get("from") is not None and lo is None) or \
+                (r.get("to") is not None and hi is None):
+            pred = F.lit(False)  # non-numeric bound: bucket counts 0 (JS)
+        else:
+            if lo is not None:
+                pred = pred & (v >= F.lit(lo))
+            if hi is not None:
+                pred = pred & (v < F.lit(hi))
         sums.append(F.sum(F.when(pred, 1).otherwise(0))
                     .cast("long").alias(f"_r{i}"))
     row = scoped.agg(*sums).collect()[0]
@@ -326,14 +346,16 @@ def _filter_pred(flt: dict, docs: DataFrame):
         body = flt["range"]
         v = F.col(body["field"]).cast("double")
         pred = v.isNotNull()  # typeof !== 'number' → excluded
-        if body.get("gte") is not None:
-            pred = pred & (v >= F.lit(float(body["gte"])))
-        if body.get("gt") is not None:
-            pred = pred & (v > F.lit(float(body["gt"])))
-        if body.get("lte") is not None:
-            pred = pred & (v <= F.lit(float(body["lte"])))
-        if body.get("lt") is not None:
-            pred = pred & (v < F.lit(float(body["lt"])))
+        for op, cmp in (("gte", lambda b: v >= F.lit(b)),
+                        ("gt", lambda b: v > F.lit(b)),
+                        ("lte", lambda b: v <= F.lit(b)),
+                        ("lt", lambda b: v < F.lit(b))):
+            if body.get(op) is None:
+                continue
+            bound = _num_or_none(body[op])
+            if bound is None:  # NaN comparison in JS: excludes everything
+                return F.lit(False)
+            pred = pred & cmp(bound)
         return pred
     return F.lit(True)
 
@@ -361,7 +383,11 @@ def _nested(scoped: DataFrame, body: dict, sub_aggs: dict,
             fld = t["field"]
             if fld.startswith(path + "."):
                 fld = fld[len(path) + 1:]
-            out[name] = _terms(inner, {**t, "field": fld})
+            # sub-field resolved against the EXPLODED frame — an unknown
+            # leaf is empty buckets (undefined in the reference), not an
+            # AnalysisException
+            out[name] = (_terms(inner, {**t, "field": fld})
+                         if has_field(inner, fld) else {"buckets": []})
     return out
 
 

@@ -44,13 +44,22 @@ MAX_FROM = 10_000
 MAX_AGG_TERMS = 50
 
 
+def _int_or(v, default: int) -> int:
+    """int(v) with the reference's garbage tolerance — a non-numeric
+    size/from is the default, never a ValueError → 500."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return default
+
+
 def clamp_options(body: dict) -> dict:
     """size ≤ 100, from ≤ 10000, terms-agg size ≤ 50 — the reference's
     optimizeSearchOptions, applied before any work is scheduled."""
-    size = int(body.get("size") or 10)
+    size = _int_or(body.get("size") or 10, 10)
     if size <= 0:  # malformed-but-harmless, like the reference's clamps
         size = 10
-    from_ = int(body.get("from") or 0)
+    from_ = _int_or(body.get("from") or 0, 0)
     out = {"size": min(size, MAX_SIZE), "from": min(max(from_, 0), MAX_FROM)}
     aggs = body.get("aggregations") or body.get("aggs") or {}
     if not isinstance(aggs, dict):  # [] / scalar: ignore like Object.entries
@@ -61,7 +70,8 @@ def clamp_options(body: dict) -> dict:
             continue
         cfg = dict(cfg)
         terms = cfg.get("terms")
-        if isinstance(terms, dict) and int(terms.get("size") or 10) > MAX_AGG_TERMS:
+        if isinstance(terms, dict) and \
+                _int_or(terms.get("size") or 10, 10) > MAX_AGG_TERMS:
             cfg["terms"] = {**terms, "size": MAX_AGG_TERMS}
         clamped_aggs[name] = cfg
     out["aggregations"] = clamped_aggs

@@ -121,19 +121,8 @@ class _DVColumns:
     def __contains__(self, name: str) -> bool:
         return name in self._kinds
 
-    def gather(self, name: str, rows: np.ndarray):
-        """(kind, values, notnull mask) for ``rows`` (positions in doc_id
-        order) WITHOUT materializing the whole column: a loaded column is
-        sliced; otherwise only those rows are read via dataset take —
-        hit enrichment of a k≤100 page must not pull the full text-body
-        column (O(corpus) RAM) into the serving process."""
-        kind = self._kinds[name]
-        hit = self._loaded.get(name)
-        if hit is not None:
-            _, vals, mask = hit
-            return kind, vals[rows], mask[rows]
-        arr = self._ds.take(self._order[rows], columns=[name]) \
-            .column(name).combine_chunks()
+    @staticmethod
+    def _convert(kind: str, arr):
         mask = ~np.asarray(arr.is_null(), dtype=bool)
         if kind in ("int", "ms"):
             vals = np.asarray(arr.fill_null(0), dtype=np.int64)
@@ -144,28 +133,48 @@ class _DVColumns:
             vals = np.asarray(arr.fill_null(False), dtype=bool)
         else:
             vals = np.asarray(arr.to_pandas(), dtype=object)
-        return kind, vals, mask
+        return vals, mask
+
+    def gather(self, name: str, rows: np.ndarray):
+        """Single-column :meth:`gather_many`."""
+        return self.gather_many([name], rows)[name]
+
+    def gather_many(self, names: list, rows: np.ndarray) -> dict:
+        """{name: (kind, values, notnull mask)} for ``rows`` (positions in
+        doc_id order) WITHOUT materializing whole columns: loaded columns
+        are sliced; every non-resident column is read in ONE dataset take
+        over the page's row indices — hit enrichment of a k≤100 page must
+        neither pull the full text-body column (O(corpus) RAM) nor pay
+        one parquet pass per field."""
+        out: dict = {}
+        missing = []
+        for n in names:
+            kind = self._kinds.get(n)
+            if kind is None:
+                continue
+            hit = self._loaded.get(n)
+            if hit is not None:
+                _, vals, mask = hit
+                out[n] = (kind, vals[rows], mask[rows])
+            else:
+                missing.append(n)
+        if missing:
+            tbl = self._ds.take(self._order[rows], columns=missing)
+            for n in missing:
+                vals, mask = self._convert(
+                    self._kinds[n], tbl.column(n).combine_chunks())
+                out[n] = (self._kinds[n], vals, mask)
+        return out
 
     def __getitem__(self, name: str):
         hit = self._loaded.get(name)
         if hit is not None:
             return hit
         kind = self._kinds[name]
-        arr = self._ds.to_table(columns=[name]).column(name) \
-            .combine_chunks()
-        mask = ~np.asarray(arr.is_null(), dtype=bool)[self._order]
-        if kind in ("int", "ms"):
-            vals = np.asarray(arr.fill_null(0),
-                              dtype=np.int64)[self._order]
-        elif kind == "float":
-            vals = np.asarray(arr.fill_null(float("nan")),
-                              dtype=np.float64)[self._order]
-        elif kind == "bool":
-            vals = np.asarray(arr.fill_null(False),
-                              dtype=bool)[self._order]
-        else:
-            vals = np.asarray(arr.to_pandas(), dtype=object)[self._order]
-        self._loaded[name] = (kind, vals, mask)
+        vals, mask = self._convert(
+            kind, self._ds.to_table(columns=[name]).column(name)
+            .combine_chunks())
+        self._loaded[name] = (kind, vals[self._order], mask[self._order])
         return self._loaded[name]
 
 
@@ -1151,8 +1160,11 @@ class ServingIndex:
                 result[name] = self._dv_terms(cols, rows, cfg["terms"])
             elif isinstance(cfg.get("histogram"), dict):
                 body = cfg["histogram"]
+                interval = ac._num_or_none(body.get("interval"))
+                if not interval or interval <= 0:
+                    result[name] = {"buckets": []}
+                    continue
                 v, ok = self._dv_numeric(cols, rows, body["field"])
-                interval = float(body["interval"])
                 b = np.floor(v[ok] / interval) * interval
                 uniq, cnt = np.unique(b, return_counts=True)
                 result[name] = {"buckets": [
@@ -1178,11 +1190,19 @@ class ServingIndex:
                 vv = v[ok]
                 buckets = []
                 for r in (body.get("ranges") or []):
-                    m = np.ones(vv.size, dtype=bool)
-                    if r.get("from") is not None:
-                        m &= vv >= float(r["from"])
-                    if r.get("to") is not None:
-                        m &= vv < float(r["to"])
+                    lo = (ac._num_or_none(r["from"])
+                          if r.get("from") is not None else None)
+                    hi = (ac._num_or_none(r["to"])
+                          if r.get("to") is not None else None)
+                    if (r.get("from") is not None and lo is None) or \
+                            (r.get("to") is not None and hi is None):
+                        m = np.zeros(vv.size, dtype=bool)  # JS NaN cmp
+                    else:
+                        m = np.ones(vv.size, dtype=bool)
+                        if lo is not None:
+                            m &= vv >= lo
+                        if hi is not None:
+                            m &= vv < hi
                     buckets.append({"key": ac.range_key(r),
                                     "from": r.get("from"), "to": r.get("to"),
                                     "doc_count": int(m.sum())})
@@ -1231,9 +1251,9 @@ class ServingIndex:
 
     @classmethod
     def _dv_terms(cls, cols: dict, rows: np.ndarray, body: dict) -> dict:
-        from .operators.agg_compile import key_str
+        from .operators.agg_compile import agg_size, key_str
         kind, vals, mask = cols[body["field"]]
-        size = int(body.get("size") or 10)
+        size = agg_size(body)
         v = vals[rows][mask[rows]]
         uniq, cnt = cls._value_counts(v)
         pairs = sorted(
@@ -1265,18 +1285,19 @@ class ServingIndex:
                 dtype=bool, count=rows.size)
             return hit
         if "range" in flt:
+            from .operators.agg_compile import _num_or_none
             body = flt["range"]
             kind, vals, mask = cols[body["field"]]
             v = vals[rows].astype(np.float64)
             ok = mask[rows] & ~np.isnan(v)
-            if body.get("gte") is not None:
-                ok &= v >= float(body["gte"])
-            if body.get("gt") is not None:
-                ok &= v > float(body["gt"])
-            if body.get("lte") is not None:
-                ok &= v <= float(body["lte"])
-            if body.get("lt") is not None:
-                ok &= v < float(body["lt"])
+            for op, cmp in (("gte", np.greater_equal), ("gt", np.greater),
+                            ("lte", np.less_equal), ("lt", np.less)):
+                if body.get(op) is None:
+                    continue
+                bound = _num_or_none(body[op])
+                if bound is None:  # JS NaN comparison: excludes everything
+                    return np.zeros(rows.size, dtype=bool)
+                ok &= cmp(v, bound)
             return ok
         return np.ones(rows.size, dtype=bool)
 
@@ -1303,10 +1324,13 @@ class ServingIndex:
         # full column (the text bodies would be O(corpus) RAM).
         rows = i[ok]
         live = np.flatnonzero(ok)
-        for name in (fields or [n for n in cols.names() if "." not in n]):
-            if name not in cols:
+        names = fields or [n for n in cols.names() if "." not in n]
+        gathered = cols.gather_many(names, rows)  # ONE take for the page
+        for name in names:
+            got = gathered.get(name)
+            if got is None:
                 continue
-            kind, vals, mask = cols.gather(name, rows)
+            kind, vals, mask = got
             for j in range(q.size):
                 out[j][name] = None
             for p, j in enumerate(live.tolist()):
@@ -1398,9 +1422,8 @@ class ServingIndex:
             if ck is not None:
                 hit = self._cache_get(self._result_cache, ck)
                 if hit is not None:
-                    return {"pairs": list(hit["pairs"]), "total": hit["total"],
-                            "aggregations": hit["aggregations"],
-                            "facets": hit["facets"]}
+                    import copy
+                    return copy.deepcopy(hit)
         cand, score_terms = self._compile(query)
         resp = {"pairs": self._score_pairs(cand, score_terms, k, from_),
                 "total": int(cand.size),
@@ -1410,6 +1433,9 @@ class ServingIndex:
         if facet_fields:
             resp["facets"] = self.facets(facet_fields, cand)
         if ck is not None:
-            self._cache_put(self._result_cache, ck, resp,
+            # deep-copied both ways: a caller mutating its response (or
+            # the bucket lists inside it) must not poison the cache
+            import copy
+            self._cache_put(self._result_cache, ck, copy.deepcopy(resp),
                             self.cache_results)
         return resp

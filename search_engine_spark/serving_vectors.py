@@ -54,14 +54,18 @@ class ServingVectors:
                                 format="parquet", partitioning="hive")
         self._part_cache: "OrderedDict" = OrderedDict()
         self._cache_lock = threading.Lock()
-        self.cache_parts = 256  # decoded partitions kept resident
+        self._cache_bytes = 0
+        #: byte-bounded (not count-bounded): a 1M×768 corpus has few big
+        #: partitions — counting entries would never evict anything
+        self.cache_max_bytes = 1 << 30
 
     def _load_part(self, col: str, val: int, d: int):
         """(ids, matrix) for ONE bucket/cell partition, decoded once and
         LRU-cached — repeat probes of Zipfian query traffic must not
         re-read parquet per query (measured 125-890 ms/query uncached at
         200k vectors vs ~ms from the cache)."""
-        key = (col, int(val))
+        key = (col, int(val), d)  # d in the key: a wrong-dim query after
+        # warmup must re-hit the dimension guard, not broadcast garbage
         with self._cache_lock:
             hit = self._part_cache.get(key)
             if hit is not None:
@@ -71,21 +75,28 @@ class ServingVectors:
                                 columns=["vec_id", "embedding"])
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         if ids.size == 0:
-            entry = (ids, np.zeros((0, d), dtype=np.float64))
+            entry = (ids, np.zeros((0, d), dtype=np.float32))
         else:
             emb = tbl.column("embedding").combine_chunks()
-            # flatten() honors list offsets/slices (raw .values would not)
-            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            # flatten() honors list offsets/slices (raw .values would not);
+            # kept float32 — the on-disk width — so the resident cache is
+            # half the float64 working size (the fold casts per query,
+            # exactly, since float32→double is lossless)
+            flat = np.asarray(emb.flatten(), dtype=np.float32)
             if flat.size != ids.size * d:
                 raise ValueError(
                     f"embedding dimension mismatch vs query (query d={d}, "
                     f"{flat.size} values over {ids.size} rows)")
             entry = (ids, flat.reshape(-1, d))
         with self._cache_lock:
+            if key not in self._part_cache:
+                self._cache_bytes += entry[0].nbytes + entry[1].nbytes
             self._part_cache[key] = entry
             self._part_cache.move_to_end(key)
-            while len(self._part_cache) > self.cache_parts:
-                self._part_cache.popitem(last=False)
+            while (self._cache_bytes > self.cache_max_bytes
+                   and len(self._part_cache) > 1):
+                _, (ei, em) = self._part_cache.popitem(last=False)
+                self._cache_bytes -= ei.nbytes + em.nbytes
         return entry
 
     def _topk(self, parts: list, query_vec: list, k: int,
@@ -96,10 +107,11 @@ class ServingVectors:
         if not loaded:
             return []
         if len(loaded) == 1:
-            ids, m = loaded[0]
+            ids, m32 = loaded[0]
         else:
             ids = np.concatenate([i for i, _ in loaded])
-            m = np.vstack([x for _, x in loaded])
+            m32 = np.vstack([x for _, x in loaded])
+        m = m32.astype(np.float64)  # lossless, matches Spark's array cast
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.sqrt(np.add.accumulate(q * q)[-1])
         cos = _fold_sum(m * q[None, :]) / (np.sqrt(_fold_sum(m * m)) * qn)
@@ -107,7 +119,11 @@ class ServingVectors:
         if exclude_id is not None:
             keep = ids != exclude_id
             ids, cos = ids[keep], cos[keep]
-        order = np.lexsort((ids, -cos))[:k]
+        # Spark orderBy(desc) treats NaN as GREATEST (a zero-norm vector's
+        # 0/0 ranks first there); np.lexsort would sink NaN last — map it
+        # to +inf for the sort key so both paths rank identically
+        sort_cos = np.where(np.isnan(cos), np.inf, cos)
+        order = np.lexsort((ids, -sort_cos))[:k]
         return [(int(ids[i]), float(cos[i])) for i in order]
 
     def lsh_topk(self, query_vec: list, k: int = 10,

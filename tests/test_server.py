@@ -278,6 +278,15 @@ def test_malformed_bodies_never_500(served):
         {"aggregations": {"a": {"nested": {"path": "zzz"}}}},
         {"query": {"bool": {"should": [],
                             "minimum_should_match": "nope"}}},
+        {"size": "abc", "from": "xyz"},
+        {"aggregations": {"a": {"terms": {"field": "lang",
+                                          "size": "abc"}}}},
+        {"aggregations": {"a": {"filter": {"range": {"field": "doc_id",
+                                                     "gte": "cheap"}}}}},
+        {"aggregations": {"a": {"histogram": {"field": "doc_id",
+                                              "interval": "x"}}}},
+        {"aggregations": {"a": {"range": {"field": "doc_id", "ranges": [
+            {"to": "x"}, {"from": 5}]}}}},
     ]
     bad = []
     for b in bodies:

@@ -22,13 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def query_mix(index_dir: str, mode: str = "heavy"):
+def query_mix(srv, mode: str = "heavy"):
     """Deterministic warm mix from the dictionary. ``heavy`` = term/match/
     bool/phrase incl. head×head phrase (worst realistic request); ``light``
     = simple term/bool lookups — the shape behind the reference's
     <10 ms / >1,000 q/s claims."""
-    from search_engine_spark.serving import ServingIndex
-    srv = ServingIndex(index_dir)
     terms, dfs = srv._dictionary("text")
     import numpy as np
     order = np.argsort(-dfs, kind="stable")
@@ -58,7 +56,7 @@ def query_mix(index_dir: str, mode: str = "heavy"):
 def worker(index_dir: str, seconds: float, out_q, mode: str):
     from search_engine_spark.serving import ServingIndex
     srv = ServingIndex(index_dir)
-    mix = query_mix(index_dir, mode)
+    mix = query_mix(srv, mode)  # reuse the handle — one open per worker
     for q in mix:  # warm postings/keys
         srv.search(q, k=10, use_cache=False)
     n = 0
