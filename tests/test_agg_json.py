@@ -402,3 +402,63 @@ def test_enrich_rows_string_ids(spark):
     got = enrich_rows(docs, "id", ["d2", "d1"], ["lang", "n"])
     assert got == {"d1": {"lang": "en", "n": 5},
                    "d2": {"lang": "fr", "n": 7}}
+
+
+def test_random_agg_configs_parity(setup):
+    """Randomized agg configs (terms/histogram/date_histogram/range/
+    filter+sub/global+sub over every dv kind) × random query scopes:
+    serving.aggregate must equal the Spark compiler EXACTLY, config after
+    config — the dict-equality analog of the query fuzz."""
+    import random
+    docs, eng, srv, _ = setup
+    rng = random.Random(0xA66)
+
+    def rnd_terms():
+        return {"terms": {"field": rng.choice(["site", "qty", "flag",
+                                               "status"]),
+                          "size": rng.choice([1, 2, 3, 5, 10])}}
+
+    def rnd_leaf():
+        roll = rng.random()
+        if roll < 0.3:
+            return rnd_terms()
+        if roll < 0.45:
+            return {"histogram": {"field": rng.choice(["price", "qty"]),
+                                  "interval": rng.choice([2, 5, 25, 40])}}
+        if roll < 0.6:
+            return {"date_histogram": {"field": "ts",
+                                       "interval": rng.choice(
+                                           ["1h", "1d", "1w", "1M"])}}
+        lo, hi = sorted(rng.sample(range(0, 110), 2))
+        return {"range": {"field": rng.choice(["price", "qty"]),
+                          "ranges": [{"to": lo},
+                                     {"from": lo, "to": hi, "key": "mid"},
+                                     {"from": hi}]}}
+
+    def rnd_agg():
+        roll = rng.random()
+        if roll < 0.6:
+            return rnd_leaf()
+        if roll < 0.8:
+            flt = rng.choice([
+                {"term": {"field": "site", "value": f"s{rng.randint(0, 5)}"}},
+                {"match": {"field": "site", "value": rng.choice(
+                    ["S1", "s2", "zz"])}},
+                {"range": {"field": "price",
+                           "gte": rng.randint(0, 50),
+                           "lt": rng.randint(51, 110)}}])
+            return {"filter": flt, "aggs": {"sub": rnd_terms()}}
+        return {"global": {"aggs": {"sub": rnd_leaf()}}}
+
+    scopes = [QUERY, {"match_all": {}},
+              {"term": {"field": "status", "value": "pending"}},
+              {"term": {"field": "name", "value": "banana"}},
+              {"term": {"field": "status", "value": "zzznope"}}]
+    for it in range(25):
+        aggs = {f"a{j}": rnd_agg() for j in range(rng.randint(1, 4))}
+        q = rng.choice(scopes)
+        assert srv.can_aggregate(aggs), aggs
+        hits = eng.candidates(q).select("doc_id")
+        want = compile_aggregations(aggs, docs, hits)
+        _, _, got = srv.search_with_aggs(q, aggs, k=5, use_cache=False)
+        assert got == want, (it, q, aggs)

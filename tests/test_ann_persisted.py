@@ -128,3 +128,24 @@ def test_serving_vectors_guards(artifact, vectors):
         sv.lsh_topk([1.0, 2.0], k=5)
     with pytest.raises(FileNotFoundError):
         ServingVectors("/tmp/definitely_not_an_artifact_dir")
+
+
+def test_serving_vectors_nan_ranks_like_spark(spark, planes, tmp_path):
+    """A zero-norm embedding yields cos = 0/0 = NaN; Spark's orderBy(desc)
+    treats NaN as greatest (ranks FIRST) — the serving twin must agree,
+    not sink it past k."""
+    from search_engine_spark.serving_vectors import ServingVectors
+    rows = [(0, [0.0] * 8)] + [
+        (i, [1.0 if j == i % 4 else 0.1 for j in range(8)])
+        for i in range(1, 30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = str(tmp_path / "annz")
+    similarity.write_vectors(vecs, out, planes=planes)
+    q = [1.0, 0.2, 0.1, 0.0, 0.3, 0.1, 0.0, 0.2]
+    want = [(r["vec_id"], r["cos"]) for r in
+            similarity.lsh_topk_persisted(spark, out, q, k=30).collect()]
+    got = ServingVectors(out).lsh_topk(q, k=30)
+    assert [d for d, _ in got] == [d for d, _ in want] and got
+    import math
+    for (gd, gc), (wd, wc) in zip(got, want):
+        assert (math.isnan(gc) and math.isnan(wc)) or gc == wc, gd
