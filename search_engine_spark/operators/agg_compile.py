@@ -264,7 +264,10 @@ def _histogram(scoped: DataFrame, body: dict) -> dict:
         return {"buckets": []}
     v = F.col(field).cast("double")  # typeof v === 'number' gate
     bucket = F.floor(v / F.lit(interval)) * F.lit(interval)
-    rows = (scoped.where(v.isNotNull())
+    # literal NaN values are excluded on BOTH paths: a NaN bucket key
+    # cannot survive strict JSON (JS stringifies it to null), and every
+    # JS range comparison on NaN is false anyway
+    rows = (scoped.where(v.isNotNull() & ~F.isnan(v))
             .groupBy(bucket.cast("double").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy("b").collect())
@@ -303,7 +306,7 @@ def _ranges(scoped: DataFrame, body: dict) -> dict:
     v = F.col(field).cast("double")
     sums = []
     for i, r in enumerate(ranges):
-        pred = v.isNotNull()
+        pred = v.isNotNull() & ~F.isnan(v)  # NaN: every JS cmp is false
         lo = _num_or_none(r["from"]) if r.get("from") is not None else None
         hi = _num_or_none(r["to"]) if r.get("to") is not None else None
         if (r.get("from") is not None and lo is None) or \

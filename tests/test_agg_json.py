@@ -462,3 +462,27 @@ def test_random_agg_configs_parity(setup):
         want = compile_aggregations(aggs, docs, hits)
         _, _, got = srv.search_with_aggs(q, aggs, k=5, use_cache=False)
         assert got == want, (it, q, aggs)
+
+
+def test_nan_values_excluded_on_both_paths(spark, tmp_path):
+    """A literal NaN in a double column must not produce a NaN bucket
+    (unserializable in strict JSON) nor a serving/Spark disagreement —
+    both paths exclude it like JS's always-false NaN comparisons."""
+    rows = [(0, "active", 10.0), (1, "active", float("nan")),
+            (2, "active", 30.0), (3, "active", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, st string, p double")
+    aggs = {"h": {"histogram": {"field": "p", "interval": 20}},
+            "r": {"range": {"field": "p", "ranges": [{"to": 100}]}}}
+    got = compile_aggregations(aggs, docs, None)
+    assert got["h"] == {"buckets": [{"key": 0, "doc_count": 1},
+                                    {"key": 20, "doc_count": 1}]}
+    assert got["r"]["buckets"][0]["doc_count"] == 2
+    # serving twin agrees
+    ixdir = str(tmp_path / "ix")
+    cfg = IndexConfig(id_col="doc_id", fields={"st": "keyword"}, n_buckets=2)
+    write_index(docs, ixdir, cfg)
+    m = write_blocks(load_index(spark, ixdir), ixdir)
+    write_doc_values(docs, ixdir, ["p"], includes_runs=m["includes_runs"])
+    srv = ServingIndex(ixdir)
+    _, _, got2 = srv.search_with_aggs({"match_all": {}}, aggs, k=1)
+    assert got2 == got
