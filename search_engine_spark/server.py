@@ -114,11 +114,36 @@ class SearchService:
     def register_docs(self, name: str, docs) -> None:
         self._docs[name] = docs
 
+    def _docs_view(self, name: str):
+        """Registered docs table ∪ persisted docs-runs (rows added via
+        POST /documents) — the full document store the reference keeps in
+        idx.documents. None when no docs table is registered. Cached per
+        index state fingerprint (every append commits a new manifest
+        entry, so the fingerprint always moves)."""
+        docs = self._docs.get(name)
+        if docs is None:
+            return None
+        import os
+        dr = os.path.join(self.catalog._dir(name), "docs_runs")
+        if not os.path.isdir(dr) or not os.listdir(dr):
+            return docs
+        state = self.catalog._delete_state(name)
+        cache = getattr(self, "_docs_view_cache", None)
+        if cache is None:
+            cache = self._docs_view_cache = {}
+        hit = cache.get(name)
+        if hit is not None and hit[0] == state:
+            return hit[1]
+        extra = self.spark.read.parquet(os.path.join(dr, "*"))
+        view = docs.unionByName(extra, allowMissingColumns=True)
+        cache[name] = (state, view)
+        return view
+
     def search(self, name: str, body: dict) -> dict:
         if not self.catalog.index_exists(name):
             raise KeyError(name)
         opts = clamp_options(body)
-        docs = self._docs.get(name)
+        docs = self._docs_view(name)
         if docs is None:
             raise RuntimeError(f"no docs table registered for index {name!r}")
         t0 = time.time()
@@ -330,6 +355,17 @@ class SearchService:
                 n_fresh = fresh.count()
                 if n_fresh:
                     append_docs(fresh, ixdir, cfg)
+                    # the appended docs' FIELD VALUES must stay reachable
+                    # too (the reference's idx.documents holds the full
+                    # doc): persist the batch as a docs-run so the Spark
+                    # path's aggregations/facets/enrichment — and the next
+                    # snapshot's sidecar — see these rows (the registered
+                    # docs table is external and read-only)
+                    import os
+                    import time as _t
+                    fresh.write.mode("overwrite").parquet(os.path.join(
+                        ixdir, "docs_runs",
+                        f"run_{int(_t.time() * 1e6)}_{n_fresh}"))
             finally:
                 fresh.unpersist()
             meta = self.catalog.stats(name)
@@ -361,7 +397,7 @@ class SearchService:
                 # doc store holds full documents; columns load lazily at
                 # serve time, so an agg on `lang` never pays for `text`).
                 # Same run lineage as the blocks → same freshness horizon.
-                docs = self._docs.get(name)
+                docs = self._docs_view(name)
                 if docs is not None:
                     from .operators.doc_values import (servable_fields,
                                                        write_doc_values)

@@ -294,3 +294,39 @@ def test_malformed_bodies_never_500(served):
         if code >= 500:
             bad.append((b, code, res))
     assert not bad, bad[:3]
+
+
+def test_added_documents_visible_to_aggs_and_enrichment(served):
+    """POST /documents rows must be full citizens: their FIELD VALUES
+    count in aggregations/facets and enrich hits on the Spark path, and
+    after /snapshot the fast path agrees (the reference's idx.documents
+    holds the complete added doc, server.ts:353-385)."""
+    base, pages_dir = served
+    _post(base + "/index", {"indexName": "webadd", "docsPath": pages_dir,
+                            "fields": {"text": "text"},
+                            "facetFields": ["lang"]})
+    code, res = _post(base + "/index/webadd/documents", {"documents": [
+        {"doc_id": 9001, "text": "zzappended wordish", "lang": "xx",
+         "url": "https://added.example/1"}]})
+    assert code == 200 and res["addedCount"] == 1
+    body = {"query": {"term": {"field": "text", "value": "zzappended"}},
+            "aggregations": {"langs": {"terms": {"field": "lang"}}}}
+    code, spark_res = _post(base + "/search/webadd", body)
+    assert code == 200 and "servedBy" not in spark_res["_performance"]
+    assert spark_res["total"] == 1
+    h = spark_res["hits"][0]
+    assert h["doc_id"] == 9001 and h["lang"] == "xx"
+    assert h["url"] == "https://added.example/1"
+    assert spark_res["aggregations"]["langs"]["buckets"] == [
+        {"key": "xx", "doc_count": 1}]
+    assert spark_res["facets"]["lang"] == {"xx": 1}
+    # snapshot → the fast path serves the same answer
+    code, _ = _post(base + "/index/webadd/snapshot", {})
+    assert code == 200
+    code, fast = _post(base + "/search/webadd", body)
+    assert code == 200
+    assert fast["_performance"].get("servedBy") == "blocks"
+    assert fast["total"] == spark_res["total"]
+    assert fast["aggregations"] == spark_res["aggregations"]
+    assert fast["facets"] == spark_res["facets"]
+    assert fast["hits"][0]["lang"] == "xx"
