@@ -33,12 +33,14 @@ TOMBSTONES = "tombstones"
 def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
     """Base doc_stats ∪ live LSM append/stream runs (the same union view
     load_index serves) — delete bookkeeping must count appended docs too."""
-    from .lsm import live_runs
+    from .lsm import live_runs, read_run_doc_stats
     base_p = os.path.join(index_dir, DOC_STATS)
-    ds = spark.read.parquet(base_p) if os.path.isdir(base_p) else None
+    ds = (spark.read.parquet(base_p).select("doc_id", "dl")
+          if os.path.isdir(base_p) else None)
     runs = live_runs(index_dir)
     if runs:
-        run_ds = spark.read.parquet(*[e["doc_stats_path"] for e in runs])
+        run_ds = read_run_doc_stats(
+            spark, [e["doc_stats_path"] for e in runs])
         ds = run_ds if ds is None else ds.unionByName(run_ds)
     return ds
 
@@ -121,12 +123,20 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     shutil.rmtree(os.path.join(index_dir, POSTINGS))
     os.rename(tmp, os.path.join(index_dir, POSTINGS))
 
+    # rewrite doc_stats through the canonical bucketed writer so the
+    # append-dedup pruning layout (ds_bucket partitions) survives delete
+    # compaction; staged next to the live dir, then swapped
+    from .index_build import write_doc_stats
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS)) \
         .join(tomb, "doc_id", "anti")
-    tmp = os.path.join(index_dir, DOC_STATS + ".compact")
-    ds.write.mode("overwrite").parquet(tmp)
+    tmp_root = os.path.join(index_dir, DOC_STATS + ".compactdir")
+    os.makedirs(tmp_root, exist_ok=True)
+    write_doc_stats(ds, tmp_root,
+                    int(meta.get("ds_buckets") or meta["n_buckets"]))
     shutil.rmtree(os.path.join(index_dir, DOC_STATS))
-    os.rename(tmp, os.path.join(index_dir, DOC_STATS))
+    os.rename(os.path.join(tmp_root, DOC_STATS),
+              os.path.join(index_dir, DOC_STATS))
+    shutil.rmtree(tmp_root, ignore_errors=True)
 
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
     build_term_stats(postings_r).sortWithinPartitions(

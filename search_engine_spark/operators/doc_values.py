@@ -127,6 +127,113 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
     return meta
 
 
+def _dv_cast(name: str, kind: str, frame: DataFrame):
+    """The sidecar's canonical column expression for one field over a docs
+    frame (shared by the full writer and the incremental refresh so both
+    produce byte-identical values). Fields absent from the frame (an
+    appended batch may omit optional columns) come back as typed nulls;
+    dotted struct-leaf names resolve when the parent struct exists."""
+    null_type = {"ms": "long", "int": "long", "float": "double",
+                 "bool": "boolean"}.get(kind, "string")
+    parent, _, leaf = name.partition(".")
+    if parent not in frame.columns:
+        return F.lit(None).cast(null_type).alias(name)
+    if leaf:  # dotted struct-leaf: the parent may exist without the leaf
+        ptype = frame.schema[parent].dataType
+        if ptype.typeName() != "struct" or leaf not in ptype.fieldNames():
+            return F.lit(None).cast(null_type).alias(name)
+    col = F.col(name)
+    if kind == "ms":
+        return F.unix_millis(col.cast("timestamp")).alias(name)
+    # explicit casts even for str/bool: an appended batch may carry a
+    # differently-typed column (createDataFrame inference) — the delta
+    # file's schema must match the base sidecar's exactly
+    return col.cast(null_type).alias(name)
+
+
+def refresh_doc_values(spark: SparkSession, index_dir: str,
+                       full_docs: DataFrame | None = None,
+                       id_col: str = "doc_id") -> dict | None:
+    """Incremental sidecar refresh — O(appended batch), not O(corpus).
+
+    The blocks twin of wand.refresh_blocks: for every LSM run not yet in
+    the sidecar's ``includes_runs`` lineage, read the run's persisted
+    docs batch (``docs_runs/<run_key>``, written by the append path),
+    project it through the SAME column expressions as the full writer,
+    and install ONE delta parquet file with a deterministic run-tagged
+    name (``os.replace`` — a crash-replay overwrites its own file, never
+    duplicates rows). The reader (serving._DVColumns) already argsorts
+    slices into global doc_id order, so delta files may interleave the
+    base ranges freely. dv meta is updated LAST; until then the sidecar
+    reads as stale and aggregations fall back to the Spark path.
+
+    Falls back to a full :func:`write_doc_values` over ``full_docs``
+    (when given) if there is no previous sidecar or an uncovered run has
+    no persisted docs batch (appends made through the raw
+    ``lsm.append_docs`` API rather than the HTTP facade). Returns the
+    updated meta, or None when a full rebuild was needed but no
+    ``full_docs`` was supplied (callers treat the sidecar as stale)."""
+    from .lsm import accounted_runs
+
+    meta = load_doc_values_meta(index_dir)
+    path = os.path.join(index_dir, DOC_VALUES)
+
+    def _full():
+        if full_docs is None:
+            return None
+        fields = servable_fields(full_docs, id_col)
+        if not fields:
+            return None
+        included = [e["run_path"] for e in accounted_runs(index_dir)]
+        return write_doc_values(full_docs, index_dir, fields,
+                                id_col=id_col, includes_runs=included)
+
+    if meta is None or not os.path.isdir(path):
+        return _full()
+    included = set(meta.get("includes_runs", []))
+    new_runs = [e for e in accounted_runs(index_dir)
+                if e["run_path"] not in included]
+    if not new_runs:
+        return meta
+    batches = []
+    for e in new_runs:
+        run_key = os.path.basename(e["run_path"])
+        docs_dir = os.path.join(index_dir, "docs_runs", run_key)
+        if not os.path.isdir(docs_dir):
+            return _full()
+        batches.append((e["run_path"], run_key, docs_dir))
+    import shutil
+    import tempfile
+    kinds = meta["fields"]
+    mid = meta.get("id_col", id_col)
+    for run_path, run_key, docs_dir in batches:
+        batch = spark.read.parquet(docs_dir)
+        cols = [F.col(mid).cast("long").alias("doc_id")]
+        cols += [_dv_cast(name, kind, batch)
+                 for name, kind in kinds.items()]
+        staging = tempfile.mkdtemp(prefix="dv_delta_", dir=index_dir)
+        try:
+            (batch.select(*cols)
+             .repartitionByRange(1, "doc_id")
+             .sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(staging))
+            files = sorted(f for f in os.listdir(staging)
+                           if f.endswith(".parquet"))
+            for i, f in enumerate(files):
+                os.replace(os.path.join(staging, f),
+                           os.path.join(path,
+                                        f"delta-{run_key}-{i:03d}.parquet"))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        included.add(run_path)
+    meta["includes_runs"] = sorted(included)
+    mp = os.path.join(index_dir, DV_META)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(mp + ".tmp", mp)
+    return meta
+
+
 def load_doc_values_meta(index_dir: str) -> dict | None:
     mp = os.path.join(index_dir, DV_META)
     if not os.path.isfile(mp):

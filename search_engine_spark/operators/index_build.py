@@ -382,6 +382,41 @@ def _bucket_col(config: IndexConfig):
                   F.lit(config.n_buckets)).cast("int").alias("bucket")
 
 
+def _ds_bucket_col(n_buckets: int):
+    """Doc-id-hash bucket for the doc_stats LAYOUT:
+    ``pmod(xxhash64(cast(doc_id as string)), B)``.
+
+    Purpose: O(batch) append dedup. ``POST /documents`` must check its ids
+    against the existing corpus; an unpartitioned doc_stats makes that a
+    full-table read per request (O(corpus) at 10^12 docs). Partitioning by
+    id-hash lets the dedup prune to the batch's bucket directories —
+    O(corpus × touched_buckets / B) read, where touched_buckets ≤ batch
+    size (lsm.existing_ids_pruned; asserted via input_file_name in
+    tests/test_incremental_snapshot.py). The id is string-canonicalized
+    before hashing so int/long/string id corpora bucket identically and
+    the pruning expression can be evaluated on any batch frame."""
+    return F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                  F.lit(n_buckets)).cast("int").alias("ds_bucket")
+
+
+def write_doc_stats(ds: DataFrame, index_dir: str, n_buckets: int,
+                    observe=None) -> None:
+    """Canonical doc_stats writer: (doc_id, dl) partitioned by the id-hash
+    ``ds_bucket`` and doc_id-sorted within files (row-group min/max stats
+    then prune point-id lookups within a bucket). One small shuffle —
+    doc_stats is two columns per doc, ~1/1000th of the postings volume.
+    Shared by the batch build, the resumable merge, the streaming finalize,
+    and delete compaction so every path preserves the pruned layout."""
+    out = (ds.select(F.col("doc_id"), F.col("dl"),
+                     _ds_bucket_col(n_buckets))
+           .repartition(n_buckets, "ds_bucket")
+           .sortWithinPartitions("doc_id"))
+    if observe is not None:
+        out = out.observe(*observe)
+    (out.write.mode("overwrite").partitionBy("ds_bucket")
+     .parquet(os.path.join(index_dir, DOC_STATS)))
+
+
 def assign_doc_ids(docs: DataFrame, key_col: str = "url",
                    deterministic: bool = False) -> DataFrame:
     """Add a dense-ish surrogate ``doc_id`` to a natural-key corpus.
@@ -452,10 +487,11 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     # no separate re-read/aggregate jobs afterwards
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
     obs_ds = Observation("doc_stats")
-    (derive_doc_stats(docs, postings_r, config)
-     .observe(obs_ds, F.count(F.lit(1)).alias("n"),
-              F.avg("dl").alias("avgdl"), F.sum("dl").alias("dlsum"))
-     .write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS)))
+    write_doc_stats(
+        derive_doc_stats(docs, postings_r, config), index_dir,
+        config.n_buckets,
+        observe=(obs_ds, F.count(F.lit(1)).alias("n"),
+                 F.avg("dl").alias("avgdl"), F.sum("dl").alias("dlsum")))
     stats = obs_ds.get
 
     obs_ts = Observation("term_stats")
@@ -487,6 +523,7 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "analyzers": config.analyzers,
         "facet_fields": list(config.facet_fields or []),
         "bucket_fn": BUCKET_FN,
+        "ds_buckets": config.n_buckets,
         "build_seconds": elapsed,
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
         "postings_per_sec": n_postings / elapsed if elapsed else None,
@@ -518,6 +555,10 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
 
     postings = _read(POSTINGS)
     doc_stats = _read(DOC_STATS)
+    if doc_stats is not None:
+        # the ds_bucket partition column is a dedup-pruning layout detail
+        # (write_doc_stats) — consumers see the canonical (doc_id, dl)
+        doc_stats = doc_stats.select("doc_id", "dl")
     term_stats = _read(TERM_STATS)
     from .lsm import accounted_runs, union_with_runs
     # ONE manifest scan feeds both the union and the lineage stamp — a run
@@ -620,7 +661,7 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
 
     all_ds = spark.read.parquet(
         *[os.path.join(index_dir, RUNS, f"doc_stats_chunk={i}") for i in range(n_chunks)])
-    all_ds.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+    write_doc_stats(all_ds, index_dir, config.n_buckets)
 
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
     build_term_stats(postings_r).sortWithinPartitions(
@@ -642,6 +683,7 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         "analyzers": config.analyzers,
         "facet_fields": list(config.facet_fields or []),
         "bucket_fn": BUCKET_FN,
+        "ds_buckets": config.n_buckets,
         "n_chunks": n_chunks, "build_seconds": time.time() - t0,
     }
     with open(os.path.join(index_dir, META), "w") as fh:

@@ -203,6 +203,158 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
     return metrics
 
 
+def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
+    """Incremental block-snapshot refresh — O(appended batch), not O(index).
+
+    The round-3 snapshot path re-ran :func:`write_blocks` over the FULL
+    index for every appended LSM run (a full block rebuild to restore the
+    millisecond path — the last O(index) cost on the append path). This is
+    the LSM treatment applied to the serving artifact itself: block rows
+    are keyed (field, term, blk) where ``blk`` is a doc-id range, so an
+    appended run's postings become NEW payload segments that are purely
+    additive — per uncovered run, encode ONLY that run's postings
+    (one O(batch) job) and move the resulting bucket files into the
+    existing partition dirs. Readers already merge multi-segment terms
+    (ServingIndex re-sorts decoded docs; the WAND kernel accumulates
+    per-(term, blk) payload lists), so no existing file is touched —
+    untouched buckets stay byte-identical (asserted in
+    tests/test_incremental_snapshot.py).
+
+    Crash-safe + idempotent: each run's delta files carry deterministic
+    run-tagged names installed with ``os.replace`` — a replay after a
+    crash between the file installs and the blocks_meta update overwrites
+    its own files instead of duplicating payload segments. blocks_meta is
+    updated LAST (includes_runs += runs, additive counters); until then
+    the snapshot reads as stale and callers fall back to the Spark path.
+
+    Block-max bound safety across mixed build epochs: delta rows compute
+    ``max_qnorm`` with the CURRENT collection avg_dl while old rows keep
+    their build-time bounds, so the recorded ``blocks_meta.avg_dl``
+    becomes ``min(old, current)`` — :func:`wand_topk` scales every bound
+    by ``max(1, avgdl_now / recorded)``, which is ≥ the per-row safe
+    factor for both epochs (qnorm grows at most linearly in the avgdl
+    ratio). Pruning stays exact; bounds on one side are merely looser.
+
+    Falls back to a full :func:`write_blocks` when there is no previous
+    snapshot, ``compact_deletes`` bumped the delete epoch (the tombstone
+    table old blocks rely on is gone), or an uncovered run was already
+    compacted into the base (flush-then-snapshot — its postings are no
+    longer separable). Returns the updated blocks_meta dict."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Observation
+
+    from .index_build import META, IndexConfig, InvertedIndex, load_index
+    from .lsm import accounted_runs
+
+    blocks_path = os.path.join(index_dir, BLOCKS)
+    bmp = os.path.join(index_dir, "blocks_meta.json")
+
+    def _full():
+        return write_blocks(load_index(spark, index_dir), index_dir)
+
+    if not os.path.isfile(bmp) or not os.path.isdir(blocks_path):
+        return _full()
+    with open(bmp) as fh:
+        bm = json.load(fh)
+    with open(os.path.join(index_dir, META)) as fh:
+        meta = json.load(fh)
+    if int(bm.get("delete_epoch", 0)) != int(meta.get("delete_epoch", 0)):
+        return _full()
+    included = set(bm.get("includes_runs", []))
+    new_runs = [e for e in accounted_runs(index_dir)
+                if e["run_path"] not in included]
+    if not new_runs:
+        return bm
+    if any(not os.path.isdir(e["run_path"])
+           or not os.path.isdir(e.get("doc_stats_path") or "")
+           for e in new_runs):
+        return _full()
+
+    config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
+                         n_buckets=meta["n_buckets"],
+                         positions=meta["positions"],
+                         stem_lang=meta.get("stem_lang"),
+                         stem_lang_col=meta.get("stem_lang_col", "lang"),
+                         analyzers=meta.get("analyzers") or {})
+    with_pos = bool(bm.get("positions"))
+    t0 = time.time()
+    add_blocks = add_posts = add_payload = add_pos = 0
+    for e in new_runs:
+        posts = spark.read.parquet(e["run_path"])
+        ds = (spark.read.parquet(e["doc_stats_path"])
+              .select("doc_id", "dl"))
+        delta_ix = InvertedIndex(posts, ds, None,
+                                 int(meta["total_docs"]),
+                                 float(meta["avg_dl"]), config)
+        obs = Observation(f"blocks_delta_{os.path.basename(e['run_path'])}")
+        pos_bytes = (F.sum(F.length("pos_payload")) if with_pos
+                     else F.lit(0).cast("long")).alias("pos_bytes")
+        staging = tempfile.mkdtemp(prefix="blocks_delta_",
+                                   dir=index_dir)
+        try:
+            (build_blocks(delta_ix, with_positions=with_pos)
+             .repartition(config.n_buckets, "bucket")
+             .sortWithinPartitions("field", "term", "blk")
+             .observe(obs, F.count(F.lit(1)).alias("n_blocks"),
+                      F.sum("n_docs").alias("n_posts"),
+                      F.sum(F.length("payload")).alias("payload_bytes"),
+                      pos_bytes)
+             .write.mode("overwrite").partitionBy("bucket")
+             .option("parquet.block.size", 1 << 20)
+             .parquet(staging))
+            row = obs.get
+            tag = os.path.basename(e["run_path"])
+            for name in os.listdir(staging):
+                if not name.startswith("bucket="):
+                    continue
+                dst_dir = os.path.join(blocks_path, name)
+                os.makedirs(dst_dir, exist_ok=True)
+                src_dir = os.path.join(staging, name)
+                files = sorted(f for f in os.listdir(src_dir)
+                               if f.endswith(".parquet"))
+                for i, f in enumerate(files):
+                    # deterministic run-tagged name: a replayed refresh
+                    # REPLACES its own delta file, never duplicates it
+                    os.replace(os.path.join(src_dir, f),
+                               os.path.join(dst_dir,
+                                            f"delta-{tag}-{i:03d}.parquet"))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        add_blocks += int(row["n_blocks"] or 0)
+        add_posts += int(row["n_posts"] or 0)
+        add_payload += int(row["payload_bytes"] or 0)
+        add_pos += int(row["pos_bytes"] or 0)
+        included.add(e["run_path"])
+
+    cur_avg = float(meta.get("avg_dl") or 0.0)
+    old_avg = bm.get("avg_dl")
+    candidates = [v for v in (old_avg, cur_avg) if v]
+    bm["avg_dl"] = min(candidates) if candidates else cur_avg
+    bm["includes_runs"] = sorted(included)
+    bm["n_blocks"] = int(bm.get("n_blocks", 0)) + add_blocks
+    bm["n_postings"] = int(bm.get("n_postings", 0)) + add_posts
+    bm["payload_bytes"] = int(bm.get("payload_bytes", 0)) + add_payload
+    bm["pos_payload_bytes"] = int(bm.get("pos_payload_bytes", 0)) + add_pos
+    bm["bytes_per_posting"] = round(
+        bm["payload_bytes"] / max(bm["n_postings"], 1), 3)
+    # n_terms is as-of the last FULL build (an exact union-distinct would
+    # cost an O(index) scan — informational only, so we keep it stale)
+    bm["refreshes"] = int(bm.get("refreshes", 0)) + 1
+    bm["last_refresh"] = {
+        "runs": sorted(e["run_path"] for e in new_runs),
+        "n_blocks": add_blocks, "n_postings": add_posts,
+        "seconds": round(time.time() - t0, 3),
+    }
+    with open(bmp + ".tmp", "w") as fh:
+        json.dump(bm, fh, indent=1)
+    os.replace(bmp + ".tmp", bmp)
+    return bm
+
+
 def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
                        where: str) -> None:
     """Raise when LSM runs were appended AFTER the block table was written
@@ -351,13 +503,25 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                 # sorted by blk_ub desc -> nothing later can beat θ either
                 done = True
                 return
-            by_term = {t: pl for _, t, pl in rows}
+            # a (term, blk) group can span SEVERAL block rows: the base
+            # write plus incremental refresh_blocks deltas each contribute
+            # a payload segment (docs disjoint by the append contract) —
+            # accumulate, never overwrite, or delta docs silently vanish
+            by_term: dict = {}
+            for _, t, pl in rows:
+                by_term.setdefault(t, []).append(pl)
             doc_parts, score_parts = [], []
             for t in korder:
-                pl = by_term.get(t)
-                if pl is None:
+                pls = by_term.get(t)
+                if not pls:
                     continue
-                docs, tfs, dls = decode_block(pl)
+                if len(pls) == 1:
+                    docs, tfs, dls = decode_block(pls[0])
+                else:
+                    parts = [decode_block(pl) for pl in pls]
+                    docs = np.concatenate([p[0] for p in parts])
+                    tfs = np.concatenate([p[1] for p in parts])
+                    dls = np.concatenate([p[2] for p in parts])
                 if tomb_arr is not None and tomb_arr.size:
                     # merge-on-read: drop deleted docs before scoring
                     pos = np.searchsorted(tomb_arr, docs)

@@ -215,6 +215,21 @@ class ServingIndex:
             t = pq.read_table(tomb_dir, columns=["doc_id"])
             self._tombstones = np.unique(
                 np.asarray(t.column("doc_id"), dtype=np.int64))
+        # doc-registry lineage binds at construction like everything else:
+        # committed-but-uncompacted runs' doc_stats paths are captured NOW,
+        # so a run appended after construction can't leak into a lazily
+        # computed _all_doc_ids (the HTTP facade re-opens per state change)
+        from .operators.lsm import live_runs
+        self._live_run_ds = []
+        for e in live_runs(index_dir):
+            p = e.get("doc_stats_path")
+            if p and os.path.isdir(p):
+                # run dirs are ds_bucket-partitioned (lsm.write_run) —
+                # walk the bucket subdirs for the data files
+                for root, _, files in os.walk(p):
+                    self._live_run_ds += [
+                        os.path.join(root, f) for f in sorted(files)
+                        if f.endswith(".parquet")]
         # bucket -> list of parquet files (tiny metadata, cached once)
         self._bucket_files: dict = {}
         for name in os.listdir(blocks_dir):
@@ -772,11 +787,28 @@ class ServingIndex:
         if ids is None:
             import pyarrow.dataset as pads
             from .operators.index_build import DOC_STATS
-            ds = pads.dataset(os.path.join(self.index_dir, DOC_STATS),
-                              format="parquet")
-            ids = np.sort(np.asarray(
-                ds.to_table(columns=["doc_id"]).column("doc_id"),
-                dtype=np.int64))
+            parts = []
+            base = os.path.join(self.index_dir, DOC_STATS)
+            if os.path.isdir(base):
+                parts.append(np.asarray(
+                    pads.dataset(base, format="parquet")
+                    .to_table(columns=["doc_id"]).column("doc_id"),
+                    dtype=np.int64))
+            # committed-but-uncompacted LSM runs keep their doc stats under
+            # runs/ until compaction promotes them — the doc REGISTRY is
+            # base ∪ live runs (exactly load_index's union view), otherwise
+            # match_all / docs-table ops silently drop appended docs.
+            # File paths were captured at construction; a run promoted away
+            # by a racing compaction raises here (→ Spark fallback at the
+            # facade) rather than silently dropping its docs, and np.unique
+            # absorbs the promoted-copy-plus-run-file overlap window.
+            if self._live_run_ds:
+                parts.append(np.asarray(
+                    pads.dataset(self._live_run_ds, format="parquet")
+                    .to_table(columns=["doc_id"]).column("doc_id"),
+                    dtype=np.int64))
+            ids = (np.unique(np.concatenate(parts)) if parts
+                   else np.zeros(0, dtype=np.int64))
             t = self._tombstones
             if t is not None and t.size:
                 ids = np.setdiff1d(ids, t, assume_unique=True)

@@ -105,11 +105,13 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
     # back to postings-derived dl only for pre-doc_stats-run layouts, where
     # array fields cannot be told apart (documented divergence).
     if ds_paths:
-        dl = spark.read.parquet(*ds_paths)
+        from ..operators.lsm import read_run_doc_stats
+        dl = read_run_doc_stats(spark, ds_paths)
     else:
         dl = (postings_r.where(F.col("field").isin(list(config.fields)))
               .groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
-    dl.write.mode("overwrite").parquet(os.path.join(index_dir, DOC_STATS))
+    from ..operators.index_build import write_doc_stats
+    write_doc_stats(dl, index_dir, config.n_buckets)
     build_term_stats(postings_r).sortWithinPartitions(
         "field", "term").write.mode("overwrite").parquet(
         os.path.join(index_dir, TERM_STATS))
@@ -128,6 +130,7 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
         "stem_lang_col": config.stem_lang_col,
         "analyzers": config.analyzers,
         "bucket_fn": BUCKET_FN,
+        "ds_buckets": config.n_buckets,
         "source": "stream",
         # runs are now IN the base: record them as applied so a later
         # append's reconcile_meta never re-counts them

@@ -287,7 +287,8 @@ class TestRestEndpoints:
         assert out["addedCount"] == 1
         assert out["duplicateCount"] == 1
         assert out["totalDocs"] == 13
-        assert out["persistence"] == {"enabled": True, "triggered": True}
+        assert out["persistence"]["enabled"] is True
+        assert out["persistence"]["triggered"] is True  # addedCount > 0
         # the appended doc is immediately searchable
         res = service.search("idx", {"query": {
             "term": {"field": "text", "value": "omega"}}})
