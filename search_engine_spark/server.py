@@ -93,6 +93,10 @@ class SearchService:
         "batch_size": 100, "interval": 30.0,
     }
 
+    #: phrases whose RAREST token matches more than this corpus fraction
+    #: are routed to the Spark path (serving._route_heavy_phrase)
+    PHRASE_ROUTE_DF_RATIO = 0.10
+
     def __init__(self, spark: SparkSession, root: str,
                  auto_persist: dict | None = None):
         self.spark = spark
@@ -303,6 +307,9 @@ class SearchService:
         from .serving import ServingIndex
         try:
             srv = ServingIndex(self.catalog._dir(name))
+            # head×head phrases (seconds of position decode) belong on
+            # the Spark path; typical phrases stay <50 ms on blocks
+            srv.phrase_route_df_ratio = self.PHRASE_ROUTE_DF_RATIO
         except (ValueError, FileNotFoundError):
             srv = None
         if name in self._snap_busy:

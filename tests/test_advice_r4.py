@@ -1,0 +1,106 @@
+"""Round-4 verdict items: within-Cyrillic language disambiguation
+(ru/uk/bg/sr marker argmax below the script ranges) and the df-threshold
+phrase router's unit behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textstats import (CYRILLIC_MARKERS,
+                                                     CYRILLIC_ORDER,
+                                                     lang_id_py,
+                                                     lang_id_tokens)
+
+CASES = [
+    (["документ", "это", "быть"], "ru"),
+    (["документ", "якщо", "він"], "uk"),
+    (["документ", "държава", "във"], "bg"),
+    (["документ", "људи", "већ"], "sr"),
+    (["документ", "слово"], "ru"),          # no markers → ru default
+    (["the", "and", "data"], "en"),          # Latin path untouched
+    (["καλημέρα"], "el"),                    # other scripts untouched
+]
+
+
+def test_lang_id_py_cyrillic_siblings():
+    for toks, want in CASES:
+        assert lang_id_py(toks) == want, toks
+
+
+def test_lang_id_tokens_matches_python_twin(spark):
+    df = spark.createDataFrame([(i, " ".join(t)) for i, (t, _) in
+                                enumerate(CASES)], "i long, text string")
+    got = {r["i"]: r["lang"] for r in df.select(
+        "i", lang_id_tokens(F.split("text", " ")).alias("lang")).collect()}
+    for i, (toks, want) in enumerate(CASES):
+        assert got[i] == want, toks
+
+
+def test_marker_sets_are_disjoint():
+    """A word in two sibling sets would dilute the argmax — keep them
+    strictly per-language."""
+    seen = {}
+    for lg in CYRILLIC_ORDER:
+        for w in CYRILLIC_MARKERS[lg]:
+            assert w not in seen, f"{w!r} in both {seen.get(w)} and {lg}"
+            seen[w] = lg
+
+
+def test_detect_mode_routes_to_sibling_stemmers(spark):
+    """Index-time stem_lang='detect' stems a uk-marked doc with the
+    Ukrainian Snowball and a ru-marked doc with the Russian one: the
+    reference uk.js stems 'гауа' -> 'га' while ru.js gives 'гау'
+    (golden stem_docs_vocab_cyr.json)."""
+    from search_engine_spark.operators.index_build import (IndexConfig,
+                                                           build_index)
+    docs = spark.createDataFrame(
+        [(0, "гауа это"), (1, "гауа якщо")], "doc_id long, text string")
+    cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                      stem_lang="detect", analyzers={"text": "whitespace"},
+                      n_buckets=4)
+    idx = build_index(docs, cfg)
+    terms = {(r["doc_id"], r["term"])
+             for r in idx.postings.select("doc_id", "term").collect()}
+    assert (0, "гау") in terms and (1, "га") in terms
+    assert (0, "га") not in terms and (1, "гау") not in terms
+
+
+class TestPhraseRouter:
+    @pytest.fixture(scope="class")
+    def srv(self, spark, tmp_path_factory):
+        from search_engine_spark.operators.index_build import (IndexConfig,
+                                                               load_index,
+                                                               write_index)
+        from search_engine_spark.operators.wand import write_blocks
+        from search_engine_spark.serving import ServingIndex
+        ixdir = str(tmp_path_factory.mktemp("router") / "ix")
+        docs = spark.createDataFrame(
+            [(i, "head words everywhere" + (" raretok" if i == 3 else ""))
+             for i in range(50)], "doc_id long, text string")
+        write_index(docs, ixdir, IndexConfig(
+            id_col="doc_id", fields={"text": "text"}, n_buckets=4))
+        write_blocks(load_index(spark, ixdir), ixdir)
+        return ServingIndex(ixdir)
+
+    def test_default_off_serves_everything(self, srv):
+        assert srv.phrase_route_df_ratio is None
+        assert len(srv.phrase("text", "head words",
+                              members_only=True)) == 50
+
+    def test_head_head_routed(self, srv):
+        srv.phrase_route_df_ratio = 0.5
+        try:
+            with pytest.raises(ValueError, match="serving surface"):
+                srv.phrase("text", "head words")
+            with pytest.raises(ValueError, match="serving surface"):
+                srv.search({"match_phrase": {"field": "text",
+                                             "value": "words everywhere"}})
+            # one selective token keeps the phrase on the fast path
+            assert srv.phrase("text", "everywhere raretok",
+                              members_only=True) == [3]
+            # single-token "phrases" never route (no proximity work)
+            assert len(srv.phrase("text", "head",
+                                  members_only=True)) == 50
+        finally:
+            srv.phrase_route_df_ratio = None

@@ -273,6 +273,26 @@ class TestServerIncrementalSnapshot:
         assert res["total"] == 2
         assert svc._served_fast == served0 + 1
 
+    def test_head_head_phrase_routed_to_spark(self, service):
+        """Round-3 verdict What's wrong #4: a phrase of two head terms
+        (every token in >10% of docs) costs seconds of position decode —
+        the facade must run it on the Spark path, while phrases with at
+        least one selective token stay on the blocks fast path."""
+        # 'alpha' and 'common' are in EVERY doc → routed to Spark
+        res = service.search("inc", {"query": {"match_phrase": {
+            "field": "text", "value": "alpha common"}}})
+        assert "servedBy" not in res["_performance"]
+        assert res["total"] == 30  # exact phrase in every base doc
+        # a selective token keeps the phrase on the serving path
+        service.add_documents("inc", [
+            {"doc_id": 901, "text": "rareword common tail", "lang": "en",
+             "n_chars": 5}])
+        service.snapshot("inc")
+        res = service.search("inc", {"query": {"match_phrase": {
+            "field": "text", "value": "rareword common"}}})
+        assert res["_performance"].get("servedBy") == "blocks"
+        assert res["total"] == 1 and res["hits"][0]["doc_id"] == 901
+
     def test_append_dedup_reads_only_batch_buckets(self, spark, service):
         """The dedup scan prunes to the batch's ds_bucket partitions —
         O(batch buckets), not O(corpus) (round-3 verdict What's wrong #2)."""
