@@ -96,6 +96,9 @@ class SearchService:
     #: phrases whose RAREST token matches more than this corpus fraction
     #: are routed to the Spark path (serving._route_heavy_phrase)
     PHRASE_ROUTE_DF_RATIO = 0.10
+    #: prefix/wildcard/fuzzy patterns expanding past this many dictionary
+    #: terms are routed to the Spark path (degenerate '*a*' shapes)
+    EXPANSION_ROUTE_MAX_TERMS = 512
 
     def __init__(self, spark: SparkSession, root: str,
                  auto_persist: dict | None = None):
@@ -310,6 +313,7 @@ class SearchService:
             # head×head phrases (seconds of position decode) belong on
             # the Spark path; typical phrases stay <50 ms on blocks
             srv.phrase_route_df_ratio = self.PHRASE_ROUTE_DF_RATIO
+            srv.expansion_route_max_terms = self.EXPANSION_ROUTE_MAX_TERMS
         except (ValueError, FileNotFoundError):
             srv = None
         if name in self._snap_busy:
@@ -404,10 +408,11 @@ class SearchService:
             "addedCount": n_fresh,
             "duplicateCount": len(documents) - n_fresh,
             "totalDocs": meta["total_docs"],
-            # reference shape verbatim (server.ts:374-377: triggered =
-            # addedCount > 0); autoSaved additionally reports whether the
-            # incremental snapshot refresh actually ran for this batch
-            "persistence": {"enabled": bool(self.auto_persist["enabled"]),
+            # reference shape verbatim (server.ts:373-377 hardcodes
+            # enabled: true and triggered = addedCount > 0); autoSaved
+            # additionally reports whether the incremental snapshot
+            # refresh actually ran for this batch
+            "persistence": {"enabled": True,
                             "triggered": n_fresh > 0,
                             "autoSaved": saved},
         }

@@ -272,6 +272,11 @@ class ServingIndex:
         # (library default); the HTTP facade sets it so such requests fall
         # through to Spark while typical phrases stay <50 ms on blocks.
         self.phrase_route_df_ratio: float | None = None
+        # optional expansion router (same idea for prefix/wildcard/fuzzy):
+        # a pattern expanding to more dictionary terms than this decodes
+        # that many posting lists serially — degenerate patterns ('*a*')
+        # belong on the distributed path. None = serve everything.
+        self.expansion_route_max_terms: int | None = None
 
     # -- postings access ----------------------------------------------------
 
@@ -656,6 +661,19 @@ class ServingIndex:
         order = _topk_order(acc, scores, k)
         return [(int(acc[i]), float(scores[i])) for i in order]
 
+    def _route_heavy_expansion(self, kind: str, pairs: list) -> None:
+        """Expansion router: when ``expansion_route_max_terms`` is set and
+        a prefix/wildcard/fuzzy pattern expanded to more (field, term)
+        pairs than that, raise the "serving surface" marker — decoding
+        thousands of posting lists serially belongs on the Spark path
+        (which fans the same expansion out across executors)."""
+        cap = self.expansion_route_max_terms
+        if cap is not None and len(pairs) > int(cap):
+            raise ValueError(
+                f"{kind} expanded to {len(pairs)} terms (> {cap}) — "
+                "routed off the serving surface; runs on the Spark DSL "
+                "path")
+
     def _route_heavy_phrase(self, fields: list, tokens: list) -> None:
         """df-threshold phrase router (round-3 verdict "What's wrong #4"):
         when ``phrase_route_df_ratio`` is set and EVERY token of a
@@ -922,6 +940,7 @@ class ServingIndex:
                 expanded = (self.expand_prefix(fld, v) if kind == "prefix"
                             else self.expand_wildcard(fld, v))
                 pairs += [(fld, t) for t in expanded]
+            self._route_heavy_expansion(kind, pairs)
             return self._docs_of(pairs), pairs
         if "fuzzy" in q:
             f, v, fz = self._leaf_args(q["fuzzy"])
@@ -931,6 +950,7 @@ class ServingIndex:
             pairs = []
             for fld in fields:
                 pairs += [(fld, t) for t in self.expand_fuzzy(fld, norm, fz)]
+            self._route_heavy_expansion("fuzzy", pairs)
             return self._docs_of(pairs), pairs
         if "phrase" in q or "match_phrase" in q:
             body = q.get("match_phrase") or q.get("phrase")

@@ -158,3 +158,17 @@ class TestPhraseRouter:
                                   members_only=True)) == 50
         finally:
             srv.phrase_route_df_ratio = None
+
+    def test_degenerate_expansion_routed(self, srv):
+        srv.expansion_route_max_terms = 2
+        try:
+            with pytest.raises(ValueError, match="serving surface"):
+                srv.search({"wildcard": {"field": "text", "value": "*e*"}})
+            with pytest.raises(ValueError, match="serving surface"):
+                srv.search({"prefix": {"field": "text", "value": ""}})
+            # a selective expansion stays on the fast path
+            got = srv.search({"prefix": {"field": "text",
+                                         "value": "rare"}}, k=5)
+            assert [d for d, _ in got] == [3]
+        finally:
+            srv.expansion_route_max_terms = None
