@@ -521,10 +521,30 @@ class SearchService:
                 "uptime": time.time() - self._t0}
 
     def performance(self) -> dict:
-        return {"queries": self._queries,
-                "served_by_blocks": self._served_fast,
-                "uptime": time.time() - self._t0,
-                "spark": {"app_id": self.spark.sparkContext.applicationId}}
+        # auto-stopword candidates (StopwordsManager.ts's df/N detection,
+        # read off already-open serving dictionaries — no Spark job):
+        # exactly the head terms the phrase router deflects; operators can
+        # promote them to index stopwords
+        stopwords: dict = {}
+        for name, cached in list(self._serving_cache.items()):
+            srv = cached[1]
+            if srv is None:
+                continue
+            try:
+                cands = srv.stopword_candidates()
+            except Exception:  # noqa: BLE001 — diagnostics must not 500
+                continue
+            if cands:
+                stopwords[name] = {f: [{"term": t, "df": d}
+                                       for t, d in pairs]
+                                   for f, pairs in cands.items()}
+        out = {"queries": self._queries,
+               "served_by_blocks": self._served_fast,
+               "uptime": time.time() - self._t0,
+               "spark": {"app_id": self.spark.sparkContext.applicationId}}
+        if stopwords:
+            out["autoStopwordCandidates"] = stopwords
+        return out
 
 
 def make_server(service: SearchService, host: str = "127.0.0.1",

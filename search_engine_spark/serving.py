@@ -507,6 +507,28 @@ class ServingIndex:
                 out.append(str(t))
         return out
 
+    def stopword_candidates(self, ratio: float = 0.5, cap: int = 20) -> dict:
+        """{field: [(term, df)]} of dictionary terms present in more than
+        ``ratio`` of the corpus — the operator-facing view of
+        analysis/stopwords.auto_stopwords off the already-loaded serving
+        vocab (no Spark job). These are exactly the terms the phrase
+        router treats as head terms; /performance surfaces them so an
+        operator can decide to configure them as index stopwords."""
+        out: dict = {}
+        thr = float(ratio) * float(max(self.total_docs, 1))
+        for f in self._text_fields():
+            try:
+                terms, dfs = self._dictionary(f)
+            except FileNotFoundError:
+                continue
+            idx = np.flatnonzero(dfs > thr)
+            if idx.size == 0:
+                continue
+            order = np.lexsort((terms[idx], -dfs[idx]))[:cap]
+            out[f] = [(str(terms[idx[i]]), int(dfs[idx[i]]))
+                      for i in order]
+        return out
+
     def df(self, field: str, term: str) -> int:
         """Post-delete document frequency (matches the DSL path's
         tombstone-recomputed term_stats)."""

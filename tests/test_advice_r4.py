@@ -159,6 +159,13 @@ class TestPhraseRouter:
         finally:
             srv.phrase_route_df_ratio = None
 
+    def test_stopword_candidates_surface_head_terms(self, srv):
+        cands = srv.stopword_candidates(ratio=0.5)
+        terms = {t for t, _ in cands.get("text", [])}
+        # 'head'/'words'/'everywhere' are in every doc; 'raretok' in one
+        assert {"head", "words", "everywhere"} <= terms
+        assert "raretok" not in terms
+
     def test_degenerate_expansion_routed(self, srv):
         srv.expansion_route_max_terms = 2
         try:

@@ -10,7 +10,7 @@ throttling tail; the interleave cancels slow drift).
 Usage:
     python tools/bench_ab.py [baseline_commit] [n_rounds] [n_pages]
 
-Writes BENCH/AB_r03.md and prints one JSON line. The baseline tree is
+Writes BENCH/AB_<tag>.md (AB_OUT_TAG env, default r03) and prints one JSON line. The baseline tree is
 checked out to a git worktree under /tmp (read-only use).
 """
 
@@ -100,11 +100,11 @@ def main():
     print(json.dumps(out))
 
     md = [
-        "# Interleaved A/B: index-build throughput (HEAD vs r1)",
+        "# Interleaved A/B: index-build throughput (HEAD vs baseline)",
         "",
         f"- corpus: {n_pages} synthetic pages, `write_index` end-to-end "
         "(postings + stats + meta), fresh JVM per run",
-        f"- baseline commit: `{baseline}` (round-1 final)",
+        f"- baseline commit: `{baseline}`",
         f"- methodology: {n_rounds} interleaved rounds, ABBA order, "
         "best-of compared (host variance ±70% — see BASELINE.md)",
         "",
@@ -120,7 +120,8 @@ def main():
            f"**speedup (baseline best / head best): "
            f"{summary['head_vs_baseline_best']}×**", ""]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "AB_r03.md"), "w") as fh:
+    tag = os.environ.get("AB_OUT_TAG", "r03")
+    with open(os.path.join(REPO, "BENCH", f"AB_{tag}.md"), "w") as fh:
         fh.write("\n".join(md))
 
 
