@@ -81,14 +81,21 @@ def accounted_runs(index_dir: str) -> list:
             and e.get("doc_stats_path")]
 
 
-def mark_compacted(index_dir: str, entries: list) -> None:
+def mark_compacted(index_dir: str, entries: list,
+                   buckets: list | None = None) -> None:
     """Flip the given manifest entries to status='compacted' (kept for
-    lineage: predicate, counts, timings stay auditable per snapshot)."""
+    lineage: predicate, counts, timings stay auditable per snapshot).
+    ``buckets`` records the flush's affected-bucket union on each entry —
+    refresh_blocks uses it to rebuild ONLY those block partitions when a
+    run was compacted before ever being snapshotted (entries without the
+    field, i.e. pre-round-4 compactions, force a full blocks rebuild)."""
     keys = {(e.get("chunk"), e.get("run_path")) for e in entries}
     for name, e in _manifest_entries(index_dir):
         if (e.get("chunk"), e.get("run_path")) in keys \
                 and e.get("status") == "committed":
             e["status"] = "compacted"
+            if buckets is not None:
+                e["compacted_buckets"] = sorted(int(b) for b in buckets)
             with open(os.path.join(index_dir, MANIFEST, name), "w") as fh:
                 json.dump(e, fh, indent=1)
 
@@ -440,7 +447,7 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(ts_dir)
     os.rename(tmp, ts_dir)
 
-    mark_compacted(index_dir, runs)
+    mark_compacted(index_dir, runs, buckets=affected)
     # reclaim the folded postings runs — their rows now live in the base
     # buckets; leaving them would leak a full copy of every appended
     # posting. Manifest entries stay (status='compacted') for lineage.
@@ -448,6 +455,10 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(e["run_path"], ignore_errors=True)
     meta["compacted_buckets"] = affected
     meta["n_runs_compacted"] = len(runs)
+    # monotonic flush counter: refresh_blocks names its bucket-scoped
+    # rebuild files base-c<seq>-*.parquet so a crash replay REPLACES its
+    # own files (and recognizes stale base-c<other-seq> files as garbage)
+    meta["compaction_seq"] = int(meta.get("compaction_seq", 0)) + 1
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
     return meta

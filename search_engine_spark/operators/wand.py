@@ -235,11 +235,21 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
     factor for both epochs (qnorm grows at most linearly in the avgdl
     ratio). Pruning stays exact; bounds on one side are merely looser.
 
-    Falls back to a full :func:`write_blocks` when there is no previous
-    snapshot, ``compact_deletes`` bumped the delete epoch (the tombstone
-    table old blocks rely on is gone), or an uncovered run was already
-    compacted into the base (flush-then-snapshot — its postings are no
-    longer separable). Returns the updated blocks_meta dict."""
+    Flush-then-snapshot (an uncovered run already compacted into the base,
+    so its postings are no longer separable) is ALSO bucket-scoped: the
+    compaction records its affected-bucket union on the manifest entries
+    it flips (lsm.mark_compacted), and the refresh rebuilds ONLY those
+    block partitions from the post-compact base — installing
+    ``base-c<seq>`` files, dropping the now-folded runs' delta files, and
+    keeping still-live runs' deltas. A journal of the replaced partitions'
+    counter totals (written before any file is touched) keeps the
+    additive blocks_meta counters exact across crash replays.
+
+    Falls back to a full :func:`write_blocks` only when there is no
+    previous snapshot, ``compact_deletes`` bumped the delete epoch (the
+    tombstone table old blocks rely on is gone), a live uncovered run is
+    damaged, or a pre-round-4 compaction left no bucket lineage. Returns
+    the updated blocks_meta dict."""
     import json
     import shutil
     import tempfile
@@ -247,7 +257,8 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
 
     from pyspark.sql import Observation
 
-    from .index_build import META, IndexConfig, InvertedIndex, load_index
+    from .index_build import (DOC_STATS, META, POSTINGS, IndexConfig,
+                              InvertedIndex, load_index)
     from .lsm import accounted_runs
 
     blocks_path = os.path.join(index_dir, BLOCKS)
@@ -269,9 +280,13 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
                 if e["run_path"] not in included]
     if not new_runs:
         return bm
+    compacted_unc = [e for e in new_runs if e.get("status") == "compacted"]
+    live_unc = [e for e in new_runs if e.get("status") != "compacted"]
+    if any("compacted_buckets" not in e for e in compacted_unc):
+        return _full()  # pre-round-4 compaction: no bucket lineage
     if any(not os.path.isdir(e["run_path"])
            or not os.path.isdir(e.get("doc_stats_path") or "")
-           for e in new_runs):
+           for e in live_unc):
         return _full()
 
     config = IndexConfig(id_col=meta["id_col"], fields=meta["fields"],
@@ -283,7 +298,109 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
     with_pos = bool(bm.get("positions"))
     t0 = time.time()
     add_blocks = add_posts = add_payload = add_pos = 0
-    for e in new_runs:
+    rebuilt_buckets: list = []
+
+    def _part_totals(df):
+        pos_b = (F.sum(F.length("pos_payload")) if with_pos
+                 else F.lit(0).cast("long")).alias("pos_bytes")
+        r = df.agg(F.count(F.lit(1)).alias("n_blocks"),
+                   F.sum("n_docs").alias("n_posts"),
+                   F.sum(F.length("payload")).alias("payload_bytes"),
+                   pos_b).collect()[0]
+        return {"n_blocks": int(r["n_blocks"] or 0),
+                "n_posts": int(r["n_posts"] or 0),
+                "payload_bytes": int(r["payload_bytes"] or 0),
+                "pos_bytes": int(r["pos_bytes"] or 0)}
+
+    if compacted_unc:
+        # Bucket-scoped rebuild for runs folded into the base before ever
+        # being snapshotted: their postings are only separable by bucket.
+        # Terms are bucket-exclusive (bucket = hash(field-agnostic term)),
+        # so replacing exactly the compaction-touched partitions from the
+        # post-compact base — and dropping every COMPACTED run's delta
+        # files there (their rows are now in the base) while keeping
+        # still-live runs' deltas (their rows are not) — restores a
+        # consistent table without reading any untouched bucket.
+        seq = int(meta.get("compaction_seq", 0))
+        rebuilt_buckets = sorted({int(b) for e in compacted_unc
+                                  for b in e["compacted_buckets"]})
+        compacted_tags = {os.path.basename(e["run_path"])
+                          for e in accounted_runs(index_dir)
+                          if e.get("status") == "compacted"}
+        # journal the replaced partitions' totals BEFORE touching files:
+        # a crash replay must reuse these exact numbers (recomputing over
+        # a partially rebuilt partition would corrupt the additive
+        # counters). Keyed on (seq, buckets) so an unrelated later flush
+        # never reuses a stale journal.
+        jpath = os.path.join(index_dir, "blocks_rebuild_journal.json")
+        journal = None
+        if os.path.isfile(jpath):
+            with open(jpath) as fh:
+                journal = json.load(fh)
+            if journal.get("seq") != seq \
+                    or journal.get("buckets") != rebuilt_buckets:
+                journal = None
+        if journal is None:
+            old_tot = _part_totals(
+                spark.read.parquet(blocks_path)
+                .where(F.col("bucket").isin(rebuilt_buckets)))
+            journal = {"seq": seq, "buckets": rebuilt_buckets,
+                       "old": old_tot}
+            with open(jpath + ".tmp", "w") as fh:
+                json.dump(journal, fh)
+            os.replace(jpath + ".tmp", jpath)
+        base_ix = InvertedIndex(
+            spark.read.parquet(os.path.join(index_dir, POSTINGS))
+                 .where(F.col("bucket").isin(rebuilt_buckets)),
+            spark.read.parquet(os.path.join(index_dir, DOC_STATS))
+                 .select("doc_id", "dl"),
+            None, int(meta["total_docs"]), float(meta["avg_dl"]), config)
+        staging = tempfile.mkdtemp(prefix="blocks_rebase_", dir=index_dir)
+        try:
+            (build_blocks(base_ix, with_positions=with_pos)
+             .repartition(max(len(rebuilt_buckets), 1), "bucket")
+             .sortWithinPartitions("field", "term", "blk")
+             .write.mode("overwrite").partitionBy("bucket")
+             .option("parquet.block.size", 1 << 20)
+             .parquet(staging))
+            for bkt in rebuilt_buckets:
+                part = f"bucket={bkt}"
+                dst_dir = os.path.join(blocks_path, part)
+                os.makedirs(dst_dir, exist_ok=True)
+                src_dir = os.path.join(staging, part)
+                files = (sorted(f for f in os.listdir(src_dir)
+                                if f.endswith(".parquet"))
+                         if os.path.isdir(src_dir) else [])
+                keep = set()
+                for i, f in enumerate(files):
+                    # deterministic per-flush names: a replay REPLACES
+                    # its own files instead of duplicating them
+                    name = f"base-c{seq:04d}-{i:03d}.parquet"
+                    os.replace(os.path.join(src_dir, f),
+                               os.path.join(dst_dir, name))
+                    keep.add(name)
+                for f in list(os.listdir(dst_dir)):
+                    if not f.endswith(".parquet") or f in keep:
+                        continue
+                    if f.startswith("delta-") and not any(
+                            f.startswith(f"delta-{t}-")
+                            for t in compacted_tags):
+                        continue  # still-live run's delta: keep
+                    os.remove(os.path.join(dst_dir, f))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        new_tot = _part_totals(
+            spark.read.parquet(blocks_path)
+            .where(F.col("bucket").isin(rebuilt_buckets)))
+        add_blocks += new_tot["n_blocks"] - journal["old"]["n_blocks"]
+        add_posts += new_tot["n_posts"] - journal["old"]["n_posts"]
+        add_payload += (new_tot["payload_bytes"]
+                        - journal["old"]["payload_bytes"])
+        add_pos += new_tot["pos_bytes"] - journal["old"]["pos_bytes"]
+        for e in compacted_unc:
+            included.add(e["run_path"])
+
+    for e in live_unc:
         posts = spark.read.parquet(e["run_path"])
         ds = (spark.read.parquet(e["doc_stats_path"])
               .select("doc_id", "dl"))
@@ -346,12 +463,19 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
     bm["refreshes"] = int(bm.get("refreshes", 0)) + 1
     bm["last_refresh"] = {
         "runs": sorted(e["run_path"] for e in new_runs),
+        "rebuilt_buckets": rebuilt_buckets,
         "n_blocks": add_blocks, "n_postings": add_posts,
         "seconds": round(time.time() - t0, 3),
     }
     with open(bmp + ".tmp", "w") as fh:
         json.dump(bm, fh, indent=1)
     os.replace(bmp + ".tmp", bmp)
+    if rebuilt_buckets:  # journal only guards the window before this write
+        try:
+            os.remove(os.path.join(index_dir,
+                                   "blocks_rebuild_journal.json"))
+        except FileNotFoundError:
+            pass
     return bm
 
 

@@ -138,7 +138,10 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
     }
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
-    mark_compacted(index_dir, merged_entries)
+    # the from-runs rebuild wrote every bucket partition — record the
+    # full bucket range as the compaction's footprint for refresh_blocks
+    mark_compacted(index_dir, merged_entries,
+                   buckets=list(range(config.n_buckets)))
     return meta
 
 

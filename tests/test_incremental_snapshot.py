@@ -165,14 +165,145 @@ class TestRefreshBlocks:
         assert set(bm["includes_runs"]) >= set()
 
 
+def _narrow_docs(spark, lo, hi):
+    """Appended docs with a tiny vocabulary ({omega, fresh}) so the flush
+    touches only those terms' buckets — the rest must stay untouched."""
+    rows = [(i, "omega fresh") for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _recount(spark, ixdir):
+    """Ground-truth counter totals: one full aggregate over the blocks
+    table, compared EXACTLY against the additively maintained meta."""
+    b = spark.read.parquet(os.path.join(ixdir, BLOCKS))
+    r = b.agg(F.count(F.lit(1)).alias("nb"),
+              F.sum("n_docs").alias("np"),
+              F.sum(F.length("payload")).alias("pb")).collect()[0]
+    return int(r["nb"]), int(r["np"] or 0), int(r["pb"] or 0)
+
+
+class TestFlushThenSnapshotBucketScoped:
+    """Round-4 completion of verdict item #1: the flush-then-snapshot
+    path (a run compacted before ever being snapshotted) rebuilds ONLY
+    the compaction's affected bucket partitions, not the whole table."""
+
+    def _build(self, spark, tmp_path):
+        ixdir = str(tmp_path / "ix")
+        write_index(_docs(spark, 0, BASE_N), ixdir, IndexConfig(**CFG))
+        write_blocks(load_index(spark, ixdir), ixdir)
+        return ixdir
+
+    def test_rebuild_touches_only_compacted_buckets(self, spark, tmp_path):
+        ixdir = self._build(spark, tmp_path)
+        before = _block_files(ixdir)
+        append_docs(_narrow_docs(spark, BASE_N, BASE_N + ADD_N), ixdir,
+                    IndexConfig(**CFG))
+        compact_runs(spark, ixdir)  # run files gone — not separable
+        with open(os.path.join(ixdir, "meta.json")) as fh:
+            affected = {f"bucket={b}"
+                        for b in json.load(fh)["compacted_buckets"]}
+        assert affected and len(affected) < len(before)  # narrow vocab
+        bm = refresh_blocks(spark, ixdir)
+        assert bm["refreshes"] == 1  # incremental path, not write_blocks
+        assert set(bm["last_refresh"]["rebuilt_buckets"]) \
+            == {int(p.split("=")[1]) for p in affected}
+        after = _block_files(ixdir)
+        for part, files in before.items():
+            if part not in affected:
+                assert after[part] == files  # byte-identical untouched
+        for part in affected:
+            assert all(f.startswith("base-c") for f, _, _ in after[part])
+        # additive counters stay EXACT vs a full recount
+        nb, npost, pb = _recount(spark, ixdir)
+        assert (bm["n_blocks"], bm["n_postings"],
+                bm["payload_bytes"]) == (nb, npost, pb)
+        srv = ServingIndex(ixdir)
+        _, total = srv.search_with_total({"match_all": {}}, k=1)
+        assert total == BASE_N + ADD_N
+        assert srv.topk("text", ["omega"], k=50)[0][0] >= BASE_N
+        q = {"match": {"field": "text", "value": "alpha omega"}}
+        spark_pairs = _spark_pairs(spark, ixdir, q)
+        srv_pairs = srv.search(q, k=50)
+        assert [d for d, _ in srv_pairs] == [d for d, _ in spark_pairs]
+
+    def test_flush_of_covered_run_drops_folded_deltas(self, spark,
+                                                      tmp_path):
+        ixdir = self._build(spark, tmp_path)
+        cfg = IndexConfig(**CFG)
+        append_docs(_narrow_docs(spark, BASE_N, BASE_N + 5), ixdir, cfg)
+        refresh_blocks(spark, ixdir)  # run A covered via delta files
+        append_docs(_narrow_docs(spark, BASE_N + 5, BASE_N + ADD_N),
+                    ixdir, cfg)      # run B never snapshotted
+        compact_runs(spark, ixdir)   # folds BOTH into the base
+        bm = refresh_blocks(spark, ixdir)
+        assert bm["refreshes"] == 2
+        # every delta file in the rebuilt partitions belonged to a now-
+        # folded run — none may survive (their rows are in the base)
+        for part in (f"bucket={b}"
+                     for b in bm["last_refresh"]["rebuilt_buckets"]):
+            d = os.path.join(ixdir, BLOCKS, part)
+            assert not [f for f in os.listdir(d)
+                        if f.startswith("delta-")]
+        nb, npost, pb = _recount(spark, ixdir)
+        assert (bm["n_blocks"], bm["n_postings"],
+                bm["payload_bytes"]) == (nb, npost, pb)
+        srv = ServingIndex(ixdir)
+        _, total = srv.search_with_total({"match_all": {}}, k=1)
+        assert total == BASE_N + ADD_N
+        assert len(srv.topk("text", ["fresh"], k=50)) == ADD_N
+
+    def test_crash_before_meta_write_replays_exactly(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        ixdir = self._build(spark, tmp_path)
+        append_docs(_narrow_docs(spark, BASE_N, BASE_N + ADD_N), ixdir,
+                    IndexConfig(**CFG))
+        compact_runs(spark, ixdir)
+        real_replace = os.replace
+
+        def crash_on_meta(src, dst):
+            if str(dst).endswith("blocks_meta.json"):
+                raise RuntimeError("injected crash before meta write")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", crash_on_meta)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            refresh_blocks(spark, ixdir)
+        monkeypatch.setattr(os, "replace", real_replace)
+        # crash window: journal still present, snapshot still reads STALE
+        assert os.path.isfile(
+            os.path.join(ixdir, "blocks_rebuild_journal.json"))
+        with pytest.raises(ValueError, match="STALE"):
+            ServingIndex(ixdir)
+        bm = refresh_blocks(spark, ixdir)  # replay completes
+        assert not os.path.isfile(
+            os.path.join(ixdir, "blocks_rebuild_journal.json"))
+        nb, npost, pb = _recount(spark, ixdir)
+        assert (bm["n_blocks"], bm["n_postings"],
+                bm["payload_bytes"]) == (nb, npost, pb)
+        srv = ServingIndex(ixdir)
+        _, total = srv.search_with_total({"match_all": {}}, k=1)
+        assert total == BASE_N + ADD_N
+
+
 class TestRefreshFallsBackToFull:
-    def test_flush_then_snapshot_full_rebuild(self, spark, tmp_path):
+    def test_pre_round4_compaction_full_rebuild(self, spark, tmp_path):
         ixdir = str(tmp_path / "ix")
         write_index(_docs(spark, 0, BASE_N), ixdir, IndexConfig(**CFG))
         write_blocks(load_index(spark, ixdir), ixdir)
         append_docs(_docs(spark, BASE_N, BASE_N + ADD_N), ixdir,
                     IndexConfig(**CFG))
-        compact_runs(spark, ixdir)  # run files are gone — not separable
+        compact_runs(spark, ixdir)
+        # strip the bucket lineage the round-4 compaction records —
+        # a manifest written before round 4 has no compacted_buckets
+        mdir = os.path.join(ixdir, "build_manifest")
+        for name in os.listdir(mdir):
+            p = os.path.join(mdir, name)
+            with open(p) as fh:
+                e = json.load(fh)
+            if e.pop("compacted_buckets", None) is not None:
+                with open(p, "w") as fh:
+                    json.dump(e, fh)
         bm = refresh_blocks(spark, ixdir)
         assert "refreshes" not in bm  # full write_blocks path
         srv = ServingIndex(ixdir)
