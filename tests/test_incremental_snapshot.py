@@ -252,6 +252,30 @@ class TestFlushThenSnapshotBucketScoped:
         assert total == BASE_N + ADD_N
         assert len(srv.topk("text", ["fresh"], k=50)) == ADD_N
 
+    def test_flush_of_fully_covered_runs_keeps_snapshot_fresh(
+            self, spark, tmp_path):
+        """The operational headline: when auto-persistence covers every
+        run with deltas BEFORE the flush, compaction costs ZERO blocks
+        work — the old base files + delta files remain exactly correct
+        (compaction only moves rows between row-store tables the blocks
+        never read), so the snapshot stays fresh with no refresh."""
+        ixdir = self._build(spark, tmp_path)
+        cfg = IndexConfig(**CFG)
+        append_docs(_narrow_docs(spark, BASE_N, BASE_N + ADD_N), ixdir,
+                    cfg)
+        refresh_blocks(spark, ixdir)     # run covered by deltas
+        before = _block_files(ixdir)
+        compact_runs(spark, ixdir)       # fold into base
+        assert _block_files(ixdir) == before  # zero blocks I/O
+        bm = refresh_blocks(spark, ixdir)     # nothing to do
+        assert _block_files(ixdir) == before
+        assert bm.get("last_refresh", {}).get("rebuilt_buckets") in (
+            None, [])
+        srv = ServingIndex(ixdir)        # fresh — no STALE raise
+        _, total = srv.search_with_total({"match_all": {}}, k=1)
+        assert total == BASE_N + ADD_N
+        assert len(srv.topk("text", ["fresh"], k=50)) == ADD_N
+
     def test_crash_before_meta_write_replays_exactly(self, spark,
                                                      tmp_path,
                                                      monkeypatch):
