@@ -479,6 +479,133 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
     return bm
 
 
+def consolidate_blocks(spark: SparkSession, index_dir: str,
+                       min_files: int = 8) -> dict:
+    """File-level major compaction of the blocks table — the LSM
+    counterpart the delta refresh needs to stay bounded.
+
+    Each :func:`refresh_blocks` installs one delta file per run per
+    touched bucket, so a long-lived index accumulates files and every
+    cold term lookup pays one parquet-footer read per file. This pass
+    rewrites every bucket partition holding ``>= min_files`` data files
+    into ONE term-sorted file. It is a pure file-level union — rows
+    (including multiple payload segments per (term, blk), which readers
+    accumulate by design) are preserved verbatim, never decoded or
+    merged, so blocks_meta counters and lineage stay valid untouched.
+
+    Crash safety: a ``blocks_consolidating.json`` marker is written
+    FIRST and removed LAST; while it exists every reader
+    (:func:`load_blocks`, ``ServingIndex``) refuses the table outright
+    (no allow_stale bypass — a half-consolidated partition transiently
+    holds duplicate rows, which would double-count postings). A replay
+    re-reads the partition (``dropDuplicates`` over full rows makes the
+    install-then-crash case exact: legitimate distinct segments always
+    differ in payload bytes), rewrites the same deterministic
+    ``base-m<seq>`` names, and deletes everything else. Single writer
+    assumed, as with every mutator in this package (the HTTP facade
+    brackets all snapshot work in one lock)."""
+    import json
+    import shutil
+    import tempfile
+    import time
+
+    blocks_path = os.path.join(index_dir, BLOCKS)
+    bmp = os.path.join(index_dir, "blocks_meta.json")
+    marker = os.path.join(index_dir, "blocks_consolidating.json")
+    chosen = []
+    for name in sorted(os.listdir(blocks_path)):
+        if not name.startswith("bucket="):
+            continue
+        d = os.path.join(blocks_path, name)
+        n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if n >= max(int(min_files), 2):
+            chosen.append(int(name.split("=", 1)[1]))
+    if os.path.isfile(marker):  # crashed pass: finish ITS bucket set
+        with open(marker) as fh:
+            prev = json.load(fh)
+        chosen = sorted(set(chosen) | set(prev.get("buckets", [])))
+    if not chosen:
+        return {"consolidated_buckets": [], "files_removed": 0}
+    bm = {}
+    if os.path.isfile(bmp):
+        with open(bmp) as fh:
+            bm = json.load(fh)
+    seq = int(bm.get("consolidations", 0)) + 1
+    if os.path.isfile(marker):
+        seq = int(prev.get("seq", seq))
+    t0 = time.time()
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"seq": seq, "buckets": chosen}, fh)
+    os.replace(marker + ".tmp", marker)
+
+    n_before = sum(
+        1 for b in chosen
+        for f in os.listdir(os.path.join(blocks_path, f"bucket={b}"))
+        if f.endswith(".parquet"))
+    staging = tempfile.mkdtemp(prefix="blocks_consol_", dir=index_dir)
+    try:
+        (spark.read.parquet(blocks_path)
+         .where(F.col("bucket").isin(chosen))
+         .dropDuplicates()  # exact under install-then-crash replay
+         .repartition(len(chosen), "bucket")
+         .sortWithinPartitions("field", "term", "blk")
+         .write.mode("overwrite").partitionBy("bucket")
+         .option("parquet.block.size", 1 << 20)
+         .parquet(staging))
+        for bkt in chosen:
+            part = f"bucket={bkt}"
+            dst_dir = os.path.join(blocks_path, part)
+            src_dir = os.path.join(staging, part)
+            files = (sorted(f for f in os.listdir(src_dir)
+                            if f.endswith(".parquet"))
+                     if os.path.isdir(src_dir) else [])
+            keep = set()
+            for i, f in enumerate(files):
+                name = f"base-m{seq:04d}-{i:03d}.parquet"
+                os.replace(os.path.join(src_dir, f),
+                           os.path.join(dst_dir, name))
+                keep.add(name)
+            for f in list(os.listdir(dst_dir)):
+                if f.endswith(".parquet") and f not in keep:
+                    os.remove(os.path.join(dst_dir, f))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    n_after = sum(
+        1 for b in chosen
+        for f in os.listdir(os.path.join(blocks_path, f"bucket={b}"))
+        if f.endswith(".parquet"))
+    if os.path.isfile(bmp):  # counters/lineage unchanged — content is
+        bm["consolidations"] = seq  # identical, only file layout moved
+        bm["last_consolidation"] = {
+            "buckets": chosen, "files_before": n_before,
+            "files_after": n_after,
+            "seconds": round(time.time() - t0, 3)}
+        with open(bmp + ".tmp", "w") as fh:
+            json.dump(bm, fh, indent=1)
+        os.replace(bmp + ".tmp", bmp)
+    os.remove(marker)
+    return {"consolidated_buckets": chosen,
+            "files_removed": n_before - n_after,
+            "seconds": round(time.time() - t0, 3)}
+
+
+def check_blocks_consistent(index_dir: str, where: str) -> None:
+    """Raise when a :func:`consolidate_blocks` pass is in flight (or
+    crashed mid-way): its touched partitions may transiently hold
+    DUPLICATE rows, which would double-count postings in scores — an
+    integrity problem, so unlike staleness there is NO allow_stale
+    bypass. Re-running consolidate_blocks() completes the pass and
+    clears the marker."""
+    if os.path.isfile(os.path.join(index_dir,
+                                   "blocks_consolidating.json")):
+        raise ValueError(
+            f"{where}: blocks table is INCONSISTENT — a "
+            "consolidate_blocks() pass is in flight or crashed mid-way "
+            "(touched partitions may hold duplicate rows). Re-run "
+            "consolidate_blocks() to finish, or serve via the Spark "
+            "row-store path.")
+
+
 def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
                        where: str) -> None:
     """Raise when LSM runs were appended AFTER the block table was written
@@ -527,6 +654,7 @@ def load_blocks(spark: SparkSession, index_dir: str,
     Refuses a snapshot missing LSM runs appended since write_blocks()
     unless ``allow_stale``."""
     import json
+    check_blocks_consistent(index_dir, f"load_blocks({index_dir})")
     df = spark.read.parquet(os.path.join(index_dir, BLOCKS))
     meta_path = os.path.join(index_dir, "blocks_meta.json")
     bm = None

@@ -486,6 +486,19 @@ class SearchService:
                                         id_col=cfg.id_col)
                 if dv:
                     metrics["doc_values_fields"] = sorted(dv["fields"])
+                # bounded delta accumulation: bucket partitions that
+                # collected too many delta files since the last pass are
+                # rewritten into one term-sorted file each (file-level
+                # union — content identical, cold-lookup footer reads
+                # drop back to 1 per bucket). No-op listdir when nothing
+                # qualifies.
+                from .operators.wand import consolidate_blocks
+                cons = consolidate_blocks(
+                    self.spark, ixdir,
+                    min_files=int(self.auto_persist.get(
+                        "consolidate_after") or 16))
+                if cons.get("consolidated_buckets"):
+                    metrics["consolidated"] = cons
             finally:
                 self._snap_busy.discard(name)
         self._auto_pending[name] = 0

@@ -37,7 +37,8 @@ import pyarrow.parquet as pq
 from .operators.index_build import META, TERM_STATS, bucket_of, check_bucket_fn
 from .operators.postings_codec import (bm25_qnorm, decode_blocks_batch,
                                        decode_positions)
-from .operators.wand import BLOCKS, check_blocks_fresh
+from .operators.wand import (BLOCKS, check_blocks_consistent,
+                             check_blocks_fresh)
 
 K1, B = 1.2, 0.75
 
@@ -203,6 +204,7 @@ class ServingIndex:
         if os.path.isfile(bmp):
             with open(bmp) as fh:
                 bm = json.load(fh)
+        check_blocks_consistent(index_dir, f"ServingIndex({index_dir})")
         if not allow_stale:
             check_blocks_fresh(index_dir, bm, f"ServingIndex({index_dir})")
         # merge-on-read deletes: the immutable block table still holds

@@ -310,6 +310,93 @@ class TestFlushThenSnapshotBucketScoped:
         assert total == BASE_N + ADD_N
 
 
+class TestConsolidateBlocks:
+    """File-level major compaction of delta-accumulated bucket
+    partitions: content-identical, crash-safe via the consolidating
+    marker (hard INCONSISTENT refusal, no allow_stale bypass)."""
+
+    def _accumulate(self, spark, tmp_path, n_appends=3):
+        from search_engine_spark.operators.wand import consolidate_blocks
+        ixdir = str(tmp_path / "ix")
+        cfg = IndexConfig(**CFG)
+        write_index(_docs(spark, 0, BASE_N), ixdir, cfg)
+        write_blocks(load_index(spark, ixdir), ixdir)
+        for i in range(n_appends):
+            lo = BASE_N + i * 3
+            append_docs(_narrow_docs(spark, lo, lo + 3), ixdir, cfg)
+            refresh_blocks(spark, ixdir)
+        return ixdir, consolidate_blocks
+
+    def test_merges_files_content_identical(self, spark, tmp_path):
+        ixdir, consolidate_blocks = self._accumulate(spark, tmp_path)
+        srv = ServingIndex(ixdir)
+        q = {"match": {"field": "text", "value": "alpha omega"}}
+        before_pairs = srv.search(q, k=50)
+        before_total = srv.search_with_total({"match_all": {}}, k=1)[1]
+        nb0, np0, pb0 = _recount(spark, ixdir)
+        with open(os.path.join(ixdir, "blocks_meta.json")) as fh:
+            bm0 = json.load(fh)
+        res = consolidate_blocks(spark, ixdir, min_files=2)
+        assert res["consolidated_buckets"] and res["files_removed"] > 0
+        for b in res["consolidated_buckets"]:
+            d = os.path.join(ixdir, BLOCKS, f"bucket={b}")
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1 and files[0].startswith("base-m")
+        assert _recount(spark, ixdir) == (nb0, np0, pb0)
+        with open(os.path.join(ixdir, "blocks_meta.json")) as fh:
+            bm1 = json.load(fh)
+        assert bm1["includes_runs"] == bm0["includes_runs"]
+        assert (bm1["n_blocks"], bm1["n_postings"]) \
+            == (bm0["n_blocks"], bm0["n_postings"])
+        srv2 = ServingIndex(ixdir)  # fresh + consistent
+        assert srv2.search(q, k=50) == before_pairs
+        assert srv2.search_with_total({"match_all": {}},
+                                      k=1)[1] == before_total
+
+    def test_noop_below_threshold(self, spark, tmp_path):
+        ixdir, consolidate_blocks = self._accumulate(spark, tmp_path,
+                                                     n_appends=1)
+        before = _block_files(ixdir)
+        res = consolidate_blocks(spark, ixdir, min_files=50)
+        assert res["consolidated_buckets"] == []
+        assert _block_files(ixdir) == before
+        assert not os.path.isfile(
+            os.path.join(ixdir, "blocks_consolidating.json"))
+
+    def test_crash_mid_cleanup_refused_then_replayed(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        ixdir, consolidate_blocks = self._accumulate(spark, tmp_path)
+        srv = ServingIndex(ixdir)
+        q = {"match": {"field": "text", "value": "omega"}}
+        before_pairs = srv.search(q, k=50)
+        real_remove = os.remove
+
+        def crash_on_first_delete(path):
+            if str(path).endswith(".parquet"):
+                raise RuntimeError("injected crash mid-cleanup")
+            return real_remove(path)
+
+        monkeypatch.setattr(os, "remove", crash_on_first_delete)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            consolidate_blocks(spark, ixdir, min_files=2)
+        monkeypatch.setattr(os, "remove", real_remove)
+        # marker present: duplicate rows possible — HARD refusal,
+        # allow_stale must NOT bypass it
+        with pytest.raises(ValueError, match="INCONSISTENT"):
+            ServingIndex(ixdir)
+        with pytest.raises(ValueError, match="INCONSISTENT"):
+            ServingIndex(ixdir, allow_stale=True)
+        with pytest.raises(ValueError, match="INCONSISTENT"):
+            load_blocks(spark, ixdir, allow_stale=True)
+        res = consolidate_blocks(spark, ixdir, min_files=2)  # replay
+        assert res["consolidated_buckets"]
+        assert not os.path.isfile(
+            os.path.join(ixdir, "blocks_consolidating.json"))
+        srv2 = ServingIndex(ixdir)
+        assert srv2.search(q, k=50) == before_pairs
+
+
 class TestRefreshFallsBackToFull:
     def test_pre_round4_compaction_full_rebuild(self, spark, tmp_path):
         ixdir = str(tmp_path / "ix")
