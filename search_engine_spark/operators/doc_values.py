@@ -244,12 +244,88 @@ def load_doc_values_meta(index_dir: str) -> dict | None:
 
 def check_doc_values_fresh(index_dir: str, dv_meta: dict) -> bool:
     """False when LSM runs were appended after the sidecar was written —
-    aggregations over it would silently undercount those docs. Mirrors
-    wand.check_blocks_fresh but soft: callers fall back to Spark."""
+    aggregations over it would silently undercount those docs — or when
+    a :func:`consolidate_doc_values` pass is in flight / crashed mid-way
+    (a half-consolidated sidecar can transiently hold duplicate rows,
+    which would double-count). Mirrors wand.check_blocks_fresh but soft:
+    callers fall back to Spark."""
     from .lsm import accounted_runs
+    if os.path.isfile(os.path.join(index_dir, "dv_consolidating.json")):
+        return False
     included = set(dv_meta.get("includes_runs", []))
     return all(e["run_path"] in included
                for e in accounted_runs(index_dir))
+
+
+def consolidate_doc_values(spark: SparkSession, index_dir: str,
+                           min_delta_files: int = 8) -> dict:
+    """File-level major compaction of the sidecar's run deltas — the
+    doc-values twin of wand.consolidate_blocks.
+
+    Every incremental refresh installs one ``delta-<run>`` file, and each
+    column read pays one footer+slice per file, so long-lived indexes
+    decay. When ``>= min_delta_files`` delta files exist, merge them into
+    ONE doc_id-sorted ``delta-merged-m<seq>`` file (kept under the
+    ``delta-`` prefix so later passes re-consolidate it). Content is
+    preserved verbatim; dv meta and run lineage stay valid untouched.
+
+    Crash-safe via a ``dv_consolidating.json`` marker written first and
+    removed last: while present :func:`check_doc_values_fresh` returns
+    False, so serving falls back to the Spark path (which never reads
+    the sidecar) instead of double-counting transiently duplicated rows.
+    A replay re-reads the current delta set (``dropDuplicates`` over
+    full rows makes the install-then-crash case exact — appended doc ids
+    are unique, so only exact copies can collide) and replaces its own
+    deterministic file name."""
+    import shutil
+    import tempfile
+    import time
+
+    path = os.path.join(index_dir, DOC_VALUES)
+    marker = os.path.join(index_dir, "dv_consolidating.json")
+    if not os.path.isdir(path):
+        return {"merged_files": 0}
+    meta = load_doc_values_meta(index_dir) or {}
+    seq = int(meta.get("consolidations", 0)) + 1
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            seq = int(json.load(fh).get("seq", seq))
+    deltas = sorted(f for f in os.listdir(path)
+                    if f.startswith("delta-") and f.endswith(".parquet"))
+    if len(deltas) < max(int(min_delta_files), 2) \
+            and not os.path.isfile(marker):
+        return {"merged_files": 0}
+    t0 = time.time()
+    with open(marker + ".tmp", "w") as fh:
+        json.dump({"seq": seq}, fh)
+    os.replace(marker + ".tmp", marker)
+    target = f"delta-merged-m{seq:04d}-000.parquet"
+    staging = tempfile.mkdtemp(prefix="dv_consol_", dir=index_dir)
+    try:
+        (spark.read.parquet(*[os.path.join(path, f) for f in deltas])
+         .dropDuplicates()  # exact under install-then-crash replay
+         .repartitionByRange(1, "doc_id")
+         .sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(staging))
+        part = sorted(f for f in os.listdir(staging)
+                      if f.endswith(".parquet"))
+        # single range partition → exactly one data file
+        os.replace(os.path.join(staging, part[0]),
+                   os.path.join(path, target))
+        for f in deltas:
+            if f != target:
+                os.remove(os.path.join(path, f))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if meta:
+        meta["consolidations"] = seq
+        mp = os.path.join(index_dir, DV_META)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(mp + ".tmp", mp)
+    os.remove(marker)
+    return {"merged_files": len([f for f in deltas if f != target]),
+            "target": target, "seconds": round(time.time() - t0, 3)}
 
 
 def enrich_rows(docs: DataFrame, id_col: str, doc_ids: list,

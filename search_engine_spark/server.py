@@ -492,13 +492,18 @@ class SearchService:
                 # union — content identical, cold-lookup footer reads
                 # drop back to 1 per bucket). No-op listdir when nothing
                 # qualifies.
+                from .operators.doc_values import consolidate_doc_values
                 from .operators.wand import consolidate_blocks
-                cons = consolidate_blocks(
-                    self.spark, ixdir,
-                    min_files=int(self.auto_persist.get(
-                        "consolidate_after") or 16))
+                thresh = int(self.auto_persist.get(
+                    "consolidate_after") or 16)
+                cons = consolidate_blocks(self.spark, ixdir,
+                                          min_files=thresh)
                 if cons.get("consolidated_buckets"):
                     metrics["consolidated"] = cons
+                dvc = consolidate_doc_values(self.spark, ixdir,
+                                             min_delta_files=thresh)
+                if dvc.get("merged_files"):
+                    metrics["dv_consolidated"] = dvc
             finally:
                 self._snap_busy.discard(name)
         self._auto_pending[name] = 0

@@ -397,6 +397,80 @@ class TestConsolidateBlocks:
         assert srv2.search(q, k=50) == before_pairs
 
 
+class TestConsolidateDocValues:
+    """Sidecar twin of blocks consolidation: merge accumulated run
+    deltas into one doc_id-sorted file; while the pass is in flight the
+    sidecar reads as un-fresh (soft Spark fallback, never duplicates)."""
+
+    def _accumulate(self, spark, tmp_path, n_appends=3):
+        from search_engine_spark.operators.doc_values import (
+            DOC_VALUES, consolidate_doc_values, refresh_doc_values,
+            write_doc_values)
+        ixdir = str(tmp_path / "ix")
+        cfg = IndexConfig(**CFG)
+        base = _docs(spark, 0, BASE_N)
+        write_index(base, ixdir, cfg)
+        write_blocks(load_index(spark, ixdir), ixdir)
+        write_doc_values(base, ixdir, ["text"])
+        for i in range(n_appends):
+            lo = BASE_N + i * 3
+            batch = _narrow_docs(spark, lo, lo + 3)
+            entry = append_docs(batch, ixdir, cfg)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(ixdir, "docs_runs", entry["chunk"]))
+            refresh_blocks(spark, ixdir)
+            refresh_doc_values(spark, ixdir)
+        return ixdir, DOC_VALUES, consolidate_doc_values
+
+    def test_merge_content_identical(self, spark, tmp_path):
+        ixdir, DOC_VALUES, consolidate = self._accumulate(spark,
+                                                          tmp_path)
+        srv = ServingIndex(ixdir)
+        agg = {"l": {"terms": {"field": "text", "size": 3}}}
+        assert srv.can_aggregate(agg)
+        before = srv.aggregate(agg, None)
+        res = consolidate(spark, ixdir, min_delta_files=2)
+        assert res["merged_files"] == 3
+        dvdir = os.path.join(ixdir, DOC_VALUES)
+        deltas = [f for f in os.listdir(dvdir) if f.startswith("delta-")]
+        assert deltas == [res["target"]]
+        srv2 = ServingIndex(ixdir)
+        assert srv2.can_aggregate(agg)
+        assert srv2.aggregate(agg, None) == before
+        _, total = srv2.search_with_total({"match_all": {}}, k=1)
+        assert total == BASE_N + 9
+
+    def test_crash_soft_fallback_then_replay(self, spark, tmp_path,
+                                             monkeypatch):
+        ixdir, DOC_VALUES, consolidate = self._accumulate(spark,
+                                                          tmp_path)
+        agg = {"l": {"terms": {"field": "text", "size": 3}}}
+        expected = ServingIndex(ixdir).aggregate(agg, None)
+        real_remove = os.remove
+
+        def crash_on_first_delete(path):
+            if str(path).endswith(".parquet") \
+                    and os.sep + "doc_values" + os.sep in str(path):
+                raise RuntimeError("injected crash mid-cleanup")
+            return real_remove(path)
+
+        monkeypatch.setattr(os, "remove", crash_on_first_delete)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            consolidate(spark, ixdir, min_delta_files=2)
+        monkeypatch.setattr(os, "remove", real_remove)
+        # marker present → sidecar un-fresh → soft fallback (blocks
+        # still serve; aggregations route to Spark)
+        srv = ServingIndex(ixdir)
+        assert not srv.can_aggregate(agg)
+        res = consolidate(spark, ixdir, min_delta_files=2)  # replay
+        assert res["merged_files"] >= 3
+        assert not os.path.isfile(
+            os.path.join(ixdir, "dv_consolidating.json"))
+        srv2 = ServingIndex(ixdir)
+        assert srv2.can_aggregate(agg)
+        assert srv2.aggregate(agg, None) == expected
+
+
 class TestRefreshFallsBackToFull:
     def test_pre_round4_compaction_full_rebuild(self, spark, tmp_path):
         ixdir = str(tmp_path / "ix")
