@@ -112,6 +112,43 @@ def main():
         t0 = time.time()
         write_blocks(load_index(spark, ixdir), ixdir)
         out["full_write_blocks_s"] = round(time.time() - t0, 3)
+
+        # scenario 4: delta accumulation vs consolidation — cold term
+        # lookup cost with K delta files per bucket, then after the
+        # file-level merge (consolidate_blocks)
+        from search_engine_spark.operators.wand import consolidate_blocks
+        n_runs = 8
+        for i in range(n_runs):
+            base_id = n_pages + 3000 + i * 100
+            batch = (synth_pages(spark, 100, partitions=2)
+                     .withColumn("doc_id",
+                                 F.col("doc_id") + F.lit(base_id)))
+            append_docs(batch, ixdir, cfg)
+            refresh_blocks(spark, ixdir)
+
+        import numpy as np
+        s0 = ServingIndex(ixdir)
+        terms, dfs = s0._dictionary("text")
+        order = np.argsort(dfs)
+        probes = [str(terms[order[len(order) // 2 + j * 7]])
+                  for j in range(5)]
+
+        def cold_p50():
+            lat = []
+            for t in probes:
+                s = ServingIndex(ixdir)  # fresh instance: cold caches
+                t0 = time.time()
+                s.topk("text", [t], k=10)
+                lat.append(time.time() - t0)
+            return round(sorted(lat)[len(lat) // 2] * 1000, 2)
+
+        out["cold_topk_p50_ms_8deltas"] = cold_p50()
+        t0 = time.time()
+        cons = consolidate_blocks(spark, ixdir, min_files=4)
+        out["consolidate_blocks_s"] = round(time.time() - t0, 3)
+        out["consolidated_buckets"] = len(cons["consolidated_buckets"])
+        out["files_removed"] = cons["files_removed"]
+        out["cold_topk_p50_ms_consolidated"] = cold_p50()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
