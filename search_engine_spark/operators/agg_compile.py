@@ -549,9 +549,44 @@ def _exec_one_pass(frame: DataFrame, plan: list) -> dict:
         df2 = frame.select("*", *gcols)
         names = [f"__se_g{gi}" for gi in range(k)]
         sets = [[F.col(n)] for n in names] + [[]]
-        rows = (df2.groupingSets(sets, *[F.col(n) for n in names])
-                .agg(F.grouping_id().alias("__se_gid"), *aggex).collect())
+        agged = (df2.groupingSets(sets, *[F.col(n) for n in names])
+                 .agg(F.grouping_id().alias("__se_gid"), *aggex))
         all_agg_gid = (1 << k) - 1
+        # Terms sets are top-`size` by (count desc, key asc) — push that
+        # selection into the job with a per-gid window instead of
+        # collecting every distinct value (a high-cardinality field would
+        # otherwise land millions of rows on the driver). Histogram/date
+        # sets keep all buckets (value-range bounded, per-agg parity);
+        # the +64 slack absorbs the null-key group and boundary ties,
+        # which the exact python comparator below then resolves.
+        terms_items = [it for it in gitems if it["kind"] == "terms"]
+        if terms_items:
+            from pyspark.sql import Window
+            cnt_expr = F.lit(None).cast("long")
+            key_expr = F.lit(None).cast("string")
+            lim_expr = F.lit(None).cast("long")
+            for it in terms_items:
+                slot = it["slot"]
+                gid = all_agg_gid ^ (1 << (k - 1 - slot))
+                is_gid = F.col("__se_gid") == F.lit(gid)
+                c = F.col(f"__se_c{slot}" if it["pred"] is not None
+                          else "__se_cnt")
+                cnt_expr = F.when(is_gid, c).otherwise(cnt_expr)
+                key_expr = F.when(
+                    is_gid, F.col(f"__se_g{slot}").cast("string")
+                ).otherwise(key_expr)
+                lim_expr = F.when(
+                    is_gid, F.lit(agg_size(it["body"]) + 64)
+                ).otherwise(lim_expr)
+            rn = F.row_number().over(
+                Window.partitionBy("__se_gid")
+                .orderBy(F.desc_nulls_last(cnt_expr),
+                         F.asc_nulls_last(key_expr)))
+            agged = (agged.withColumn("__se_lim", lim_expr)
+                     .withColumn("__se_rn", rn)
+                     .where(F.col("__se_lim").isNull()
+                            | (F.col("__se_rn") <= F.col("__se_lim"))))
+        rows = agged.collect()
         global_rows = [r for r in rows if r["__se_gid"] == all_agg_gid]
     else:
         rows = frame.agg(*aggex).collect()

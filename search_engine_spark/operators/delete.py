@@ -131,8 +131,11 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
         .join(tomb, "doc_id", "anti")
     tmp_root = os.path.join(index_dir, DOC_STATS + ".compactdir")
     os.makedirs(tmp_root, exist_ok=True)
-    write_doc_stats(ds, tmp_root,
-                    int(meta.get("ds_buckets") or meta["n_buckets"]))
+    ds_buckets = int(meta.get("ds_buckets") or meta["n_buckets"])
+    write_doc_stats(ds, tmp_root, ds_buckets)
+    # a legacy meta (no ds_buckets) must learn the bucket count the
+    # rewrite just used, or existing_ids_pruned reads 0 and never prunes
+    meta["ds_buckets"] = ds_buckets
     shutil.rmtree(os.path.join(index_dir, DOC_STATS))
     os.rename(os.path.join(tmp_root, DOC_STATS),
               os.path.join(index_dir, DOC_STATS))

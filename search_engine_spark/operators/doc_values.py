@@ -104,15 +104,10 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
     for name, dtype in field_types(docs, fields).items():
         kind = _dv_kind(dtype)
         kinds[name] = kind
-        if kind == "ms":
-            cols.append(F.unix_millis(F.col(name).cast("timestamp"))
-                        .alias(name))
-        elif kind == "float":
-            cols.append(F.col(name).cast("double").alias(name))
-        elif kind == "int":
-            cols.append(F.col(name).cast("long").alias(name))
-        else:
-            cols.append(F.col(name).alias(name))
+        # ONE canonical expression per kind (_dv_cast), shared with the
+        # incremental refresh — base and delta files must stay
+        # byte-identical in schema and values
+        cols.append(_dv_cast(name, kind, docs))
     path = os.path.join(index_dir, DOC_VALUES)
     (docs.select(*cols)
          .repartitionByRange(max(1, int(n_files)), "doc_id")

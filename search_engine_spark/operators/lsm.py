@@ -244,23 +244,26 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
                      lineage={"source": "append", "add_id": add_id})
 
 
+def dir_has_parquet(p: str) -> bool:
+    """True when the tree under ``p`` holds at least one data file. An
+    EMPTY batch's partitionBy write leaves no data files at all (no
+    schema to infer), so every reader of run/base dirs must skip such
+    dirs instead of letting Spark raise UNABLE_TO_INFER_SCHEMA."""
+    for root, _, files in os.walk(p):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def read_run_doc_stats(spark: SparkSession, paths: list) -> DataFrame:
     """Union of per-run doc-stats reads as the canonical (doc_id, dl).
     Each run dir is its own ds_bucket-partitioned root (write_run), so a
     single multi-path ``spark.read.parquet(*paths)`` would refuse the
     'conflicting directory structures' — read per root and union (runs
     are few and small by construction)."""
-    def _has_data(p: str) -> bool:
-        # an EMPTY batch's partitionBy write leaves no data files at all
-        # (no schema to infer) — skip it, it contributes nothing
-        for root, _, files in os.walk(p):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
     out = None
     for p in paths:
-        if not _has_data(p):
+        if not dir_has_parquet(p):
             continue
         df = spark.read.parquet(p).select("doc_id", "dl")
         out = df if out is None else out.unionByName(df)
@@ -287,7 +290,7 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
     from .index_build import _ds_bucket_col
     parts = []
     base_p = os.path.join(index_dir, DOC_STATS)
-    if os.path.isdir(base_p):
+    if os.path.isdir(base_p) and dir_has_parquet(base_p):
         base = spark.read.parquet(base_p)
         if "ds_bucket" in base.columns:
             with open(os.path.join(index_dir, META)) as fh:
@@ -301,7 +304,7 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
         parts.append(base.select("doc_id"))
     for e in live_runs(index_dir):
         p = e.get("doc_stats_path")
-        if p and os.path.isdir(p):
+        if p and os.path.isdir(p) and dir_has_parquet(p):
             parts.append(spark.read.parquet(p).select("doc_id"))
     if not parts:
         return (spark.createDataFrame([], "doc_id string")
@@ -410,14 +413,35 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                 else:
                     shutil.move(os.path.join(src_dir, name), dst)
 
+    # Route EVERY promoted file to the BASE's layout: parquet partition
+    # discovery refuses a dir with data files at two depths ('conflicting
+    # directory structures'), so a legacy flat base must stay flat (the
+    # bucketed run files lose their dir-encoded ds_bucket — harmless,
+    # pruning is unavailable on flat bases anyway) and a bucketed base
+    # must never gain root-level files.
+    base_flat = any(f.endswith(".parquet") for f in os.listdir(ds_dir)) \
+        if os.path.isdir(ds_dir) else False
     for e in runs:
         src = e["doc_stats_path"]
         if not os.path.isdir(src):  # replay after a crash mid-promotion
             continue
         tag = os.path.basename(src)
-        _promote_files(src, ds_dir, tag)  # legacy flat run layout
-        for name in os.listdir(src):
-            if name.startswith("ds_bucket="):
+        subdirs = [n for n in os.listdir(src)
+                   if n.startswith("ds_bucket=")]
+        if base_flat:
+            _promote_files(src, ds_dir, tag)
+            for name in subdirs:  # bucketed run → flat base (upgrade)
+                _promote_files(os.path.join(src, name), ds_dir,
+                               f"{tag}-{name.replace('=', '_')}")
+        else:
+            if any(f.endswith(".parquet") for f in os.listdir(src)):
+                raise ValueError(
+                    f"compact_runs: run {src} has flat doc-stats files "
+                    "but the base doc_stats is ds_bucket-partitioned — "
+                    "mixing depths would corrupt the table. Rebuild the "
+                    "run with the current writer (or flush with the "
+                    "version that wrote it).")
+            for name in subdirs:
                 _promote_files(os.path.join(src, name),
                                os.path.join(ds_dir, name), tag)
         shutil.rmtree(src, ignore_errors=True)

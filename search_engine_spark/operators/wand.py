@@ -267,6 +267,13 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
     def _full():
         return write_blocks(load_index(spark, index_dir), index_dir)
 
+    if os.path.isfile(os.path.join(index_dir,
+                                   "blocks_consolidating.json")):
+        # a consolidate_blocks pass crashed mid-way: its touched
+        # partitions may hold duplicate rows, which would corrupt the
+        # rebuild journal's totals below — complete the pass first
+        # (replays are exact; see consolidate_blocks)
+        consolidate_blocks(spark, index_dir)
     if not os.path.isfile(bmp) or not os.path.isdir(blocks_path):
         return _full()
     with open(bmp) as fh:
@@ -401,6 +408,14 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
             included.add(e["run_path"])
 
     for e in live_unc:
+        from .lsm import dir_has_parquet
+        if not dir_has_parquet(e["run_path"]) \
+                or not dir_has_parquet(e["doc_stats_path"]):
+            # an EMPTY batch's partitionBy write leaves no data files
+            # (nothing to encode, nothing to miss) — cover it as-is
+            # instead of letting Spark raise UNABLE_TO_INFER_SCHEMA
+            included.add(e["run_path"])
+            continue
         posts = spark.read.parquet(e["run_path"])
         ds = (spark.read.parquet(e["doc_stats_path"])
               .select("doc_id", "dl"))

@@ -426,18 +426,32 @@ class SearchService:
         without operator action. Runs OUTSIDE the mutate lock (snapshot
         re-acquires it). Returns True when a save ran."""
         ap = self.auto_persist
-        if not ap.get("enabled") or not ap.get("save_on_add"):
+        if not ap.get("enabled"):
             return False
+        # pending is counted whenever auto-persistence is on — with
+        # save_on_add off, the interval timer (maybe_auto_save) is the
+        # only trigger and it needs pending > 0 to ever fire
         pending = self._auto_pending.get(name, 0) + n_added
         self._auto_pending[name] = pending
-        if pending <= 0:
+        if not ap.get("save_on_add") or pending <= 0:
             return False
         last = self._auto_last.get(name, self._t0)
         due = (pending >= int(ap.get("batch_size") or 100)
                or time.time() - last >= float(ap.get("interval") or 30.0))
         if not due:
             return False
-        self.snapshot(name)
+        # a failing save must not turn a durably COMPLETED append into an
+        # HTTP 500 (the appended run is committed either way; the
+        # snapshot retries on the next add or interval tick) — mirror the
+        # interval thread's guard in jobs/serve.py
+        try:
+            self.snapshot(name)
+        except Exception:  # noqa: BLE001 — append success is the contract
+            import logging
+            logging.getLogger(__name__).exception(
+                "auto-persist snapshot failed for %r (append unaffected)",
+                name)
+            return False
         return True
 
     def maybe_auto_save(self) -> list:
