@@ -512,7 +512,6 @@ def _exec_one_pass(frame: DataFrame, plan: list) -> dict:
             ims = DATE_INTERVALS_MS.get(str(body.get("interval")),
                                         DATE_INTERVALS_MS["1d"])
             ms = F.unix_millis(F.col(field).try_cast("timestamp"))
-            it["ims"] = ims
             key = F.when(ms.isNotNull(),
                          (ms - F.pmod(ms, F.lit(ims))).cast("long"))
         gcols.append(key.alias(f"__se_g{gi}"))

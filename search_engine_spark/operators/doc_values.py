@@ -287,6 +287,15 @@ def consolidate_doc_values(spark: SparkSession, index_dir: str,
             seq = int(json.load(fh).get("seq", seq))
     deltas = sorted(f for f in os.listdir(path)
                     if f.startswith("delta-") and f.endswith(".parquet"))
+    if not deltas:
+        # replay with nothing to merge (a full sidecar rebuild wiped the
+        # deltas after a crashed pass left its marker): there are no
+        # delta files, hence nothing transiently duplicated — clear the
+        # marker instead of handing spark.read.parquet() zero paths,
+        # which would raise forever and leave the sidecar marked stale
+        if os.path.isfile(marker):
+            os.remove(marker)
+        return {"merged_files": 0}
     if len(deltas) < max(int(min_delta_files), 2) \
             and not os.path.isfile(marker):
         return {"merged_files": 0}

@@ -296,10 +296,16 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
             with open(os.path.join(index_dir, META)) as fh:
                 nb = int(json.load(fh).get("ds_buckets") or 0)
             if nb:
+                # null ids are harmless here: xxhash64(NULL) returns the
+                # seed hash (never null), so they prune to one ordinary
+                # bucket and the anti-join on a null key matches nothing —
+                # the None filter only guards a future bucket fn whose
+                # null maps to null (sorted() would TypeError on it)
                 want = sorted(
                     r["ds_bucket"] for r in batch
                     .select(F.col(id_col).alias("doc_id"))
-                    .select(_ds_bucket_col(nb)).distinct().collect())
+                    .select(_ds_bucket_col(nb)).distinct().collect()
+                    if r["ds_bucket"] is not None)
                 base = base.where(F.col("ds_bucket").isin(want))
         parts.append(base.select("doc_id"))
     for e in live_runs(index_dir):

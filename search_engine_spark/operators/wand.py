@@ -259,7 +259,7 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
 
     from .index_build import (DOC_STATS, META, POSTINGS, IndexConfig,
                               InvertedIndex, load_index)
-    from .lsm import accounted_runs
+    from .lsm import accounted_runs, dir_has_parquet
 
     blocks_path = os.path.join(index_dir, BLOCKS)
     bmp = os.path.join(index_dir, "blocks_meta.json")
@@ -408,7 +408,6 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
             included.add(e["run_path"])
 
     for e in live_unc:
-        from .lsm import dir_has_parquet
         if not dir_has_parquet(e["run_path"]) \
                 or not dir_has_parquet(e["doc_stats_path"]):
             # an EMPTY batch's partitionBy write leaves no data files
@@ -527,6 +526,12 @@ def consolidate_blocks(spark: SparkSession, index_dir: str,
     blocks_path = os.path.join(index_dir, BLOCKS)
     bmp = os.path.join(index_dir, "blocks_meta.json")
     marker = os.path.join(index_dir, "blocks_consolidating.json")
+    if not os.path.isdir(blocks_path):
+        # no blocks table (write_blocks never ran) — no-op, mirroring
+        # consolidate_doc_values' guard; an existing marker stays put so
+        # readers keep refusing until a rebuild recreates the table and
+        # the next pass finishes the crashed one's bucket set
+        return {"consolidated_buckets": [], "files_removed": 0}
     chosen = []
     for name in sorted(os.listdir(blocks_path)):
         if not name.startswith("bucket="):

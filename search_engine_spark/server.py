@@ -402,7 +402,17 @@ class SearchService:
             finally:
                 fresh.unpersist()
             meta = self.catalog.stats(name)
-        saved = self._check_auto_save(name, n_fresh)
+            # pending is counted UNDER the mutate lock, the same lock the
+            # snapshot holds while reading the manifest and (at its end)
+            # zeroing the counter — so every counted append is covered by
+            # the snapshot that zeroes it, and no concurrent append's
+            # count can be wiped (lock-free read-modify-write here raced
+            # with snapshot's reset and lost appends' counts, leaving an
+            # uncovered run with pending == 0: no trigger ever fired)
+            if n_fresh and self.auto_persist.get("enabled"):
+                self._auto_pending[name] = (
+                    self._auto_pending.get(name, 0) + n_fresh)
+        saved = self._check_auto_save(name)
         return {
             "message": f"Added {n_fresh} documents to index '{name}'",
             "addedCount": n_fresh,
@@ -417,22 +427,21 @@ class SearchService:
                             "autoSaved": saved},
         }
 
-    def _check_auto_save(self, name: str, n_added: int) -> bool:
+    def _check_auto_save(self, name: str) -> bool:
         """AutoPersistenceManager.checkAutoSave twin
-        (AutoPersistenceManager.ts:62-71): count appended docs and trigger
-        a save once ``batch_size`` accumulate (or ``interval`` seconds pass
-        with work pending). The save here is the O(batch) incremental
-        snapshot refresh, so the millisecond serving path stays warm
-        without operator action. Runs OUTSIDE the mutate lock (snapshot
-        re-acquires it). Returns True when a save ran."""
+        (AutoPersistenceManager.ts:62-71): trigger a save once
+        ``batch_size`` appended docs accumulate (or ``interval`` seconds
+        pass with work pending). The counting itself happens in
+        add_documents under the mutate lock; with save_on_add off, the
+        interval timer (maybe_auto_save) is the only trigger. The save
+        here is the O(batch) incremental snapshot refresh, so the
+        millisecond serving path stays warm without operator action. Runs
+        OUTSIDE the mutate lock (snapshot re-acquires it). Returns True
+        when a save ran."""
         ap = self.auto_persist
         if not ap.get("enabled"):
             return False
-        # pending is counted whenever auto-persistence is on — with
-        # save_on_add off, the interval timer (maybe_auto_save) is the
-        # only trigger and it needs pending > 0 to ever fire
-        pending = self._auto_pending.get(name, 0) + n_added
-        self._auto_pending[name] = pending
+        pending = self._auto_pending.get(name, 0)
         if not ap.get("save_on_add") or pending <= 0:
             return False
         last = self._auto_last.get(name, self._t0)
@@ -466,7 +475,16 @@ class SearchService:
         for name, pending in list(self._auto_pending.items()):
             if pending > 0 and time.time() - self._auto_last.get(
                     name, self._t0) >= float(ap.get("interval") or 30.0):
-                self.snapshot(name)
+                # per-index isolation: one index whose refresh persistently
+                # fails (damaged run dir, full disk) must not starve every
+                # index after it in the dict on this and all future ticks
+                try:
+                    self.snapshot(name)
+                except Exception:  # noqa: BLE001 — keep the tick going
+                    import logging
+                    logging.getLogger(__name__).exception(
+                        "interval auto-persist failed for %r", name)
+                    continue
                 saved.append(name)
         return saved
 
@@ -520,8 +538,12 @@ class SearchService:
                     metrics["dv_consolidated"] = dvc
             finally:
                 self._snap_busy.discard(name)
-        self._auto_pending[name] = 0
-        self._auto_last[name] = time.time()
+            # reset UNDER the same lock appends count under: every counted
+            # append was committed before this snapshot read the manifest
+            # (the lock was held throughout), so zeroing here can never
+            # wipe the count of a not-yet-covered append
+            self._auto_pending[name] = 0
+            self._auto_last[name] = time.time()
         # new snapshot under the same meta state: force a re-open so the
         # serving fast path picks up the rebuilt (fresh) blocks
         self._serving_cache.pop(name, None)

@@ -136,7 +136,21 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
         # append's reconcile_meta never re-counts them
         "applied_runs": [e["chunk"] for e in merged_entries],
     }
-    with open(os.path.join(index_dir, META), "w") as fh:
+    # this merge IS a compaction — carry the prior meta's lifecycle
+    # markers forward instead of resetting them: compaction_seq keeps
+    # refresh_blocks' crash-replay journal key (seq, buckets) unique
+    # across distinct compactions (lsm.compact_runs bumps it the same
+    # way), and delete_epoch must survive or a pre-merge delete
+    # compaction would stop invalidating old block snapshots
+    mp = os.path.join(index_dir, META)
+    prior = {}
+    if os.path.isfile(mp):
+        with open(mp) as fh:
+            prior = json.load(fh)
+    meta["compaction_seq"] = int(prior.get("compaction_seq", 0)) + 1
+    if prior.get("delete_epoch") is not None:
+        meta["delete_epoch"] = prior["delete_epoch"]
+    with open(mp, "w") as fh:
         json.dump(meta, fh, indent=1)
     # the from-runs rebuild wrote every bucket partition — record the
     # full bucket range as the compaction's footprint for refresh_blocks
