@@ -87,6 +87,18 @@ class IndexCatalog:
         tomb_dir = os.path.join(d, "tombstones")
         if os.path.isdir(tomb_dir):
             parts.append(tuple(sorted(os.listdir(tomb_dir))))
+        # re-add lifecycle state: the docs_tombstones mask is rewritten by
+        # compact_deletes (fold) and append_docs (unmask), and docs_runs
+        # files are purged by compact_deletes — every rewrite produces new
+        # task-UUID file names, so the listings always move
+        dt_dir = os.path.join(d, "docs_tombstones")
+        if os.path.isdir(dt_dir):
+            parts.append(tuple(sorted(os.listdir(dt_dir))))
+        dr_dir = os.path.join(d, "docs_runs")
+        if os.path.isdir(dr_dir):
+            parts.append(tuple(sorted(
+                os.path.join(r, f)[len(dr_dir):]
+                for r, _, fs in os.walk(dr_dir) for f in fs)))
         from .operators.index_build import MANIFEST
         man_dir = os.path.join(d, MANIFEST)
         if os.path.isdir(man_dir):

@@ -14,6 +14,16 @@ merge-on-read pattern (what Iceberg row-level deletes do under the hood):
 - :func:`compact_deletes` rewrites the postings/doc_stats/term_stats tables
   without the tombstoned rows and clears the tombstone table — run when the
   tombstone fraction crosses a threshold, exactly like Iceberg compaction.
+
+Delete → re-add (the reference's in-process ``add()`` is an upsert:
+``QueryEngine.ts:137-149`` replaces the stored doc and re-indexes, so a
+deleted id can come back): physically purged ids whose rows still exist in
+the REGISTERED docs table (user input parquet — never rewritten) move to a
+``docs_tombstones`` mask table, the docs-table twin of Iceberg positional
+deletes. Re-adding such an id (``lsm.append_docs``) simply removes it from
+the mask; re-adding an id that is still tombstoned escalates to
+:func:`compact_deletes` first, preserving the invariant every reader
+relies on — a tombstoned id never has live postings anywhere.
 """
 
 from __future__ import annotations
@@ -28,6 +38,34 @@ from .index_build import (DOC_STATS, META, POSTINGS, TERM_STATS, IndexConfig,
                           InvertedIndex, build_term_stats, load_index)
 
 TOMBSTONES = "tombstones"
+DOCS_TOMBSTONES = "docs_tombstones"
+
+
+def _rewrite_ids_table(spark: SparkSession, table_dir: str,
+                       ids: DataFrame | None) -> None:
+    """Replace the one-column ``doc_id`` table at ``table_dir`` with
+    ``ids`` (staged write + dir swap); remove it when ids is None/empty."""
+    import shutil
+    n = 0 if ids is None else ids.count()
+    if n == 0:
+        shutil.rmtree(table_dir, ignore_errors=True)
+        return
+    tmp = table_dir + ".rewrite"
+    ids.select(F.col("doc_id").cast("long")).distinct() \
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(table_dir, ignore_errors=True)
+    os.rename(tmp, table_dir)
+
+
+def load_docs_tombstones(spark: SparkSession, index_dir: str):
+    """DataFrame[doc_id] of physically purged ids whose registered
+    docs-table rows must stay invisible, or None. Bounded by lifetime
+    deletes of registered-corpus docs (appended docs' value rows live in
+    ``docs_runs`` — ours to rewrite — so they never need masking)."""
+    p = os.path.join(index_dir, DOCS_TOMBSTONES)
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
 
 
 def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
@@ -87,6 +125,12 @@ def load_index_with_deletes(spark: SparkSession, index_dir: str) -> InvertedInde
         # ServingIndex) can apply the same merge-on-read filter — the blocks
         # table is immutable and still contains the deleted docs' payloads
         idx.tombstones = tomb
+    # docs-table mask for physically purged ids (their postings are gone,
+    # but the registered docs table still holds their rows) — consumed by
+    # dsl._live for pure docs-table queries
+    dt = load_docs_tombstones(spark, index_dir)
+    if dt is not None:
+        idx.docs_tombstones = dt
     return idx
 
 
@@ -160,6 +204,37 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     # check_blocks_fresh refuses those blocks instead of resurrecting
     # the physically-deleted docs
     meta["delete_epoch"] = int(meta.get("delete_epoch", 0)) + 1
+
+    # the registered docs table is user input and cannot be rewritten, so
+    # purged ids move to the docs_tombstones mask (or this compaction
+    # would RESURRECT them in pure docs-table queries — range/geo/exists
+    # scan the raw docs table and, pre-mask, only filtered the live
+    # tombstone set this function just cleared). docs_runs batches are
+    # ours: purge their rows physically instead of masking them.
+    dt_dir = os.path.join(index_dir, DOCS_TOMBSTONES)
+    prev = load_docs_tombstones(spark, index_dir)
+    folded = tomb.select("doc_id") if prev is None \
+        else prev.unionByName(tomb.select("doc_id"))
+    _rewrite_ids_table(spark, dt_dir, folded)
+    dr_root = os.path.join(index_dir, "docs_runs")
+    if os.path.isdir(dr_root):
+        from .lsm import dir_has_parquet
+        for chunk in sorted(os.listdir(dr_root)):
+            d = os.path.join(dr_root, chunk)
+            if not os.path.isdir(d) or not dir_has_parquet(d):
+                continue
+            batch = spark.read.parquet(d)
+            idc = meta["id_col"]
+            dead = batch.join(
+                tomb.select(F.col("doc_id").cast(
+                    batch.schema[idc].dataType).alias(idc)), idc, "semi")
+            if dead.limit(1).count():
+                keep = batch.join(dead.select(idc), idc, "anti")
+                tmp = d + ".compact"
+                keep.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(d)
+                os.rename(tmp, d)
+
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
     shutil.rmtree(tomb_path)

@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 DOC_VALUES = "doc_values"
 DV_META = "doc_values_meta.json"
 
+
+def _index_delete_epoch(index_dir: str) -> int:
+    """Current delete epoch from the index meta (0 when unset) —
+    compact_deletes bumps it after physically purging rows."""
+    mp = os.path.join(index_dir, "meta.json")
+    if not os.path.isfile(mp):
+        return 0
+    with open(mp) as fh:
+        return int(json.load(fh).get("delete_epoch", 0))
+
 #: spark simpleString prefixes we can serve aggregations over
 _SERVABLE_TYPES = ("string", "boolean", "tinyint", "smallint", "int",
                    "bigint", "float", "double", "decimal", "date",
@@ -114,7 +124,12 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(path))
     meta = {"fields": kinds, "id_col": id_col,
-            "includes_runs": list(includes_runs or [])}
+            "includes_runs": list(includes_runs or []),
+            # a delete compaction physically purges rows (and a re-add can
+            # then reintroduce an id with NEW values) — the incremental
+            # refresh must full-rebuild across that boundary or the
+            # sidecar would hold two generations of the same doc_id
+            "delete_epoch": _index_delete_epoch(index_dir)}
     mp = os.path.join(index_dir, DV_META)
     with open(mp + ".tmp", "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -184,6 +199,12 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
                                 id_col=id_col, includes_runs=included)
 
     if meta is None or not os.path.isdir(path):
+        return _full()
+    if int(meta.get("delete_epoch", 0)) != _index_delete_epoch(index_dir):
+        # compact_deletes ran since this sidecar was written: rows were
+        # physically purged and a re-added id may carry new values — a
+        # delta install would leave two generations of the same doc_id
+        # (aggregation double-count); rebuild from the canonical view
         return _full()
     included = set(meta.get("includes_runs", []))
     new_runs = [e for e in accounted_runs(index_dir)

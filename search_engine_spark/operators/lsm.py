@@ -217,6 +217,7 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     below counts reservations). On an object store without O_EXCL
     semantics, route appends through one writer (what Iceberg's optimistic
     manifest commit would arbitrate on a real deployment)."""
+    _reclaim_tombstoned(docs, index_dir, config)
     mdir = os.path.join(index_dir, MANIFEST)
     os.makedirs(mdir, exist_ok=True)
     while True:
@@ -242,6 +243,43 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
                      run_key=f"{ADD_PREFIX}_batch={add_id}",
                      manifest_name=name,
                      lineage={"source": "append", "add_id": add_id})
+
+
+def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
+                        config: IndexConfig) -> None:
+    """Make delete → re-add revive a doc, matching the reference's
+    in-process upsert (``QueryEngine.ts:137-149``: ``repository.save``
+    replaces, then removeDocument + re-index).
+
+    Two cases, preserving the invariant every read path relies on — a
+    tombstoned id never has live postings anywhere:
+
+    - batch id still TOMBSTONED (deleted, not yet compacted): escalate to
+      :func:`delete.compact_deletes` first. The physical purge is the
+      reference's removeDocument made durable; it is O(index) but runs
+      ONLY when a deleted id is actually re-added — the steady-state
+      append path never pays it (a sequence-numbered tombstone design à
+      la RocksDB would avoid it at the cost of provenance tracking in
+      every reader; documented trade).
+    - batch id in the DOCS_TOMBSTONES mask (purged earlier, registered
+      docs-table row masked): just unmask it — the new docs-run row
+      becomes the value source and the append itself is plain O(batch).
+    """
+    from .delete import (DOCS_TOMBSTONES, TOMBSTONES, _rewrite_ids_table,
+                         load_docs_tombstones)
+    spark = docs.sparkSession
+    ids = docs.select(
+        F.col(config.id_col).cast("long").alias("doc_id")).distinct()
+    t_dir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(t_dir):
+        tomb = spark.read.parquet(t_dir).select("doc_id")
+        if ids.join(tomb, "doc_id", "semi").limit(1).count():
+            from .delete import compact_deletes
+            compact_deletes(spark, index_dir)
+    dt = load_docs_tombstones(spark, index_dir)
+    if dt is not None and ids.join(dt, "doc_id", "semi").limit(1).count():
+        _rewrite_ids_table(spark, os.path.join(index_dir, DOCS_TOMBSTONES),
+                           dt.join(ids, "doc_id", "anti"))
 
 
 def dir_has_parquet(p: str) -> bool:
@@ -318,6 +356,17 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # tombstoned ids are RE-ADDABLE (the reference's in-process add() is
+    # an upsert) — exclude them from "existing" so the facade counts a
+    # re-add as added, not duplicate; append_docs then escalates to the
+    # physical purge. Ids compacted earlier are already absent from
+    # doc_stats, so only the live tombstone set needs the anti-join.
+    from .delete import TOMBSTONES
+    t_dir = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(t_dir):
+        out = out.join(F.broadcast(
+            spark.read.parquet(t_dir).select("doc_id").distinct()),
+            "doc_id", "anti")
     return out.select(F.col("doc_id").alias(id_col))
 
 

@@ -303,12 +303,20 @@ class SparkSearchEngine:
         docs table — without this anti-join a deleted doc would keep
         matching pure docs-table queries (the reference physically removes
         docs, SearchEngine.ts:270-287). Broadcast (tombstones are bounded
-        small); no-op when the index has no delete state."""
-        tomb = getattr(self.index, "tombstones", None)
-        if tomb is None:
-            return cand
-        return cand.join(F.broadcast(tomb.select("doc_id").distinct()),
-                         "doc_id", "anti")
+        small); no-op when the index has no delete state.
+
+        Two masks: live ``tombstones`` (deleted, not yet compacted) and
+        ``docs_tombstones`` (physically purged ids whose rows survive in
+        the immutable registered docs table — without this second
+        anti-join, compact_deletes would RESURRECT deleted docs in
+        range/geo/exists results)."""
+        for attr in ("tombstones", "docs_tombstones"):
+            t = getattr(self.index, attr, None)
+            if t is not None:
+                cand = cand.join(
+                    F.broadcast(t.select("doc_id").distinct()),
+                    "doc_id", "anti")
+        return cand
 
     @staticmethod
     def _leaf_args(body: dict):

@@ -143,13 +143,30 @@ class SearchService:
         POST /documents) — the full document store the reference keeps in
         idx.documents. None when no docs table is registered. Cached per
         index state fingerprint (every append commits a new manifest
-        entry, so the fingerprint always moves)."""
+        entry, so the fingerprint always moves).
+
+        Upsert semantics on id collision (delete → re-add): docs-run rows
+        beat registered rows, later runs beat earlier ones — the window
+        runs over the SMALL docs-runs union only; the registered table
+        pays one broadcast anti-join against the run ids. Ids in the
+        ``docs_tombstones`` mask (physically purged, registered row
+        immutable) are filtered out entirely."""
+        import os
         docs = self._docs.get(name)
         if docs is None:
             return None
-        import os
-        dr = os.path.join(self.catalog._dir(name), "docs_runs")
-        if not os.path.isdir(dr) or not os.listdir(dr):
+        ixdir = self.catalog._dir(name)
+        dr = os.path.join(ixdir, "docs_runs")
+        from .operators.lsm import dir_has_parquet
+        chunks = sorted(
+            (c for c in os.listdir(dr)
+             if os.path.isdir(os.path.join(dr, c))
+             and dir_has_parquet(os.path.join(dr, c))),
+            key=lambda c: (int(c.rsplit("=", 1)[-1])
+                           if c.rsplit("=", 1)[-1].isdigit() else -1, c)
+        ) if os.path.isdir(dr) else []
+        dt_dir = os.path.join(ixdir, "docs_tombstones")
+        if not chunks and not os.path.isdir(dt_dir):
             return docs
         state = self.catalog._delete_state(name)
         cache = getattr(self, "_docs_view_cache", None)
@@ -158,8 +175,30 @@ class SearchService:
         hit = cache.get(name)
         if hit is not None and hit[0] == state:
             return hit[1]
-        extra = self.spark.read.parquet(os.path.join(dr, "*"))
-        view = docs.unionByName(extra, allowMissingColumns=True)
+        id_col = self._index_config(name).id_col
+        view = docs
+        if chunks:
+            frames = [
+                self.spark.read.parquet(os.path.join(dr, c))
+                .withColumn("__gen", F.lit(i))
+                for i, c in enumerate(chunks)]
+            extra = frames[0]
+            for f in frames[1:]:
+                extra = extra.unionByName(f, allowMissingColumns=True)
+            from pyspark.sql import Window
+            w = Window.partitionBy(id_col).orderBy(F.desc("__gen"))
+            extra = (extra.withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__gen", "__rn"))
+            view = (docs.join(F.broadcast(extra.select(id_col)),
+                              id_col, "anti")
+                    .unionByName(extra, allowMissingColumns=True))
+        from .operators.delete import load_docs_tombstones
+        dt = load_docs_tombstones(self.spark, ixdir)
+        if dt is not None:
+            view = view.join(
+                F.broadcast(dt.select(F.col("doc_id").cast(
+                    view.schema[id_col].dataType).alias(id_col))),
+                id_col, "anti")
         cache[name] = (state, view)
         return view
 
