@@ -485,6 +485,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "data"}})
     q["deleted_members"] = _deleted_members
 
+    def _readd_members(s, d):
+        """Delete → compact → RE-ADD lifecycle (round-4; the reference's
+        in-process add() is an upsert, QueryEngine.ts:137-149, so a
+        deleted id revives when re-added): delete every doc_id % 10 == 3,
+        physically purge via compact_deletes (ids move to the
+        docs_tombstones mask), then append_docs the % 20 == 3 half back —
+        the append unmasks them and a new LSM run carries their postings.
+        Members of 'data' must be everyone except the still-dead half;
+        oracle = membership minus (%10==3 ids not revived as %20==3)."""
+        import os as _os2
+        import shutil as _sh
+        import tempfile as _tmp
+        from search_engine_spark.operators.index_build import write_index
+        from search_engine_spark.operators.delete import (
+            compact_deletes, delete_docs, load_index_with_deletes)
+        from search_engine_spark.operators.lsm import append_docs
+        key = (_session_key(s), "readd_ix", d)
+        if key not in _CACHE:
+            ixdir = _os2.path.join(
+                _tmp.gettempdir(),
+                f"contract_readd_ix_{abs(hash(d)) % 10**8}")
+            _sh.rmtree(ixdir, ignore_errors=True)
+            docs = _docs(s, d)
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8)
+            write_index(docs, ixdir, cfg)
+            dead = [r["doc_id"] for r in
+                    docs.where(F.col("doc_id") % 10 == 3)
+                        .select("doc_id").collect()]
+            delete_docs(s, ixdir, dead)
+            compact_deletes(s, ixdir)
+            append_docs(docs.where(F.col("doc_id") % 20 == 3), ixdir, cfg)
+            idx = load_index_with_deletes(s, ixdir)
+            _CACHE[key] = SparkSearchEngine(idx, docs)
+        return _members(_CACHE[key],
+                        {"term": {"field": "text", "value": "data"}})
+    q["readd_members"] = _readd_members
+
     def _lsm_append(s, d):
         """LSM incremental add (I1/I9 at scale, round-3): base index over
         80% of the corpus + append_docs of the rest as an O(batch) RUN;
@@ -657,7 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = ["dd_simhash", "sim_topk_cosine", "sim_lsh_topk",
              "sim_ivf_topk", "sim_lsh_persisted", "sim_ivf_persisted",
              "dd_embedding_neardup", "pipeline_clean_corpus",
-             "mm_binary_meta", "stemmed_detect_uk"]
+             "mm_binary_meta", "stemmed_detect_uk", "readd_members"]
     return {k: q[k] for k in front + [k for k in q if k not in front]}
 
 
@@ -998,6 +1036,15 @@ GROUP BY source ORDER BY doc_count DESC, value ASC LIMIT 10
 WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
 SELECT doc_id FROM t
 WHERE list_contains(toks, 'data') AND doc_id % 10 <> 3
+ORDER BY doc_id
+"""
+    # delete -> compact (physical purge) -> re-add of the %20==3 half: the
+    # revived ids are members again, the un-revived %10==3 ids stay dead
+    o["readd_members"] = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents)
+SELECT doc_id FROM t
+WHERE list_contains(toks, 'data')
+  AND (doc_id % 10 <> 3 OR doc_id % 20 = 3)
 ORDER BY doc_id
 """
     o["agg_histogram_nchars"] = """
