@@ -89,11 +89,18 @@ class IndexCatalog:
             parts.append(tuple(sorted(os.listdir(tomb_dir))))
         # re-add lifecycle state: the docs_tombstones mask is rewritten by
         # compact_deletes (fold) and append_docs (unmask), and docs_runs
-        # files are purged by compact_deletes — every rewrite produces new
-        # task-UUID file names, so the listings always move
-        dt_dir = os.path.join(d, "docs_tombstones")
-        if os.path.isdir(dt_dir):
-            parts.append(tuple(sorted(os.listdir(dt_dir))))
+        # files are purged by compact_deletes — every rewrite must move
+        # the fingerprint. The mask is a single file swapped via
+        # os.replace (same name), so its identity is (mtime_ns, size);
+        # the legacy dir layout contributes its listing.
+        from .operators.delete import docs_tombstones_path
+        dt = docs_tombstones_path(d)
+        if dt is not None:
+            if os.path.isfile(dt):
+                st = os.stat(dt)
+                parts.append(("dt", st.st_mtime_ns, st.st_size))
+            else:
+                parts.append(tuple(sorted(os.listdir(dt))))
         dr_dir = os.path.join(d, "docs_runs")
         if os.path.isdir(dr_dir):
             parts.append(tuple(sorted(

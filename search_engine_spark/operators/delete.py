@@ -39,22 +39,58 @@ from .index_build import (DOC_STATS, META, POSTINGS, TERM_STATS, IndexConfig,
 
 TOMBSTONES = "tombstones"
 DOCS_TOMBSTONES = "docs_tombstones"
+DOCS_TOMBSTONES_FILE = "docs_tombstones.parquet"
 
 
-def _rewrite_ids_table(spark: SparkSession, table_dir: str,
-                       ids: DataFrame | None) -> None:
-    """Replace the one-column ``doc_id`` table at ``table_dir`` with
-    ``ids`` (staged write + dir swap); remove it when ids is None/empty."""
+def docs_tombstones_path(index_dir: str) -> str | None:
+    """Path of the docs_tombstones mask if one exists — the single-file
+    layout (current) or the directory layout (pre-atomic-swap), else
+    None."""
+    f = os.path.join(index_dir, DOCS_TOMBSTONES_FILE)
+    if os.path.isfile(f):
+        return f
+    d = os.path.join(index_dir, DOCS_TOMBSTONES)
+    if os.path.isdir(d):
+        return d
+    return None
+
+
+def _rewrite_docs_tombstones(spark: SparkSession, index_dir: str,
+                             ids: DataFrame | None) -> None:
+    """Atomically replace the docs_tombstones mask with ``ids``.
+
+    The mask is a SINGLE parquet file swapped in with ``os.replace`` — a
+    crash mid-rewrite leaves either the old complete mask or the new
+    complete mask, never a missing one (losing it would silently
+    RESURRECT purged docs in docs-table queries). The ids are collected
+    driver-side to build that file: the mask is bounded by lifetime
+    deletes of registered-corpus docs and every consumer broadcasts it
+    anyway, so boundedness is already a design assumption; at 10^12-doc
+    scale with heavy delete churn the layout would become
+    doc_id-bucketed files swapped per bucket — the same invariant,
+    applied per bucket.
+    """
     import shutil
-    n = 0 if ids is None else ids.count()
-    if n == 0:
-        shutil.rmtree(table_dir, ignore_errors=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fpath = os.path.join(index_dir, DOCS_TOMBSTONES_FILE)
+    legacy = os.path.join(index_dir, DOCS_TOMBSTONES)
+    vals = [] if ids is None else sorted(
+        {int(r["doc_id"]) for r in
+         ids.select(F.col("doc_id").cast("long")).collect()})
+    if not vals:
+        try:
+            os.remove(fpath)
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(legacy, ignore_errors=True)
         return
-    tmp = table_dir + ".rewrite"
-    ids.select(F.col("doc_id").cast("long")).distinct() \
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(table_dir, ignore_errors=True)
-    os.rename(tmp, table_dir)
+    tmp = fpath + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(vals, pa.int64())}), tmp)
+    os.replace(tmp, fpath)
+    # the file now carries the full folded mask; drop the legacy dir last
+    shutil.rmtree(legacy, ignore_errors=True)
 
 
 def load_docs_tombstones(spark: SparkSession, index_dir: str):
@@ -62,8 +98,8 @@ def load_docs_tombstones(spark: SparkSession, index_dir: str):
     docs-table rows must stay invisible, or None. Bounded by lifetime
     deletes of registered-corpus docs (appended docs' value rows live in
     ``docs_runs`` — ours to rewrite — so they never need masking)."""
-    p = os.path.join(index_dir, DOCS_TOMBSTONES)
-    if not os.path.isdir(p):
+    p = docs_tombstones_path(index_dir)
+    if p is None:
         return None
     return spark.read.parquet(p).select("doc_id").distinct()
 
@@ -211,11 +247,10 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     # scan the raw docs table and, pre-mask, only filtered the live
     # tombstone set this function just cleared). docs_runs batches are
     # ours: purge their rows physically instead of masking them.
-    dt_dir = os.path.join(index_dir, DOCS_TOMBSTONES)
     prev = load_docs_tombstones(spark, index_dir)
     folded = tomb.select("doc_id") if prev is None \
         else prev.unionByName(tomb.select("doc_id"))
-    _rewrite_ids_table(spark, dt_dir, folded)
+    _rewrite_docs_tombstones(spark, index_dir, folded)
     dr_root = os.path.join(index_dir, "docs_runs")
     if os.path.isdir(dr_root):
         from .lsm import dir_has_parquet

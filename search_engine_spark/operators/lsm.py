@@ -265,7 +265,7 @@ def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
       docs-table row masked): just unmask it — the new docs-run row
       becomes the value source and the append itself is plain O(batch).
     """
-    from .delete import (DOCS_TOMBSTONES, TOMBSTONES, _rewrite_ids_table,
+    from .delete import (TOMBSTONES, _rewrite_docs_tombstones,
                          load_docs_tombstones)
     spark = docs.sparkSession
     ids = docs.select(
@@ -278,8 +278,8 @@ def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
             compact_deletes(spark, index_dir)
     dt = load_docs_tombstones(spark, index_dir)
     if dt is not None and ids.join(dt, "doc_id", "semi").limit(1).count():
-        _rewrite_ids_table(spark, os.path.join(index_dir, DOCS_TOMBSTONES),
-                           dt.join(ids, "doc_id", "anti"))
+        _rewrite_docs_tombstones(spark, index_dir,
+                                 dt.join(ids, "doc_id", "anti"))
 
 
 def dir_has_parquet(p: str) -> bool:

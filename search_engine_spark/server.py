@@ -165,8 +165,8 @@ class SearchService:
             key=lambda c: (int(c.rsplit("=", 1)[-1])
                            if c.rsplit("=", 1)[-1].isdigit() else -1, c)
         ) if os.path.isdir(dr) else []
-        dt_dir = os.path.join(ixdir, "docs_tombstones")
-        if not chunks and not os.path.isdir(dt_dir):
+        from .operators.delete import docs_tombstones_path
+        if not chunks and docs_tombstones_path(ixdir) is None:
             return docs
         state = self.catalog._delete_state(name)
         cache = getattr(self, "_docs_view_cache", None)

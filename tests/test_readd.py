@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.operators.delete import (compact_deletes,
                                                   delete_docs,
+                                                  docs_tombstones_path,
                                                   load_docs_tombstones,
                                                   load_index_with_deletes)
 from search_engine_spark.plans.dsl import SparkSearchEngine
@@ -113,7 +114,7 @@ def test_readd_after_compaction_unmasks(spark, svc):
                 if h["doc_id"] == 7) == "alpha phoenix seven"
     # fully re-added -> empty mask table is REMOVED, not left as junk
     assert load_docs_tombstones(spark, ix) is None
-    assert not os.path.isdir(os.path.join(ix, "docs_tombstones"))
+    assert docs_tombstones_path(ix) is None
 
 
 def test_readd_live_doc_is_duplicate(spark, svc):
@@ -137,6 +138,35 @@ def test_partial_unmask_keeps_other_purged_ids_masked(spark, svc):
     assert [r["doc_id"] for r in dt.collect()] == [12]
     assert svc.search("w", {"query": {"match_all": {}},
                             "size": 1})["total"] == 29
+
+
+def test_mask_is_single_file_and_legacy_dir_readable(spark, svc):
+    """The mask is one parquet file swapped with os.replace (crash leaves
+    old-complete or new-complete, never nothing); indexes written by the
+    earlier directory layout still load and migrate on the next rewrite."""
+    ix = svc.catalog._dir("w")
+    delete_docs(spark, ix, [21, 22])
+    compact_deletes(spark, ix)
+    fpath = os.path.join(ix, "docs_tombstones.parquet")
+    assert os.path.isfile(fpath) and docs_tombstones_path(ix) == fpath
+    assert not os.path.exists(fpath + ".tmp")
+
+    # rewrite the mask into the legacy DIRECTORY layout by hand
+    df = spark.read.parquet(fpath)
+    legacy = os.path.join(ix, "docs_tombstones")
+    df.coalesce(1).write.mode("overwrite").parquet(legacy)
+    os.remove(fpath)
+    assert docs_tombstones_path(ix) == legacy
+    dt = load_docs_tombstones(spark, ix)
+    assert sorted(r["doc_id"] for r in dt.collect()) == [21, 22]
+
+    # next unmask rewrite migrates legacy dir -> single file
+    svc.add_documents("w", [{"doc_id": 21, "text": "alpha returns",
+                             "lang": "en"}])
+    assert docs_tombstones_path(ix) == fpath
+    assert not os.path.isdir(legacy)
+    dt = load_docs_tombstones(spark, ix)
+    assert [r["doc_id"] for r in dt.collect()] == [22]
 
 
 def test_second_generation_run_wins_docs_view(spark, svc):
