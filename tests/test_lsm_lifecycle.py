@@ -123,6 +123,76 @@ class TestLifecycleCycles:
         assert n == len(live)
 
 
+class TestLifecycleWithReadd(TestLifecycleCycles):
+    """Cycles that interleave delete → RE-ADD in both delete states: while
+    the id is still tombstoned (append escalates to compact_deletes) and
+    after the physical purge (append unmasks the docs_tombstones entry).
+    The Python doc-set model stays the oracle at every step."""
+
+    def test_cycles(self, spark, service):
+        svc = service
+        ixdir = svc.catalog._dir("life")
+        live = set(range(20))
+        next_id = 100
+        for cycle in range(3):
+            where = f"readd cycle {cycle}"
+            batch = [{"doc_id": next_id + j,
+                      "text": f"alpha shared c{cycle} tok{j % 7}",
+                      "lang": "en"} for j in range(4)]
+            assert svc.add_documents("life", batch)["addedCount"] == 4
+            live |= {next_id + j for j in range(4)}
+            next_id += 10
+            svc.snapshot("life")
+            victims = [min(live), max(live)]
+            delete_docs(spark, ixdir, victims)
+            live -= set(victims)
+            self._check(svc, live, where + " post-delete")
+
+            # revive victim 0 while STILL tombstoned -> escalation:
+            # compact_deletes runs first (purges victim 1 into the mask),
+            # then the new run carries victim 0's fresh postings
+            out = svc.add_documents("life", [
+                {"doc_id": victims[0],
+                 "text": f"alpha shared re{cycle} tok3", "lang": "en"}])
+            assert out["addedCount"] == 1 and out["duplicateCount"] == 0, \
+                where
+            live.add(victims[0])
+            self._check(svc, live, where + " post-readd-tombstoned")
+            # escalation bumped delete_epoch -> old blocks must refuse
+            with pytest.raises(ValueError, match="STALE"):
+                ServingIndex(ixdir)
+
+            # revive victim 1 from the PURGED state -> cheap unmask
+            out = svc.add_documents("life", [
+                {"doc_id": victims[1],
+                 "text": f"alpha shared re{cycle} tok4", "lang": "en"}])
+            assert out["addedCount"] == 1 and out["duplicateCount"] == 0, \
+                where
+            live.add(victims[1])
+            self._check(svc, live, where + " post-readd-purged")
+
+            # refresh the snapshot: fast path serves the revived docs
+            svc.snapshot("life")
+            srv = ServingIndex(ixdir)
+            _, total = srv.search_with_total({"match_all": {}}, k=1)
+            assert total == len(live), where + " post-snapshot serving"
+            res = svc.search("life", {"query": {"term": {
+                "field": "text", "value": f"re{cycle}"}}, "size": 10})
+            assert sorted(h["doc_id"] for h in res["hits"]) == \
+                sorted(victims), where + " revived membership"
+            assert res["_performance"].get("servedBy") == "blocks", where
+
+            svc.flush("life")
+            assert live_runs(ixdir) == [], where
+            self._check(svc, live, where + " post-flush")
+        # both query paths agree with the model at the end
+        idx = load_index(spark, ixdir)
+        from search_engine_spark.operators.delete import \
+            load_index_with_deletes
+        idx = load_index_with_deletes(spark, ixdir)
+        assert idx.doc_stats.count() == len(live)
+
+
 def test_concurrent_mutation_hammer(spark, tmp_path):
     """Searches racing the FULL mutation mix (append → snapshot → flush,
     repeatedly) over HTTP: every response is 200 and every total equals a
