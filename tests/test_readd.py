@@ -112,6 +112,12 @@ def test_readd_after_compaction_unmasks(spark, svc):
     # docs-run row (new values) wins over the immutable registered row
     assert next(h["text"] for h in rng["hits"]
                 if h["doc_id"] == 7) == "alpha phoenix seven"
+    # aggregations count the revived doc exactly ONCE (a sidecar holding
+    # both the pre-delete and the re-added generation would double-count)
+    agg = svc.search("w", {"query": {"match_all": {}}, "size": 0,
+                           "aggregations": {"langs": {"terms": {
+                               "field": "lang", "size": 5}}}})
+    assert agg["aggregations"]["langs"]["buckets"][0]["doc_count"] == 30
     # fully re-added -> empty mask table is REMOVED, not left as junk
     assert load_docs_tombstones(spark, ix) is None
     assert docs_tombstones_path(ix) is None
