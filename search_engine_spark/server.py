@@ -423,23 +423,25 @@ class SearchService:
             # a handful of ids (round-3 verdict "What's wrong #2")
             existing = existing_ids_pruned(self.spark, ixdir, batch,
                                            cfg.id_col)
-            fresh = batch.join(existing, cfg.id_col, "anti").cache()
-            try:
-                n_fresh = fresh.count()
-                if n_fresh:
-                    entry = append_docs(fresh, ixdir, cfg)
-                    # the appended docs' FIELD VALUES must stay reachable
-                    # too (the reference's idx.documents holds the full
-                    # doc): persist the batch as a docs-run so the Spark
-                    # path's aggregations/facets/enrichment — and the next
-                    # snapshot's sidecar — see these rows. Named by the
-                    # LSM run key so the INCREMENTAL sidecar refresh can
-                    # map an uncovered run to exactly its docs batch.
-                    import os
-                    fresh.write.mode("overwrite").parquet(os.path.join(
-                        ixdir, "docs_runs", entry["chunk"]))
-            finally:
-                fresh.unpersist()
+            # localCheckpoint (not cache): a revival escalation inside
+            # append_docs rewrites the very tables this anti-join read
+            # (doc_stats / tombstone state), so a cache-evicted recompute
+            # after that rewrite could change the batch mid-flight.
+            # Checkpointing materializes the rows and severs the lineage.
+            fresh = batch.join(existing, cfg.id_col, "anti").localCheckpoint()
+            n_fresh = fresh.count()
+            if n_fresh:
+                entry = append_docs(fresh, ixdir, cfg)
+                # the appended docs' FIELD VALUES must stay reachable
+                # too (the reference's idx.documents holds the full
+                # doc): persist the batch as a docs-run so the Spark
+                # path's aggregations/facets/enrichment — and the next
+                # snapshot's sidecar — see these rows. Named by the
+                # LSM run key so the INCREMENTAL sidecar refresh can
+                # map an uncovered run to exactly its docs batch.
+                import os
+                fresh.write.mode("overwrite").parquet(os.path.join(
+                    ixdir, "docs_runs", entry["chunk"]))
             meta = self.catalog.stats(name)
             # pending is counted UNDER the mutate lock, the same lock the
             # snapshot holds while reading the manifest and (at its end)

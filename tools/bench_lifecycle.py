@@ -149,6 +149,27 @@ def main():
         out["consolidated_buckets"] = len(cons["consolidated_buckets"])
         out["files_removed"] = cons["files_removed"]
         out["cold_topk_p50_ms_consolidated"] = cold_p50()
+
+        # scenario 5: delete -> re-add revival costs (upsert parity).
+        # Escalation (re-add of a STILL-tombstoned id) pays one
+        # compact_deletes = O(index), by design only on actual revival;
+        # re-add of an already-purged id is an O(batch) mask rewrite.
+        from search_engine_spark.operators.delete import (compact_deletes,
+                                                          delete_docs)
+        t0 = time.time()
+        append_docs(_batch(spark, n_pages + 50000), ixdir, cfg)
+        out["append_1k_baseline_s"] = round(time.time() - t0, 3)
+        delete_docs(spark, ixdir, [0, 1])
+        revive = spark.createDataFrame(
+            [(0, "alpha revived zero")], "doc_id long, text string")
+        t0 = time.time()
+        append_docs(revive, ixdir, cfg)   # escalates: compact_deletes
+        out["readd_tombstoned_escalation_s"] = round(time.time() - t0, 3)
+        revive2 = spark.createDataFrame(
+            [(1, "alpha revived one")], "doc_id long, text string")
+        t0 = time.time()
+        append_docs(revive2, ixdir, cfg)  # purged id: unmask, O(batch)
+        out["readd_purged_unmask_s"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
