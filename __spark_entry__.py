@@ -523,6 +523,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         {"term": {"field": "text", "value": "data"}})
     q["readd_members"] = _readd_members
 
+    def _upsert_bm25(s, d):
+        """Live-document upsert — replace-on-add (round-4; the
+        reference's add() REPLACES an existing id: QueryEngine.ts:137-149
+        repository.save -> removeDocument -> re-index, reached per-doc by
+        the HTTP facade, SearchWorker.ts:214-227). Build over the full
+        corpus, then lsm.upsert_docs a batch that rewrites every
+        doc_id % 7 == 2 (new text; even ids keep the probe term 'data',
+        odd ids lose it) and re-sends doc_id % 7 == 3 byte-identical
+        (dropped as duplicates). Scored BM25 oracle over the POST-upsert
+        corpus: the hash-match proves the old postings are really gone
+        and N / avg_dl / df stay exact through the
+        tombstone -> purge -> append cycle."""
+        import os as _os2
+        import shutil as _sh
+        import tempfile as _tmp
+        from search_engine_spark.operators.delete import \
+            load_index_with_deletes
+        from search_engine_spark.operators.index_build import write_index
+        from search_engine_spark.operators.lsm import upsert_docs
+        key = (_session_key(s), "upsert_ix", d)
+        if key not in _CACHE:
+            ixdir = _os2.path.join(
+                _tmp.gettempdir(),
+                f"contract_upsert_ix_{abs(hash(d)) % 10**8}")
+            _sh.rmtree(ixdir, ignore_errors=True)
+            docs = _docs(s, d)
+            cfg = IndexConfig(id_col="doc_id", fields={"text": "text"},
+                              n_buckets=8)
+            write_index(docs, ixdir, cfg)
+            newdocs = docs.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 2,
+                       F.concat(F.lit("upserted entry payload"),
+                                F.when(F.col("doc_id") % 2 == 0,
+                                       F.lit(" data"))
+                                .otherwise(F.lit(" odd"))))
+                .otherwise(F.col("text")))
+            batch = (newdocs.where(F.col("doc_id") % 7 == 2)
+                     .unionByName(docs.where(F.col("doc_id") % 7 == 3)))
+            upsert_docs(batch, ixdir, cfg, current=docs)
+            idx = load_index_with_deletes(s, ixdir)
+            idx.postings = idx.postings.cache()
+            idx.doc_stats = idx.doc_stats.cache()
+            idx.term_stats = idx.term_stats.cache()
+            _CACHE[key] = SparkSearchEngine(idx, newdocs)
+        return _topk(_CACHE[key],
+                     {"match": {"field": "text", "value": "data"}})
+    q["upsert_bm25"] = _upsert_bm25
+
     def _lsm_append(s, d):
         """LSM incremental add (I1/I9 at scale, round-3): base index over
         80% of the corpus + append_docs of the rest as an O(batch) RUN;
@@ -695,7 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front = ["dd_simhash", "sim_topk_cosine", "sim_lsh_topk",
              "sim_ivf_topk", "sim_lsh_persisted", "sim_ivf_persisted",
              "dd_embedding_neardup", "pipeline_clean_corpus",
-             "mm_binary_meta", "stemmed_detect_uk", "readd_members"]
+             "mm_binary_meta", "stemmed_detect_uk", "readd_members",
+             "upsert_bm25"]
     return {k: q[k] for k in front + [k for k in q if k not in front]}
 
 
@@ -709,11 +759,13 @@ WS_TOK = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
 def _bm25_sql(terms: list, k: int = 10, extra_cte: str = "",
-              extra_join: str = "", extra_score: str = "") -> str:
+              extra_join: str = "", extra_score: str = "",
+              docs: str = "documents") -> str:
     """BM25 top-k oracle for an OR-of-terms query, mirroring the engine's
     expression tree: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1=1.2, b=0.75,
     per-doc score = fold over terms in sorted order. ``extra_*`` bolt on
-    additive boosts (personalization)."""
+    additive boosts (personalization); ``docs`` swaps the corpus source
+    (a parenthesized subquery) for post-mutation oracles like upsert."""
     terms = sorted(terms)
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf_{i}"
@@ -735,7 +787,7 @@ def _bm25_sql(terms: list, k: int = 10, extra_cte: str = "",
         score = f"({score} + {extra_score})"
     where = " OR ".join(f"s.tf_{i} > 0" for i in range(len(terms)))
     return f"""
-WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM {docs} AS dsrc),
 s AS (SELECT doc_id, len(toks)::BIGINT AS dl, {tf_cols} FROM t),
 g AS (SELECT count(*)::BIGINT AS n, avg(dl) AS avgdl FROM s),
 d AS (SELECT {df_cols} FROM s){extra_cte}
@@ -800,6 +852,17 @@ def oracle_sql() -> dict[str, str]:
     o["bm25_match"] = _bm25_sql(["data"])
     # base ∪ append-run view must score exactly like a full build
     o["lsm_append_bm25"] = _bm25_sql(["data"])
+    # BM25 over the corpus AS MUTATED by the upsert: %7==2 docs carry the
+    # replacement text (even keep 'data', odd drop out), %7==3 re-sends
+    # were identical no-ops — any surviving old posting, stale df, or
+    # drifted avg_dl/N breaks the hash
+    o["upsert_bm25"] = _bm25_sql(["data"], docs="""(
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 2
+            THEN 'upserted entry payload' ||
+                 (CASE WHEN doc_id % 2 = 0 THEN ' data' ELSE ' odd' END)
+            ELSE text END AS text
+FROM documents)""")
     o["bm25_should_two"] = _bm25_sql(["data", "query"])
     o["bm25_wand_should"] = _bm25_sql(["data", "query"])
     o["personalized_bm25"] = _bm25_sql(

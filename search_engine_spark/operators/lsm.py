@@ -370,6 +370,151 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
     return out.select(F.col("doc_id").alias(id_col))
 
 
+def identical_ids(batch: DataFrame, current: DataFrame,
+                  id_col: str) -> DataFrame:
+    """Ids whose ``batch`` row equals the stored ``current`` row on EVERY
+    column — the cheap half of upsert: an identical re-send (retry, replayed
+    producer) is a no-op, only genuinely-changed docs pay the replace path.
+
+    Whole-document equality, matching the reference's ``repository.save``
+    which replaces the entire stored object (QueryEngine.ts:137-149): a
+    column missing from one side compares as null, so a re-send with fewer
+    (or extra non-null) fields counts as changed. Per-column rules:
+
+    - same type: null-safe equality (``<=>``; NaN <=> NaN is true in
+      Spark, so float payloads don't force spurious replaces)
+    - both atomic but different types (int vs long, string vs date…):
+      ``try_cast`` the batch side to the stored type — an uncastable or
+      overflowing value becomes null and therefore CHANGED. try_cast, not
+      cast: ANSI mode (Spark 4 default) would otherwise throw mid-job.
+    - map type or mismatched complex types: always CHANGED. Map equality
+      is undefined order-insensitively in Spark, and a false "identical"
+      would silently drop a real update — err toward replacing.
+
+    Returns DataFrame[id_col]. Join is inner on id, so ids absent from
+    ``current`` never appear (callers pass only colliding rows anyway)."""
+    from pyspark.sql.types import AtomicType, MapType
+    b_t = {f.name: f.dataType for f in batch.schema.fields}
+    c_t = {f.name: f.dataType for f in current.schema.fields}
+    cols = sorted((set(b_t) | set(c_t)) - {id_col})
+    b = batch.select(
+        F.col(id_col).alias("__uid"),
+        *[F.col(c).alias(f"__b_{i}") for i, c in enumerate(cols)
+          if c in b_t])
+    c = current.select(
+        F.col(id_col).alias("__uid"),
+        *[F.col(cc).alias(f"__c_{i}") for i, cc in enumerate(cols)
+          if cc in c_t])
+    # batch is an HTTP payload / micro-batch — broadcast it against the
+    # (potentially huge) stored side
+    j = c.join(F.broadcast(b), "__uid")
+    cond = F.lit(True)
+    for i, col in enumerate(cols):
+        bt, ct = b_t.get(col), c_t.get(col)
+        bc, cc = F.col(f"__b_{i}"), F.col(f"__c_{i}")
+        if bt is None:
+            e = cc.isNull()
+        elif ct is None:
+            e = bc.isNull()
+        elif isinstance(bt, MapType) or isinstance(ct, MapType):
+            e = F.lit(False)
+        elif bt == ct:
+            e = bc.eqNullSafe(cc)
+        elif isinstance(bt, AtomicType) and isinstance(ct, AtomicType):
+            e = bc.try_cast(ct).eqNullSafe(cc)
+        else:
+            e = F.lit(False)
+        cond = cond & e
+    return j.where(cond).select(F.col("__uid").alias(id_col))
+
+
+def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
+                current: DataFrame | None = None) -> dict:
+    """Reference ``add()`` semantics over the LSM index: new ids append,
+    ids already LIVE in the index are REPLACED (QueryEngine.ts:137-149 —
+    ``repository.save`` replaces, then removeDocument + re-index). Plain
+    :func:`append_docs` deliberately drops colliding ids (idempotent-retry
+    dedup, the HTTP facade's duplicateCount); this is the operator for
+    callers that mean "this is the new version of the document".
+
+    Mechanics — entirely composed of tested lifecycle pieces:
+
+    1. colliding live ids (O(batch) via the ds_bucket-pruned dedup read)
+    2. if ``current`` (the stored field values — the server passes its
+       docs view) is given, :func:`identical_ids` splits identical
+       re-sends out; they are dropped, costing nothing. Without values to
+       compare, every collision is treated as changed (the reference
+       replaces unconditionally).
+    3. changed ids are tombstoned (``delete_docs``) and the batch is
+       appended: :func:`append_docs`'s revival escalation sees its own
+       ids tombstoned, physically purges the OLD postings
+       (``compact_deletes`` — O(affected buckets)), and writes the new
+       run. The invariant "a tombstoned id never has live postings"
+       holds throughout, so every reader (Spark union view, WAND blocks,
+       serving sidecar) sees exactly one version.
+
+    Collection stats stay exact: delete+purge recompute N/dl_sum from the
+    surviving doc_stats, the append re-adds the new lengths additively —
+    the ``upsert_bm25`` contract entry hash-matches a DuckDB rebuild over
+    the post-upsert corpus, so avg_dl/df/N are bitwise right.
+
+    Steady-state appends (no collisions) pay one extra semi-join count
+    over the pruned stats read and skip everything else.
+
+    Returns ``{"added": fresh, "replaced": n, "unchanged": n,
+    "entry": manifest-entry-or-None}``."""
+    spark = docs.sparkSession
+    docs = docs.dropDuplicates([config.id_col])
+    existing = existing_ids_pruned(spark, index_dir, docs, config.id_col)
+    colliding = (docs.join(existing, config.id_col, "semi")
+                 .localCheckpoint())  # pin before any index rewrite
+    n_coll = colliding.count()
+    n_ident = 0
+    changed_ids: list = []
+    if n_coll:
+        if current is not None:
+            # push the colliding ids into the stored-side scan: parquet
+            # row-group min/max skipping prunes it (same pattern as
+            # doc_values.enrich) — don't full-scan the corpus to compare
+            # a handful of docs. Huge batches fall back to the semi-join.
+            ids = [r[0] for r in
+                   colliding.select(config.id_col).distinct().collect()]
+            cur = (current.where(F.col(config.id_col).isin(ids))
+                   if len(ids) <= 10_000 else
+                   current.join(F.broadcast(colliding.select(config.id_col)
+                                            .distinct()),
+                                config.id_col, "semi"))
+            ident = identical_ids(colliding, cur,
+                                  config.id_col).localCheckpoint()
+            n_ident = ident.count()
+            changed = colliding.join(ident, config.id_col, "anti")
+        else:
+            ident = None
+            changed = colliding
+        raw = [r[0] for r in  # try_cast: ANSI cast would throw mid-job
+               changed.select(F.col(config.id_col).try_cast("long"))
+               .distinct().collect()]
+        if any(v is None for v in raw):
+            raise ValueError(
+                "upsert replace path needs long-castable doc ids (the "
+                "tombstone tables key on doc_id long, like delete_docs)")
+        changed_ids = [int(v) for v in raw]
+    to_append = (docs.join(ident, config.id_col, "anti")
+                 if n_ident else docs).localCheckpoint()
+    n_append = to_append.count()
+    if changed_ids:
+        from .delete import delete_docs
+        delete_docs(spark, index_dir, changed_ids)
+    entry = None
+    if n_append:
+        entry = append_docs(to_append, index_dir, config)
+    return {"added": n_append - len(changed_ids),
+            "replaced": len(changed_ids),
+            "unchanged": n_ident,
+            "entry": entry,
+            "batch": to_append if n_append else None}
+
+
 def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
                     base_postings: DataFrame | None,
                     base_doc_stats: DataFrame | None,

@@ -403,35 +403,32 @@ class SearchService:
                                               or ()))
 
     def add_documents(self, name: str, documents: list) -> dict:
-        """LSM append (server.ts:353-385): id-dedup against the current
-        index (reference duplicateCount semantics), then an O(batch)
-        posting run — the base index is never rewritten here."""
+        """Reference ``add()`` semantics over HTTP (server.ts:353-385 →
+        SearchWorker.ts:214-227 calls ``engine.add`` per doc, which
+        REPLACES on an existing id, QueryEngine.ts:137-149): new ids
+        append as an O(batch) LSM run, changed versions of live docs are
+        replaced (lsm.upsert_docs: tombstone → purge → re-run), and
+        byte-identical re-sends are dropped — the CRDT duplicate-operation
+        analog (SharedMemoryWorkerPool.ts:1172-1177), so an idempotent
+        retry never pays the replace path. The dedup/compare reads are
+        O(batch's id-buckets) via the ds_bucket-pruned doc_stats layout
+        plus an id-pushed-down docs-view probe, not O(corpus)."""
         if not self.catalog.index_exists(name):
             raise KeyError(name)
-        from .operators.index_build import load_index
-        from .operators.lsm import append_docs
+        from .operators.lsm import upsert_docs
         cfg = self._index_config(name)
         ixdir = self.catalog._dir(name)
         with self._mutate_lock:
             batch = self.spark.createDataFrame(documents)
             batch = batch.dropDuplicates([cfg.id_col])
-            from .operators.lsm import existing_ids_pruned
-            # dedup reads O(batch's id-buckets), not O(corpus): the batch's
-            # ids prune the bucketed doc_stats layout to their ds_bucket
-            # partitions (plus the small live-run stats) — at 10^12 docs a
-            # POST /documents must not pay a full doc_stats scan to dedup
-            # a handful of ids (round-3 verdict "What's wrong #2")
-            existing = existing_ids_pruned(self.spark, ixdir, batch,
-                                           cfg.id_col)
-            # localCheckpoint (not cache): a revival escalation inside
-            # append_docs rewrites the very tables this anti-join read
-            # (doc_stats / tombstone state), so a cache-evicted recompute
-            # after that rewrite could change the batch mid-flight.
-            # Checkpointing materializes the rows and severs the lineage.
-            fresh = batch.join(existing, cfg.id_col, "anti").localCheckpoint()
-            n_fresh = fresh.count()
-            if n_fresh:
-                entry = append_docs(fresh, ixdir, cfg)
+            # current stored values let identical re-sends short-circuit;
+            # a disk-restored index with no registered docs table compares
+            # nothing and replaces every collision (what the reference
+            # does unconditionally)
+            res = upsert_docs(batch, ixdir, cfg,
+                              current=self._docs_view(name))
+            n_fresh = res["added"] + res["replaced"]
+            if res["entry"] is not None:
                 # the appended docs' FIELD VALUES must stay reachable
                 # too (the reference's idx.documents holds the full
                 # doc): persist the batch as a docs-run so the Spark
@@ -439,9 +436,11 @@ class SearchService:
                 # snapshot's sidecar — see these rows. Named by the
                 # LSM run key so the INCREMENTAL sidecar refresh can
                 # map an uncovered run to exactly its docs batch.
+                # Written AFTER upsert's escalation, so a replace's
+                # purge of the OLD docs-run rows can't eat this batch.
                 import os
-                fresh.write.mode("overwrite").parquet(os.path.join(
-                    ixdir, "docs_runs", entry["chunk"]))
+                res["batch"].write.mode("overwrite").parquet(os.path.join(
+                    ixdir, "docs_runs", res["entry"]["chunk"]))
             meta = self.catalog.stats(name)
             # pending is counted UNDER the mutate lock, the same lock the
             # snapshot holds while reading the manifest and (at its end)
@@ -456,7 +455,12 @@ class SearchService:
         saved = self._check_auto_save(name)
         return {
             "message": f"Added {n_fresh} documents to index '{name}'",
+            # addedCount counts every doc the engine (re-)indexed, like
+            # the reference's per-doc add loop; replaced ids are broken
+            # out so callers can see the upsert happened. duplicateCount
+            # = identical re-sends + in-batch id dupes (dropped).
             "addedCount": n_fresh,
+            "replacedCount": res["replaced"],
             "duplicateCount": len(documents) - n_fresh,
             "totalDocs": meta["total_docs"],
             # reference shape verbatim (server.ts:373-377 hardcodes

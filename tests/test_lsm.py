@@ -282,10 +282,13 @@ class TestRestEndpoints:
     def test_add_documents_shapes(self, service):
         out = service.add_documents("idx", [
             {"doc_id": 100, "text": "alpha omega fresh", "lang": "en"},
-            {"doc_id": 5, "text": "alpha dupe", "lang": "en"},  # existing id
+            # existing id, CHANGED content -> replaced (reference add()
+            # upserts, QueryEngine.ts:137-149)
+            {"doc_id": 5, "text": "alpha dupe", "lang": "en"},
         ])
-        assert out["addedCount"] == 1
-        assert out["duplicateCount"] == 1
+        assert out["addedCount"] == 2
+        assert out["replacedCount"] == 1
+        assert out["duplicateCount"] == 0
         assert out["totalDocs"] == 13
         assert out["persistence"]["enabled"] is True
         assert out["persistence"]["triggered"] is True  # addedCount > 0
@@ -294,6 +297,10 @@ class TestRestEndpoints:
             "term": {"field": "text", "value": "omega"}}})
         assert [h["doc_id"] for h in res["hits"]] == [100]
         assert res["total"] == 1
+        # the replaced doc serves its NEW content only
+        res = service.search("idx", {"query": {
+            "term": {"field": "text", "value": "dupe"}}})
+        assert [h["doc_id"] for h in res["hits"]] == [5]
 
     def test_flush_shapes(self, service):
         service.add_documents("idx", [

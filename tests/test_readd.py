@@ -12,7 +12,9 @@ re-added id can be in, each with its own path:
 - physically PURGED (compact_deletes ran): its registered docs-table row
   is masked via the ``docs_tombstones`` table; re-add just unmasks it and
   the docs-run row becomes the value source — O(batch).
-- LIVE: re-add is a duplicate (reference addedCount/duplicateCount split).
+- LIVE + identical content: duplicate (idempotent retry, dropped).
+- LIVE + changed content: REPLACED via lsm.upsert_docs (tombstone →
+  purge → fresh run) — see tests/test_upsert.py.
 """
 
 import os
@@ -123,10 +125,22 @@ def test_readd_after_compaction_unmasks(spark, svc):
     assert docs_tombstones_path(ix) is None
 
 
-def test_readd_live_doc_is_duplicate(spark, svc):
+def test_readd_live_doc_identical_is_duplicate(spark, svc):
+    r = svc.add_documents("w", [{"doc_id": 3, "lang": "en",
+                                 "text": "alpha old3 tok3"}])
+    assert r["addedCount"] == 0 and r["duplicateCount"] == 1
+    assert r["replacedCount"] == 0
+
+
+def test_readd_live_doc_changed_is_replaced(spark, svc):
     r = svc.add_documents("w", [{"doc_id": 3, "text": "whatever",
                                  "lang": "en"}])
-    assert r["addedCount"] == 0 and r["duplicateCount"] == 1
+    assert r["addedCount"] == 1 and r["duplicateCount"] == 0
+    assert r["replacedCount"] == 1
+    assert _ids(svc.search("w", {"query": {"term": {
+        "field": "text", "value": "whatever"}}, "size": 5})) == [3]
+    assert _ids(svc.search("w", {"query": {"term": {
+        "field": "text", "value": "old3"}}, "size": 5})) == []
 
 
 def test_partial_unmask_keeps_other_purged_ids_masked(spark, svc):
