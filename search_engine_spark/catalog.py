@@ -87,6 +87,14 @@ class IndexCatalog:
         tomb_dir = os.path.join(d, "tombstones")
         if os.path.isdir(tomb_dir):
             parts.append(tuple(sorted(os.listdir(tomb_dir))))
+        # barrier tombstones are ONE file swapped in place via os.replace
+        # (delete._rewrite_tombstones) — the name never changes, so its
+        # identity is (mtime_ns, size), like the docs_tombstones mask
+        from .operators.delete import TOMBSTONES_FILE
+        tf = os.path.join(d, TOMBSTONES_FILE)
+        if os.path.isfile(tf):
+            st = os.stat(tf)
+            parts.append(("tb", st.st_mtime_ns, st.st_size))
         # re-add lifecycle state: the docs_tombstones mask is rewritten by
         # compact_deletes (fold) and append_docs (unmask), and docs_runs
         # files are purged by compact_deletes — every rewrite must move

@@ -17,13 +17,18 @@ merge-on-read pattern (what Iceberg row-level deletes do under the hood):
 
 Delete → re-add (the reference's in-process ``add()`` is an upsert:
 ``QueryEngine.ts:137-149`` replaces the stored doc and re-indexes, so a
-deleted id can come back): physically purged ids whose rows still exist in
+deleted id can come back): tombstones are SEQUENCE-NUMBERED — each carries
+the generation ``barrier`` it was written at, and masks only index rows
+whose source generation ``seq`` is <= that barrier (base tables are
+generation 0, LSM runs their manifest seq). A re-add is therefore a plain
+O(batch) append: the new run's seq exceeds the barrier, so its rows are
+live under the mask every reader applies, with NO physical rewrite — the
+RocksDB sequence-numbered-delete pattern over parquet. The deferred purge
+happens at ``lsm.compact_runs`` (tombstone RESOLUTION) or here at
+:func:`compact_deletes`. Physically purged ids whose rows still exist in
 the REGISTERED docs table (user input parquet — never rewritten) move to a
 ``docs_tombstones`` mask table, the docs-table twin of Iceberg positional
-deletes. Re-adding such an id (``lsm.append_docs``) simply removes it from
-the mask; re-adding an id that is still tombstoned escalates to
-:func:`compact_deletes` first, preserving the invariant every reader
-relies on — a tombstoned id never has live postings anywhere.
+deletes; re-adding such an id simply removes it from the mask.
 """
 
 from __future__ import annotations
@@ -38,8 +43,128 @@ from .index_build import (DOC_STATS, META, POSTINGS, TERM_STATS, IndexConfig,
                           InvertedIndex, build_term_stats, load_index)
 
 TOMBSTONES = "tombstones"
+TOMBSTONES_FILE = "tombstones.parquet"
 DOCS_TOMBSTONES = "docs_tombstones"
 DOCS_TOMBSTONES_FILE = "docs_tombstones.parquet"
+
+#: barrier for tombstones written before the sequence-numbered layout —
+#: mask EVERY generation (the legacy invariant guaranteed no live rows)
+LEGACY_BARRIER = (1 << 62)
+
+
+def load_tombstones(spark: SparkSession, index_dir: str):
+    """DataFrame[doc_id, barrier] — one row per tombstoned id, barrier =
+    max over its delete records — or None when no delete state exists.
+
+    A tombstone masks index rows whose source generation ``seq`` is
+    <= ``barrier`` (base tables are generation 0; LSM runs carry their
+    manifest seq). A row with seq > barrier is a LATER generation — a
+    re-add or upsert — and stays live with no physical rewrite: the
+    RocksDB sequence-numbered-delete pattern over parquet. Reads both
+    layouts: the current single crash-atomic ``tombstones.parquet``
+    (os.replace swap, like the docs_tombstones mask) and the legacy
+    append-dir ``tombstones/`` whose rows get LEGACY_BARRIER (mask all —
+    under the legacy escalation invariant no live generation existed)."""
+    parts = []
+    f = os.path.join(index_dir, TOMBSTONES_FILE)
+    if os.path.isfile(f):
+        t = spark.read.parquet(f)
+        if "barrier" not in t.columns:
+            t = t.withColumn("barrier", F.lit(LEGACY_BARRIER))
+        parts.append(t.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("barrier"), F.lit(LEGACY_BARRIER))
+            .cast("long").alias("barrier")))
+    d = os.path.join(index_dir, TOMBSTONES)
+    if os.path.isdir(d):
+        parts.append(spark.read.parquet(d).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(LEGACY_BARRIER).cast("long").alias("barrier")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_id").agg(F.max("barrier").alias("barrier"))
+
+
+def _rewrite_tombstones(spark: SparkSession, index_dir: str,
+                        tomb: "DataFrame | None") -> int:
+    """Atomically replace the tombstone table with ``tomb``
+    (DataFrame[doc_id, barrier] or None to clear). Single parquet file +
+    ``os.replace`` — a crash leaves either complete state, never a
+    missing mask (which would resurrect deleted docs). Collected
+    driver-side: the table is bounded by design (wand caps it at 10M and
+    every reader broadcasts it); at larger churn the layout becomes
+    id-bucketed files swapped per bucket. Returns the row count."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fpath = os.path.join(index_dir, TOMBSTONES_FILE)
+    legacy = os.path.join(index_dir, TOMBSTONES)
+    rows = [] if tomb is None else sorted(
+        (int(r["doc_id"]), int(r["barrier"])) for r in tomb.collect())
+    if not rows:
+        try:
+            os.remove(fpath)
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(legacy, ignore_errors=True)
+        return 0
+    tmp = fpath + ".tmp"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "barrier": pa.array([r[1] for r in rows], pa.int64())}), tmp)
+    os.replace(tmp, fpath)
+    # the file now carries the full folded set; drop the legacy dir last
+    shutil.rmtree(legacy, ignore_errors=True)
+    return len(rows)
+
+
+def load_dead_ids(spark: SparkSession, index_dir: str):
+    """DataFrame[doc_id] of docs with NO surviving generation — tombstoned
+    and never re-added — or None when no tombstones exist. This is the
+    docs-table kill-set (dsl._live, global agg scopes): a doc UPSERTED via
+    tombstone + newer run (seq > barrier) is alive and must NOT be masked,
+    so raw tombstones are the wrong frame for that purpose.
+
+    Cheap by construction: base rows are generation 0 and every barrier is
+    ≥ 0, so only the live LSM runs (small) can out-survive a barrier — one
+    broadcast join of run doc-stats against the tombstone table."""
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is None:
+        return None
+    from .lsm import live_runs, read_run_doc_stats
+    runs = live_runs(index_dir)
+    if not runs:
+        return tomb.select("doc_id")
+    run_ds = read_run_doc_stats(
+        spark, [e["doc_stats_path"] for e in runs],
+        seqs=[int(e.get("seq", 0) or 0) for e in runs])
+    revived = (run_ds.join(F.broadcast(tomb), "doc_id")
+               .where(F.col("seq") > F.col("barrier"))
+               .select("doc_id").distinct())
+    return tomb.join(revived, "doc_id", "anti").select("doc_id")
+
+
+def has_tombstones(index_dir: str) -> bool:
+    return (os.path.isfile(os.path.join(index_dir, TOMBSTONES_FILE))
+            or os.path.isdir(os.path.join(index_dir, TOMBSTONES)))
+
+
+def mask_live(frame: DataFrame, tomb: "DataFrame | None") -> DataFrame:
+    """Barrier mask over any (doc_id, ..., seq) frame: keep rows whose
+    generation survives — no tombstone, or ``seq > barrier``. The ``seq``
+    column is attached when absent (base tables are generation 0) and
+    always dropped from the result."""
+    from .lsm import with_seq
+    if frame is None or tomb is None:
+        return frame.drop("seq") if frame is not None else None
+    tb = tomb.select("doc_id", F.col("barrier").alias("__tb"))
+    return (with_seq(frame).join(F.broadcast(tb), "doc_id", "left")
+            .where(F.col("__tb").isNull() | (F.col("seq") > F.col("__tb")))
+            .drop("__tb", "seq"))
 
 
 def docs_tombstones_path(index_dir: str) -> str | None:
@@ -106,32 +231,47 @@ def load_docs_tombstones(spark: SparkSession, index_dir: str):
 
 def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
     """Base doc_stats ∪ live LSM append/stream runs (the same union view
-    load_index serves) — delete bookkeeping must count appended docs too."""
-    from .lsm import live_runs, read_run_doc_stats
+    load_index serves), WITH the virtual generation column (base 0, runs
+    their manifest seq) — delete bookkeeping must count appended docs too
+    and must be barrier-aware."""
+    from .lsm import live_runs, read_run_doc_stats, with_seq
     base_p = os.path.join(index_dir, DOC_STATS)
-    ds = (spark.read.parquet(base_p).select("doc_id", "dl")
+    ds = (with_seq(spark.read.parquet(base_p).select("doc_id", "dl"))
           if os.path.isdir(base_p) else None)
     runs = live_runs(index_dir)
     if runs:
         run_ds = read_run_doc_stats(
-            spark, [e["doc_stats_path"] for e in runs])
+            spark, [e["doc_stats_path"] for e in runs],
+            seqs=[int(e.get("seq", 0) or 0) for e in runs])
         ds = run_ds if ds is None else ds.unionByName(run_ds)
     return ds
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
-    """Tombstone ``doc_ids`` and refresh collection stats. Returns new meta."""
+    """Tombstone ``doc_ids`` at the current generation barrier and refresh
+    collection stats. Returns new meta.
+
+    The barrier is the index's mutation clock (max committed run seq):
+    the tombstone masks every generation that exists NOW, while a run
+    appended LATER (seq > barrier) revives or replaces the doc with no
+    physical work — the reference's add()-is-upsert semantics
+    (QueryEngine.ts:137-149) at O(batch)."""
     base_ds = _doc_stats_with_runs(spark, index_dir)
     if base_ds is None:  # validate BEFORE appending tombstones — a bad
         # path must not leave a tombstone table next to stale meta
         raise FileNotFoundError(
             f"no index at {index_dir}: neither {DOC_STATS}/ nor any "
             "committed run exists — build or append first")
-    tomb_path = os.path.join(index_dir, TOMBSTONES)
-    spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long") \
-        .write.mode("append").parquet(tomb_path)
-    tomb = spark.read.parquet(tomb_path).distinct()
-    ds = base_ds.join(tomb, "doc_id", "anti")
+    from .lsm import current_seq
+    barrier = current_seq(index_dir)
+    prev = load_tombstones(spark, index_dir)
+    new = spark.createDataFrame(
+        [(int(d), barrier) for d in doc_ids], "doc_id long, barrier long")
+    folded = new if prev is None else prev.unionByName(new) \
+        .groupBy("doc_id").agg(F.max("barrier").alias("barrier"))
+    n_tomb = _rewrite_tombstones(spark, index_dir, folded)
+    tomb = load_tombstones(spark, index_dir)
+    ds = mask_live(base_ds, tomb)
     stats = ds.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl"),
                    F.sum("dl").alias("dlsum")).collect()[0]
@@ -141,26 +281,46 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
     meta["total_docs"] = int(stats["n"])
     meta["avg_dl"] = float(stats["avgdl"] or 0.0)
     meta["dl_sum"] = int(stats["dlsum"] or 0)
-    meta["n_tombstones"] = tomb.count()
+    meta["n_tombstones"] = n_tomb
     with open(meta_path, "w") as fh:
         json.dump(meta, fh, indent=1)
     return meta
 
 
 def load_index_with_deletes(spark: SparkSession, index_dir: str) -> InvertedIndex:
-    """load_index + tombstone anti-joins (merge-on-read view)."""
+    """load_index + barrier-tombstone masking (merge-on-read view).
+
+    Rows whose source generation is masked (``seq <= barrier``) disappear
+    from postings/doc_stats; term_stats is recomputed over the surviving
+    postings so df (hence idf) matches a physical rebuild exactly. The
+    handle exposes:
+
+    - ``tombstones``: DataFrame[doc_id, barrier] — block/serving readers
+      apply the same per-generation mask to their immutable payloads
+    - ``dead_ids``: ids with NO surviving generation — the docs-table
+      mask for pure range/geo/exists queries (dsl._live); an upserted doc
+      has a tombstone but IS alive, so _live must not use raw tombstones
+    - ``docs_tombstones``: physically purged ids whose registered
+      docs-table rows must stay invisible
+    """
     idx = load_index(spark, index_dir)
-    tomb_path = os.path.join(index_dir, TOMBSTONES)
-    if os.path.isdir(tomb_path):
-        tomb = spark.read.parquet(tomb_path).distinct()
-        idx.postings = idx.postings.join(tomb, "doc_id", "anti")
-        idx.doc_stats = idx.doc_stats.join(tomb, "doc_id", "anti")
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        idx.postings = mask_live(idx.postings, tomb)
+        idx.doc_stats = mask_live(idx.doc_stats, tomb)
         # df must shrink for terms whose postings died with the docs
         idx.term_stats = build_term_stats(idx.postings)
-        # expose the tombstone frame so block-index readers (wand_topk,
-        # ServingIndex) can apply the same merge-on-read filter — the blocks
-        # table is immutable and still contains the deleted docs' payloads
         idx.tombstones = tomb
+        idx.dead_ids = tomb.join(idx.doc_stats.select("doc_id"),
+                                 "doc_id", "anti").select("doc_id")
+    else:
+        from .lsm import with_seq as _ws  # noqa: F401
+        # no delete state: drop the virtual generation column so the
+        # query engine sees the canonical (…, tf/dl) schemas
+        if "seq" in idx.postings.columns:
+            idx.postings = idx.postings.drop("seq")
+        if "seq" in idx.doc_stats.columns:
+            idx.doc_stats = idx.doc_stats.drop("seq")
     # docs-table mask for physically purged ids (their postings are gone,
     # but the registered docs table still holds their rows) — consumed by
     # dsl._live for pure docs-table queries
@@ -175,18 +335,22 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     deleted rows and drop the tombstone table."""
     import shutil
 
-    # live LSM runs must fold into the base FIRST: they may hold postings
-    # of tombstoned docs, and clearing the tombstone table with raw runs
-    # still live would resurrect those docs on the next load
+    # live LSM runs must fold into the base FIRST: they may hold masked
+    # generations of tombstoned docs, and clearing the tombstone table
+    # with raw runs still live would resurrect those rows on the next
+    # load. The fold also RESOLVES upsert tombstones (docs with a
+    # surviving newer generation): it physically purges their old rows
+    # and removes their tombstones, so everything still tombstoned here
+    # is fully dead — a plain anti-join purge is exact.
     from .lsm import compact_runs, live_runs
     if live_runs(index_dir):
         compact_runs(spark, index_dir)
 
-    tomb_path = os.path.join(index_dir, TOMBSTONES)
-    if not os.path.isdir(tomb_path):
+    tomb_full = load_tombstones(spark, index_dir)
+    if tomb_full is None:
         with open(os.path.join(index_dir, META)) as fh:
             return json.load(fh)
-    tomb = spark.read.parquet(tomb_path).distinct()
+    tomb = tomb_full.select("doc_id")
 
     with open(os.path.join(index_dir, META)) as fh:
         meta = json.load(fh)
@@ -272,5 +436,5 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
-    shutil.rmtree(tomb_path)
+    _rewrite_tombstones(spark, index_dir, None)  # clears file + legacy dir
     return meta

@@ -119,12 +119,23 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
         # byte-identical in schema and values
         cols.append(_dv_cast(name, kind, docs))
     path = os.path.join(index_dir, DOC_VALUES)
+    # generation stamp (__gen): rows are masked by barrier tombstones
+    # when __gen <= barrier, exactly like postings (lsm virtual seq).
+    # A FULL write bakes the current canonical view — every row in it
+    # survives every EXISTING barrier by construction (masked rows are
+    # excluded from the view), so stamping the current clock keeps them
+    # live now while any FUTURE tombstone (allocated above the clock)
+    # masks them, with the replacing delta row arriving at a higher seq.
+    from .lsm import current_seq
+    gen = current_seq(index_dir)
     (docs.select(*cols)
+         .withColumn("__gen", F.lit(int(gen)).cast("long"))
          .repartitionByRange(max(1, int(n_files)), "doc_id")
          .sortWithinPartitions("doc_id")
          .write.mode("overwrite").parquet(path))
     meta = {"fields": kinds, "id_col": id_col,
             "includes_runs": list(includes_runs or []),
+            "has_gen": True,
             # a delete compaction physically purges rows (and a re-add can
             # then reintroduce an id with NEW values) — the incremental
             # refresh must full-rebuild across that boundary or the
@@ -206,6 +217,12 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
         # delta install would leave two generations of the same doc_id
         # (aggregation double-count); rebuild from the canonical view
         return _full()
+    if not meta.get("has_gen"):
+        # pre-generation sidecar: a seq-stamped delta next to un-stamped
+        # base files would give the pyarrow dataset a mixed schema (the
+        # __gen column could silently vanish) — upgrade via one full
+        # rebuild, after which every file carries the column
+        return _full()
     included = set(meta.get("includes_runs", []))
     new_runs = [e for e in accounted_runs(index_dir)
                 if e["run_path"] not in included]
@@ -217,12 +234,13 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
         docs_dir = os.path.join(index_dir, "docs_runs", run_key)
         if not os.path.isdir(docs_dir):
             return _full()
-        batches.append((e["run_path"], run_key, docs_dir))
+        batches.append((e["run_path"], run_key, docs_dir,
+                        int(e.get("seq", 0) or 0)))
     import shutil
     import tempfile
     kinds = meta["fields"]
     mid = meta.get("id_col", id_col)
-    for run_path, run_key, docs_dir in batches:
+    for run_path, run_key, docs_dir, run_seq in batches:
         batch = spark.read.parquet(docs_dir)
         cols = [F.col(mid).cast("long").alias("doc_id")]
         cols += [_dv_cast(name, kind, batch)
@@ -230,6 +248,10 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
         staging = tempfile.mkdtemp(prefix="dv_delta_", dir=index_dir)
         try:
             (batch.select(*cols)
+             # the run's generation: an upserted doc's OLD sidecar row
+             # (lower __gen) is masked by its tombstone barrier while
+             # this delta row (seq > barrier) serves the new values
+             .withColumn("__gen", F.lit(run_seq).cast("long"))
              .repartitionByRange(1, "doc_id")
              .sortWithinPartitions("doc_id")
              .write.mode("overwrite").parquet(staging))
@@ -248,6 +270,76 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
         json.dump(meta, fh, indent=1)
     os.replace(mp + ".tmp", mp)
     return meta
+
+
+def purge_doc_values(index_dir: str, drops: dict) -> int:
+    """Physically remove superseded generations from the sidecar:
+    ``drops`` maps doc_id → barrier; rows with that id and
+    ``__gen <= barrier`` are rewritten out (the doc's NEW generation —
+    a delta row with __gen > barrier — survives). Called by
+    lsm.compact_runs when it resolves upsert tombstones, BEFORE the
+    tombstone table shrinks, so nothing is ever transiently unmasked.
+
+    Driver-side pyarrow, bounded by the dropped ids' files: per file,
+    row-group doc_id min/max stats skip non-overlapping files; a hit
+    file is rewritten atomically (tmp + os.replace) under its own name,
+    so a crash replay just filters again. Returns rewritten file count.
+    Files without a __gen column are pre-generation rows (generation 0
+    — always <= barrier)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    path = os.path.join(index_dir, DOC_VALUES)
+    if not drops or not os.path.isdir(path):
+        return 0
+    ids = sorted(int(i) for i in drops)
+    lo, hi = ids[0], ids[-1]
+    rewritten = 0
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(path, name)
+        pf = pq.ParquetFile(fp)
+        md = pf.metadata
+        try:
+            di = [md.schema.column(i).name
+                  for i in range(md.num_columns)].index("doc_id")
+            overlap = False
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(di).statistics
+                if st is None or not st.has_min_max or \
+                        (st.min <= hi and st.max >= lo):
+                    overlap = True
+                    break
+        except ValueError:
+            overlap = True
+        if not overlap:
+            continue
+        t = pf.read()
+        did = np.asarray(t.column("doc_id"), dtype=np.int64)
+        gen = (np.asarray(pc.fill_null(t.column("__gen"), 0),
+                          dtype=np.int64)
+               if "__gen" in t.column_names
+               else np.zeros(did.size, dtype=np.int64))
+        bar = np.full(did.size, -1, dtype=np.int64)
+        arr = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(arr, did)
+        pos[pos == arr.size] = 0
+        hit = arr[pos] == did
+        if not hit.any():
+            continue
+        bar[hit] = np.asarray([drops[int(d)] for d in did[hit]],
+                              dtype=np.int64)
+        keep = ~(hit & (gen <= bar))
+        if keep.all():
+            continue
+        t2 = t.filter(pa.array(keep))
+        tmp = fp + ".tmp"
+        pq.write_table(t2, tmp)
+        os.replace(tmp, fp)
+        rewritten += 1
+    return rewritten
 
 
 def load_doc_values_meta(index_dir: str) -> dict | None:

@@ -100,6 +100,35 @@ def mark_compacted(index_dir: str, entries: list,
                 json.dump(e, fh, indent=1)
 
 
+def current_seq(index_dir: str) -> int:
+    """Highest committed mutation sequence number — the LSM generation
+    clock. Every run (append or stream batch) gets ``seq = current + 1``
+    at commit; base-table rows are implicitly generation 0. Sequence
+    numbers order document GENERATIONS: a tombstone written at barrier B
+    masks rows whose source seq ≤ B, so a later run (seq > B) revives or
+    replaces the doc without any physical rewrite — the RocksDB
+    sequence-numbered-delete pattern over parquet."""
+    mx = 0
+    for _, e in _manifest_entries(index_dir):
+        mx = max(mx, int(e.get("seq", 0) or 0))
+    mp = os.path.join(index_dir, META)
+    if os.path.isfile(mp):
+        try:
+            with open(mp) as fh:
+                mx = max(mx, int(json.load(fh).get("last_seq", 0)))
+        except (json.JSONDecodeError, OSError):
+            pass
+    return mx
+
+
+def with_seq(df: DataFrame, seq: int = 0) -> DataFrame:
+    """Attach the virtual generation column when absent (base tables and
+    pre-seq runs are generation 0 — nothing is persisted for them)."""
+    if df is None or "seq" in df.columns:
+        return df
+    return df.withColumn("seq", F.lit(int(seq)).cast("long"))
+
+
 def _fresh_meta(config: IndexConfig) -> dict:
     return {"total_docs": 0, "avg_dl": 0.0, "dl_sum": 0,
             "n_postings": 0, "id_col": config.id_col,
@@ -144,6 +173,8 @@ def reconcile_meta(index_dir: str, config: IndexConfig) -> dict:
                           if meta["total_docs"] else 0.0)
         meta["n_postings"] = (int(meta.get("n_postings", 0))
                               + int(e.get("n_postings", 0)))
+        meta["last_seq"] = max(int(meta.get("last_seq", 0)),
+                               int(e.get("seq", 0) or 0))
         applied.append(key)
         changed = True
     if changed or not os.path.isfile(meta_path):
@@ -162,6 +193,12 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
     key → same paths (overwrite) and a single meta application."""
     os.makedirs(os.path.join(index_dir, MANIFEST), exist_ok=True)
     t0 = time.time()
+    # generation stamp: this run supersedes every barrier < seq. Allocated
+    # at write time from the manifest+meta clock; concurrent appends may
+    # tie (both are pure additions of distinct ids — ordering between two
+    # appends never matters, only delete-vs-append order does, and the
+    # facade serializes mutations under one lock).
+    seq = current_seq(index_dir) + 1
     run_path = os.path.join(index_dir, RUNS, run_key)
     # batch stats ride the two write jobs via observe() — no read-back
     # aggregate or count jobs per batch (same pattern as write_index)
@@ -184,7 +221,7 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
      .write.mode("overwrite").partitionBy("ds_bucket").parquet(ds_path))
     row = obs_d.get
     entry = {
-        "chunk": run_key, "status": "committed",
+        "chunk": run_key, "status": "committed", "seq": seq,
         "n_docs": int(row["n"]), "dl_sum": int(row["dl_sum"] or 0),
         "n_postings": int(obs_p.get["n"] or 0), "run_path": run_path,
         "doc_stats_path": ds_path, "seconds": time.time() - t0,
@@ -251,33 +288,25 @@ def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
     in-process upsert (``QueryEngine.ts:137-149``: ``repository.save``
     replaces, then removeDocument + re-index).
 
-    Two cases, preserving the invariant every read path relies on — a
-    tombstoned id never has live postings anywhere:
-
-    - batch id still TOMBSTONED (deleted, not yet compacted): escalate to
-      :func:`delete.compact_deletes` first. The physical purge is the
-      reference's removeDocument made durable; it is O(index) but runs
-      ONLY when a deleted id is actually re-added — the steady-state
-      append path never pays it (a sequence-numbered tombstone design à
-      la RocksDB would avoid it at the cost of provenance tracking in
-      every reader; documented trade).
+    - batch id still TOMBSTONE-MASKED (deleted, not yet compacted):
+      nothing to do — the new run's generation ``seq`` exceeds every
+      existing tombstone barrier, so its rows are live under the
+      sequence-numbered masking every reader applies (the RocksDB
+      deletion pattern: old generations stay masked, the new one shows;
+      physical purge happens at the next compaction). O(batch), no
+      index rewrite — this used to escalate to a full compact_deletes.
     - batch id in the DOCS_TOMBSTONES mask (purged earlier, registered
       docs-table row masked): just unmask it — the new docs-run row
       becomes the value source and the append itself is plain O(batch).
     """
-    from .delete import (TOMBSTONES, _rewrite_docs_tombstones,
-                         load_docs_tombstones)
+    from .delete import _rewrite_docs_tombstones, load_docs_tombstones
     spark = docs.sparkSession
+    dt = load_docs_tombstones(spark, index_dir)
+    if dt is None:
+        return
     ids = docs.select(
         F.col(config.id_col).cast("long").alias("doc_id")).distinct()
-    t_dir = os.path.join(index_dir, TOMBSTONES)
-    if os.path.isdir(t_dir):
-        tomb = spark.read.parquet(t_dir).select("doc_id")
-        if ids.join(tomb, "doc_id", "semi").limit(1).count():
-            from .delete import compact_deletes
-            compact_deletes(spark, index_dir)
-    dt = load_docs_tombstones(spark, index_dir)
-    if dt is not None and ids.join(dt, "doc_id", "semi").limit(1).count():
+    if ids.join(dt, "doc_id", "semi").limit(1).count():
         _rewrite_docs_tombstones(spark, index_dir,
                                  dt.join(ids, "doc_id", "anti"))
 
@@ -293,20 +322,27 @@ def dir_has_parquet(p: str) -> bool:
     return False
 
 
-def read_run_doc_stats(spark: SparkSession, paths: list) -> DataFrame:
+def read_run_doc_stats(spark: SparkSession, paths: list,
+                       seqs: list | None = None) -> DataFrame:
     """Union of per-run doc-stats reads as the canonical (doc_id, dl).
     Each run dir is its own ds_bucket-partitioned root (write_run), so a
     single multi-path ``spark.read.parquet(*paths)`` would refuse the
     'conflicting directory structures' — read per root and union (runs
-    are few and small by construction)."""
+    are few and small by construction). Pass ``seqs`` (aligned with
+    ``paths``) to attach each run's generation column for barrier-aware
+    consumers; the schema is then (doc_id, dl, seq)."""
     out = None
-    for p in paths:
+    for i, p in enumerate(paths):
         if not dir_has_parquet(p):
             continue
         df = spark.read.parquet(p).select("doc_id", "dl")
+        if seqs is not None:
+            df = with_seq(df, int(seqs[i]))
         out = df if out is None else out.unionByName(df)
     if out is None:
-        return spark.createDataFrame([], "doc_id long, dl long")
+        schema = "doc_id long, dl long" + (
+            ", seq long" if seqs is not None else "")
+        return spark.createDataFrame([], schema)
     return out
 
 
@@ -345,28 +381,35 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
                     .select(_ds_bucket_col(nb)).distinct().collect()
                     if r["ds_bucket"] is not None)
                 base = base.where(F.col("ds_bucket").isin(want))
-        parts.append(base.select("doc_id"))
+        parts.append(with_seq(base.select("doc_id")))
     for e in live_runs(index_dir):
         p = e.get("doc_stats_path")
         if p and os.path.isdir(p) and dir_has_parquet(p):
-            parts.append(spark.read.parquet(p).select("doc_id"))
+            parts.append(with_seq(spark.read.parquet(p).select("doc_id"),
+                                  int(e.get("seq", 0) or 0)))
     if not parts:
         return (spark.createDataFrame([], "doc_id string")
                 .select(F.col("doc_id").alias(id_col)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    # tombstoned ids are RE-ADDABLE (the reference's in-process add() is
-    # an upsert) — exclude them from "existing" so the facade counts a
-    # re-add as added, not duplicate; append_docs then escalates to the
-    # physical purge. Ids compacted earlier are already absent from
-    # doc_stats, so only the live tombstone set needs the anti-join.
-    from .delete import TOMBSTONES
-    t_dir = os.path.join(index_dir, TOMBSTONES)
-    if os.path.isdir(t_dir):
-        out = out.join(F.broadcast(
-            spark.read.parquet(t_dir).select("doc_id").distinct()),
-            "doc_id", "anti")
+    # tombstone-MASKED ids are RE-ADDABLE (the reference's in-process
+    # add() is an upsert) — exclude them from "existing" so the facade
+    # counts a re-add as added, not duplicate. Barrier-aware: an id is
+    # existing iff SOME generation survives its max barrier (a doc
+    # upserted via tombstone+newer-run is existing; a plain-deleted doc
+    # is not). Ids compacted earlier are already absent from doc_stats,
+    # so only the live tombstone set needs the join.
+    from .delete import load_tombstones
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        out = (out.groupBy("doc_id").agg(F.max("seq").alias("__mxs"))
+               .join(F.broadcast(tomb), "doc_id", "left")
+               .where(F.col("barrier").isNull()
+                      | (F.col("__mxs") > F.col("barrier")))
+               .select("doc_id"))
+    else:
+        out = out.select("doc_id")
     return out.select(F.col("doc_id").alias(id_col))
 
 
@@ -445,16 +488,18 @@ def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
        re-sends out; they are dropped, costing nothing. Without values to
        compare, every collision is treated as changed (the reference
        replaces unconditionally).
-    3. changed ids are tombstoned (``delete_docs``) and the batch is
-       appended: :func:`append_docs`'s revival escalation sees its own
-       ids tombstoned, physically purges the OLD postings
-       (``compact_deletes`` — O(affected buckets)), and writes the new
-       run. The invariant "a tombstoned id never has live postings"
-       holds throughout, so every reader (Spark union view, WAND blocks,
-       serving sidecar) sees exactly one version.
+    3. changed ids are tombstoned (``delete_docs`` — barrier = current
+       generation clock) and the batch is appended as a run whose
+       ``seq`` exceeds that barrier. NOTHING is physically rewritten:
+       every reader (Spark union view, WAND blocks, serving artifacts)
+       masks rows with ``seq <= barrier``, so the old generation
+       disappears and the new one shows — O(batch) end to end, the
+       RocksDB sequence-numbered-delete pattern over parquet. Physical
+       purge of the superseded rows is deferred to the next
+       :func:`compact_runs` (fold-time resolution) / delete compaction.
 
-    Collection stats stay exact: delete+purge recompute N/dl_sum from the
-    surviving doc_stats, the append re-adds the new lengths additively —
+    Collection stats stay exact: delete recomputes N/dl_sum from the
+    masked doc_stats view, the append re-adds the new lengths additively —
     the ``upsert_bm25`` contract entry hash-matches a DuckDB rebuild over
     the post-upsert corpus, so avg_dl/df/N are bitwise right.
 
@@ -527,25 +572,90 @@ def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
     query actually evaluates the dictionary (runs are small by
     construction, so the merge is a broadcast-sized aggregate). Pass
     ``runs`` to pin the run list to one manifest scan (load_index does,
-    so its lineage stamp can't race a concurrent append)."""
+    so its lineage stamp can't race a concurrent append).
+
+    Every frame carries the virtual generation column ``seq`` (base rows
+    0, run rows the manifest seq — per-run literal, nothing persisted):
+    barrier tombstones (delete.load_tombstones) mask rows with
+    ``seq <= barrier``, which is what makes upsert/revival O(batch)."""
     if runs is None:
         runs = live_runs(index_dir)
     if not runs:
         return base_postings, base_doc_stats, base_term_stats
-    run_posts = spark.read.parquet(*[e["run_path"] for e in runs]) \
-        .select("*", _bucket_col(config))
-    run_ds = read_run_doc_stats(spark,
-                                [e["doc_stats_path"] for e in runs])
+    run_posts = None
+    for e in runs:
+        df = (spark.read.parquet(e["run_path"])
+              .select("*", _bucket_col(config)))
+        df = with_seq(df, int(e.get("seq", 0) or 0))
+        run_posts = df if run_posts is None else run_posts.unionByName(df)
+    run_ds = read_run_doc_stats(
+        spark, [e["doc_stats_path"] for e in runs],
+        seqs=[int(e.get("seq", 0) or 0) for e in runs])
     run_ts = run_posts.groupBy("field", "term").agg(
         F.count(F.lit(1)).alias("df"))
     if base_postings is None:
         return run_posts, run_ds, run_ts
-    postings = base_postings.unionByName(run_posts)
-    doc_stats = base_doc_stats.unionByName(run_ds)
+    postings = with_seq(base_postings).unionByName(run_posts)
+    doc_stats = with_seq(base_doc_stats).unionByName(run_ds)
     term_stats = (base_term_stats.unionByName(run_ts)
                   .groupBy("field", "term")
                   .agg(F.sum("df").alias("df")))
     return postings, doc_stats, term_stats
+
+
+def _ids_mask(col, drop_ids: set):
+    """pyarrow boolean mask: rows whose doc_id is NOT in ``drop_ids``.
+    String-canonicalized so long/int/string-typed id columns all compare
+    (the same canonicalization the ds_bucket layout hashes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    vals = pa.array(sorted(str(i) for i in drop_ids), pa.string())
+    return pc.invert(pc.is_in(pc.cast(col, pa.string()), value_set=vals))
+
+
+def _filter_parquet_file(src: str, dst: str, drop_ids: set) -> None:
+    """Copy ``src`` → ``dst`` without the rows of ``drop_ids`` (atomic:
+    tmp + os.replace). Driver-side pyarrow — these files are single-run
+    doc-stats slices, small by construction."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(src)
+    t = t.filter(_ids_mask(t.column("doc_id"), drop_ids))
+    tmp = dst + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, dst)
+
+
+def _purge_parquet_dir(dirpath: str, drop_ids: set, out_name: str,
+                       exclude_prefixes: tuple = ()) -> None:
+    """Rewrite one partition dir's data files into ONE ``out_name`` file
+    without ``drop_ids``' rows, then remove the originals. Crash-replay
+    exact: the deterministic out_name marks completion — if it already
+    exists, only the leftover originals are removed (same deterministic
+    victim set; single writer). Files matching ``exclude_prefixes`` (this
+    flush's freshly promoted run files) are never read nor removed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _victims():
+        return sorted(
+            f for f in os.listdir(dirpath)
+            if f.endswith(".parquet") and f != out_name
+            and not (exclude_prefixes and f.startswith(exclude_prefixes)))
+
+    out_path = os.path.join(dirpath, out_name)
+    files = _victims()
+    if not os.path.isfile(out_path):
+        if not files:
+            return
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(dirpath, f)) for f in files],
+            promote_options="default")
+        t = t.filter(_ids_mask(t.column("doc_id"), drop_ids))
+        tmp = out_path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, out_path)
+    for f in files:
+        os.remove(os.path.join(dirpath, f))
 
 
 def compact_runs(spark: SparkSession, index_dir: str) -> dict:
@@ -557,7 +667,26 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     files are MOVED into the base doc_stats dir (append semantics — the
     table is a plain union of files). term_stats (|vocab| rows, tiny vs
     postings) is re-merged additively and swapped atomically. Meta is
-    already correct from append_docs' additive updates."""
+    already correct from append_docs' additive updates.
+
+    Tombstone RESOLUTION (the deferred physical half of O(batch) upserts):
+    a doc with a barrier tombstone AND a surviving folded generation
+    (run seq > barrier) is resolved here — its old-generation rows are
+    purged physically (the affected-bucket set is EXTENDED to the buckets
+    holding its old postings, found by one map-only base scan) and its
+    tombstone is removed, so the folded rows can be written normalized to
+    generation 0. Superseded mid-generations inside the folded runs
+    (seq <= barrier: upserted twice before a flush) are dropped in the
+    same pass. Plain-deleted docs keep their tombstones (and any rows in
+    untouched buckets) until :func:`delete.compact_deletes`.
+
+    Crash replay stays exact: base rows of tombstoned docs are dropped
+    from the rewritten buckets and re-supplied from the run files (which
+    survive until mark_compacted), so a replay after a partial bucket
+    overwrite converges to the same content; the tombstone table shrinks
+    LAST via a crash-atomic single-file swap — the worst mid-crash state
+    is a transiently masked (not resurrected, not duplicated) doc."""
+    from .delete import load_tombstones
     runs = live_runs(index_dir)
     with open(os.path.join(index_dir, META)) as fh:
         meta = json.load(fh)
@@ -569,24 +698,74 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                          stem_lang=meta.get("stem_lang"),
                          stem_lang_col=meta.get("stem_lang_col", "lang"),
                          analyzers=meta.get("analyzers") or {})
-    run_posts = spark.read.parquet(*[e["run_path"] for e in runs]) \
-        .select("*", _bucket_col(config))
+    run_posts = None
+    for e in runs:
+        df = (spark.read.parquet(e["run_path"])
+              .select("*", _bucket_col(config)))
+        df = with_seq(df, int(e.get("seq", 0) or 0))
+        run_posts = df if run_posts is None else run_posts.unionByName(df)
+    base_dir = os.path.join(index_dir, POSTINGS)
+    base_exists = os.path.isdir(base_dir)
+
+    tomb = load_tombstones(spark, index_dir)
+    resolved_ids: list = []
+    tomb_ids = None
+    if tomb is not None:
+        # resolved = tombstoned ids with a surviving folded generation
+        # (seq > barrier) — cheap: run doc_stats ⋈ broadcast tombstones
+        run_ds_seq = read_run_doc_stats(
+            spark, [e["doc_stats_path"] for e in runs],
+            seqs=[int(e.get("seq", 0) or 0) for e in runs])
+        resolved_ids = sorted(
+            int(r["doc_id"]) for r in run_ds_seq
+            .join(F.broadcast(tomb), "doc_id")
+            .where(F.col("seq") > F.col("barrier"))
+            .select("doc_id").distinct().collect())
+        tomb_ids = tomb.select("doc_id")
+        # drop superseded mid-generations from the folded runs
+        run_posts = (run_posts
+                     .join(F.broadcast(tomb), "doc_id", "left")
+                     .where(F.col("barrier").isNull()
+                            | (F.col("seq") > F.col("barrier")))
+                     .drop("barrier"))
+
     affected = sorted(r["bucket"] for r in
                       run_posts.select("bucket").distinct().collect())
-    base_dir = os.path.join(index_dir, POSTINGS)
+    if resolved_ids and base_exists:
+        # EXTEND the rewrite to the buckets holding the resolved docs'
+        # OLD postings (their vocabulary may differ from the new
+        # generation's): one map-only column-pruned scan, no shuffle —
+        # the deferred purge cost, paid at the scheduled compaction
+        extra = (spark.read.parquet(base_dir)
+                 .where(F.col("doc_id").isin(resolved_ids))
+                 .select("bucket").distinct().collect())
+        affected = sorted(set(affected) | {int(r["bucket"]) for r in extra})
     merged = run_posts
-    base_exists = os.path.isdir(base_dir)
     if base_exists:
-        base = spark.read.parquet(base_dir)
+        base = spark.read.parquet(base_dir).where(
+            F.col("bucket").isin(affected))
+        if tomb_ids is not None:
+            # drop EVERY tombstoned doc's base rows in the rewritten
+            # buckets: resolved docs' old generations are purged for
+            # good (re-supplied as the new generation from the run
+            # files — replay-safe), plain-deleted docs' rows are an
+            # early partial purge (they were masked anyway)
+            base = base.join(F.broadcast(tomb_ids), "doc_id", "anti")
         # dropDuplicates on the posting key makes a REPLAYED compaction
         # (crash after the bucket overwrite committed but before
         # mark_compacted flipped the manifest) idempotent: the base
         # already holds the run rows, so the re-merge would otherwise
         # double them. (field, term, doc_id) is unique by the append
-        # contract — doc ids are new vs the existing corpus.
-        merged = (base.where(F.col("bucket").isin(affected))
+        # contract — colliding ids append only via upsert, whose older
+        # generations were dropped above.
+        merged = (with_seq(base)
                   .unionByName(run_posts)
                   .dropDuplicates(["field", "term", "doc_id"]))
+    # folded rows are written WITHOUT the generation column (normalized
+    # to 0): every tombstone whose masks applied to them was resolved
+    # above, and any FUTURE barrier is allocated above the current clock,
+    # so it masks generation 0 and the folded rows uniformly
+    merged = merged.drop("seq")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -597,21 +776,71 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # promote doc-stats runs by file move (O(1) per file, no job) —
-    # preserving the ds_bucket partition subdirs so the promoted base
-    # keeps the append-dedup pruning layout (write_doc_stats)
     ds_dir = os.path.join(index_dir, DOC_STATS)
     os.makedirs(ds_dir, exist_ok=True)
+    next_cseq = int(meta.get("compaction_seq", 0)) + 1
+    flush_tags = tuple(os.path.basename(e["doc_stats_path"]) + "-"
+                       for e in runs if e.get("doc_stats_path"))
 
-    def _promote_files(src_dir: str, dst_dir: str, tag: str) -> None:
+    if resolved_ids:
+        # purge the resolved docs' OLD doc_stats rows from the base
+        # layout (their new-generation rows arrive via promotion below).
+        # The ds_bucket of an id is computable driver-side (xxh64 twin),
+        # so only the resolved ids' partitions are touched. Files
+        # promoted by THIS flush (replay after a crash past promotion)
+        # are excluded — they hold the new generations.
+        from ..functions.hashing import xxh64_str
+        nb_ds = int(meta.get("ds_buckets") or meta["n_buckets"])
+        by_bucket: dict = {}
+        for i in resolved_ids:
+            by_bucket.setdefault(xxh64_str(str(i)) % nb_ds, set()).add(i)
+        flat = any(f.endswith(".parquet") for f in os.listdir(ds_dir))
+        parts = ([ds_dir] if flat else
+                 [os.path.join(ds_dir, f"ds_bucket={b}")
+                  for b in sorted(by_bucket)])
+        drop_all = {i for s in by_bucket.values() for i in s}
+        for pdir in parts:
+            if os.path.isdir(pdir):
+                _purge_parquet_dir(
+                    pdir, drop_all, f"purged-c{next_cseq:04d}.parquet",
+                    exclude_prefixes=flush_tags)
+
+    # promote doc-stats runs by file move (O(1) per file, no job) —
+    # preserving the ds_bucket partition subdirs so the promoted base
+    # keeps the append-dedup pruning layout (write_doc_stats). Runs
+    # holding SUPERSEDED rows (a doc upserted again before this flush:
+    # run seq <= its barrier) are rewritten instead of moved, dropping
+    # those rows — a blind move would promote a dead mid-generation into
+    # the base as generation 0, unmasked once its tombstone resolves.
+    superseded: dict = {}
+    if tomb is not None:
+        for e in runs:
+            p = e.get("doc_stats_path")
+            if not p or not os.path.isdir(p) or not dir_has_parquet(p):
+                continue
+            rseq = int(e.get("seq", 0) or 0)
+            bad = {int(r["doc_id"]) for r in
+                   spark.read.parquet(p).select("doc_id")
+                   .join(F.broadcast(tomb), "doc_id")
+                   .where(F.lit(rseq) <= F.col("barrier"))
+                   .distinct().collect()}
+            if bad:
+                superseded[p] = bad
+
+    def _promote_files(src_dir: str, dst_dir: str, tag: str,
+                       drop_ids: set | None = None) -> None:
         os.makedirs(dst_dir, exist_ok=True)
         for name in os.listdir(src_dir):
             if name.endswith(".parquet"):
                 dst = os.path.join(dst_dir, f"{tag}-{name}")
+                src = os.path.join(src_dir, name)
                 if os.path.exists(dst):  # replay: already promoted
-                    os.remove(os.path.join(src_dir, name))
+                    os.remove(src)
+                elif drop_ids:
+                    _filter_parquet_file(src, dst, drop_ids)
+                    os.remove(src)
                 else:
-                    shutil.move(os.path.join(src_dir, name), dst)
+                    shutil.move(src, dst)
 
     # Route EVERY promoted file to the BASE's layout: parquet partition
     # discovery refuses a dir with data files at two depths ('conflicting
@@ -626,13 +855,14 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         if not os.path.isdir(src):  # replay after a crash mid-promotion
             continue
         tag = os.path.basename(src)
+        drop = superseded.get(src)
         subdirs = [n for n in os.listdir(src)
                    if n.startswith("ds_bucket=")]
         if base_flat:
-            _promote_files(src, ds_dir, tag)
+            _promote_files(src, ds_dir, tag, drop)
             for name in subdirs:  # bucketed run → flat base (upgrade)
                 _promote_files(os.path.join(src, name), ds_dir,
-                               f"{tag}-{name.replace('=', '_')}")
+                               f"{tag}-{name.replace('=', '_')}", drop)
         else:
             if any(f.endswith(".parquet") for f in os.listdir(src)):
                 raise ValueError(
@@ -643,7 +873,7 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                     "version that wrote it).")
             for name in subdirs:
                 _promote_files(os.path.join(src, name),
-                               os.path.join(ds_dir, name), tag)
+                               os.path.join(ds_dir, name), tag, drop)
         shutil.rmtree(src, ignore_errors=True)
 
     # term_stats: recount the AFFECTED buckets from the post-compact base
@@ -671,6 +901,35 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         shutil.rmtree(ts_dir)
     os.rename(tmp, ts_dir)
 
+    if resolved_ids:
+        # the resolved docs' OLD generations may sit in the doc-values
+        # sidecar (their tombstone is about to disappear, unmasking
+        # them): purge those rows physically — bounded by the resolved
+        # ids' files, atomic per file, replayed exactly while the
+        # tombstones still exist
+        from .doc_values import purge_doc_values
+        res_rows = tomb.where(F.col("doc_id").isin(resolved_ids)).collect()
+        purge_doc_values(index_dir, {int(r["doc_id"]): int(r["barrier"])
+                                     for r in res_rows})
+        # the immutable blocks table may ALSO hold those old generations
+        # (a COVERED flush never rebuilds partitions): bump the resolve
+        # epoch + record the affected buckets so block readers refuse
+        # the snapshot until refresh_blocks rebuilds exactly those
+        # partitions from the post-fold base (wand.check_blocks_fresh /
+        # refresh_blocks consume these)
+        meta["resolve_epoch"] = int(meta.get("resolve_epoch", 0)) + 1
+        events = list(meta.get("resolve_events", []))
+        events.append({"epoch": meta["resolve_epoch"],
+                       "buckets": affected})
+        meta["resolve_events"] = events
+        # shrink the tombstone table LAST (crash-atomic single-file
+        # swap): a replay between the rewrites above and this swap
+        # re-derives the same resolved set from the still-present runs
+        from .delete import _rewrite_tombstones
+        meta["n_tombstones"] = _rewrite_tombstones(
+            spark, index_dir,
+            tomb.where(~F.col("doc_id").isin(resolved_ids)))
+
     mark_compacted(index_dir, runs, buckets=affected)
     # reclaim the folded postings runs — their rows now live in the base
     # buckets; leaving them would leak a full copy of every appended
@@ -682,7 +941,7 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     # monotonic flush counter: refresh_blocks names its bucket-scoped
     # rebuild files base-c<seq>-*.parquet so a crash replay REPLACES its
     # own files (and recognizes stale base-c<other-seq> files as garbage)
-    meta["compaction_seq"] = int(meta.get("compaction_seq", 0)) + 1
+    meta["compaction_seq"] = next_cseq
     with open(os.path.join(index_dir, META), "w") as fh:
         json.dump(meta, fh, indent=1)
     return meta

@@ -174,9 +174,12 @@ def encode_blocks_batch(docs_list: list, tfs_list: list,
             for i in range(n_rows)]
 
 
-def decode_blocks_batch(payloads: list) -> tuple:
+def decode_blocks_batch(payloads: list, return_counts: bool = False) -> tuple:
     """Decode MANY blocks in one vectorized pass → concatenated
-    (doc_ids, tfs, dls) in payload order.
+    (doc_ids, tfs, dls) in payload order; with ``return_counts`` a 4th
+    element gives the per-payload posting counts (int64, aligned with
+    ``payloads``) so callers can attach per-payload metadata — e.g. the
+    generation ``seq`` a barrier tombstone masks against — via np.repeat.
 
     Per-block decode pays ~200µs of numpy setup; a head term has thousands
     of blocks. Batch path: one global varbyte decode over the concatenated
@@ -186,6 +189,8 @@ def decode_blocks_batch(payloads: list) -> tuple:
     """
     if not payloads:
         z = np.zeros(0, dtype=np.int64)
+        if return_counts:
+            return z, z.copy(), z.copy(), z.copy()
         return z, z.copy(), z.copy()
     bufs = [bytes(p) for p in payloads]
     # per-block posting counts from each header (first varbyte value)
@@ -231,6 +236,8 @@ def decode_blocks_batch(payloads: list) -> tuple:
     firsts = np.where(prev_idx >= 0, c[prev_idx], np.uint64(0))
     rep = np.repeat(firsts, ns[nz])
     docs = (c - rep).view(np.int64)
+    if return_counts:
+        return docs, tfs, dls, ns
     return docs, tfs, dls
 
 

@@ -49,8 +49,8 @@ from .postings_codec import (BLOCK_BITS, bm25_qnorm, decode_block,
 
 BLOCKS = "blocks"
 
-BLOCK_SCHEMA = ("field string, term string, blk long, bucket int, "
-                "n_docs int, doc_min long, doc_max long, "
+BLOCK_SCHEMA = ("field string, term string, blk long, seq long, "
+                "bucket int, n_docs int, doc_min long, doc_max long, "
                 "max_qnorm double, payload binary")
 
 
@@ -89,6 +89,7 @@ def build_blocks(index: InvertedIndex,
     scan, no Spark job. Pass ``with_positions=False`` to build the leaner
     scoring-only table.
     """
+    from .lsm import with_seq
     k1, b = 1.2, 0.75
     avgdl = index.avg_dl or 1.0
     if with_positions is None:
@@ -96,8 +97,15 @@ def build_blocks(index: InvertedIndex,
                               and "positions" in index.postings.columns)
     cols = ["field", "term", "doc_id", "tf"] + (
         ["positions"] if with_positions else [])
-    p = index.postings.select(*cols)
-    joined = p.join(index.doc_stats, "doc_id")
+    # generation-segmented payloads: block rows carry the source seq
+    # (base 0 / LSM run seq) so readers can mask superseded generations
+    # per segment against barrier tombstones (seq <= barrier → hidden) —
+    # what makes upsert/revival O(batch) on the serving artifacts too
+    p = with_seq(index.postings).select(*cols, "seq")
+    ds = with_seq(index.doc_stats).select("doc_id", "dl", "seq")
+    # join on (doc_id, seq): an upserted doc has one doc_stats row PER
+    # generation — its gen-9 posting must take the gen-9 dl, not both
+    joined = p.join(ds, ["doc_id", "seq"])
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     qnorm = (tf * F.lit(k1 + 1.0)) / \
@@ -105,10 +113,10 @@ def build_blocks(index: InvertedIndex,
     struct_cols = ["doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else [])
     rows = joined.select(
-        "field", "term",
+        "field", "term", "seq",
         F.shiftright(F.col("doc_id"), BLOCK_BITS).alias("blk"),
         *struct_cols, qnorm.alias("qnorm"))
-    grouped = rows.groupBy("field", "term", "blk").agg(
+    grouped = rows.groupBy("field", "term", "blk", "seq").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
@@ -120,7 +128,7 @@ def build_blocks(index: InvertedIndex,
     enc = _encode_udf()
     from .index_build import _bucket_col
     out_cols = [
-        "field", "term", "blk",
+        "field", "term", "blk", "seq",
         _bucket_col(index.config),
         "n_docs", "doc_min", "doc_max", "max_qnorm",
         enc(F.transform("plist", lambda x: x["doc_id"]),
@@ -193,11 +201,16 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
     # delete lineage: compact_deletes bumps meta.delete_epoch when it
     # drops the tombstone table (the filter old blocks rely on) — stamp
     # the epoch the snapshot was built under so readers can compare
+    metrics["has_seq"] = True  # rows carry the generation column
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
-            metrics["delete_epoch"] = int(
-                json.load(fh).get("delete_epoch", 0))
+            m = json.load(fh)
+        metrics["delete_epoch"] = int(m.get("delete_epoch", 0))
+        # resolution lineage: compact_runs bumps meta.resolve_epoch when
+        # it removes upsert tombstones (whose masks old block payloads
+        # rely on) — stamp the epoch this snapshot was built under
+        metrics["resolve_epoch"] = int(m.get("resolve_epoch", 0))
     with open(os.path.join(index_dir, "blocks_meta.json"), "w") as fh:
         json.dump(metrics, fh, indent=1)
     return metrics
@@ -282,10 +295,26 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
         meta = json.load(fh)
     if int(bm.get("delete_epoch", 0)) != int(meta.get("delete_epoch", 0)):
         return _full()
+    if not bm.get("has_seq"):
+        # pre-generation snapshot: installing seq-stamped delta files
+        # next to un-stamped base files would give Spark readers a mixed
+        # schema (the seq column could silently vanish) — one full
+        # rebuild upgrades the table, all files carry seq thereafter
+        return _full()
+    # buckets whose tombstones were RESOLVED by a flush since this
+    # snapshot (lsm.compact_runs resolve_events): their superseded
+    # payload segments lost the barrier that masked them — rebuild
+    # exactly those partitions from the post-fold base
+    built_res = int(bm.get("resolve_epoch", 0))
+    now_res = int(meta.get("resolve_epoch", 0))
+    pending_res = sorted({
+        int(b) for ev in meta.get("resolve_events", [])
+        if int(ev.get("epoch", 0)) > built_res
+        for b in ev.get("buckets", [])})
     included = set(bm.get("includes_runs", []))
     new_runs = [e for e in accounted_runs(index_dir)
                 if e["run_path"] not in included]
-    if not new_runs:
+    if not new_runs and built_res == now_res:
         return bm
     compacted_unc = [e for e in new_runs if e.get("status") == "compacted"]
     live_unc = [e for e in new_runs if e.get("status") != "compacted"]
@@ -319,7 +348,7 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
                 "payload_bytes": int(r["payload_bytes"] or 0),
                 "pos_bytes": int(r["pos_bytes"] or 0)}
 
-    if compacted_unc:
+    if compacted_unc or pending_res:
         # Bucket-scoped rebuild for runs folded into the base before ever
         # being snapshotted: their postings are only separable by bucket.
         # Terms are bucket-exclusive (bucket = hash(field-agnostic term)),
@@ -328,9 +357,13 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
         # files there (their rows are now in the base) while keeping
         # still-live runs' deltas (their rows are not) — restores a
         # consistent table without reading any untouched bucket.
+        # Resolution-pending buckets (a COVERED flush that removed upsert
+        # tombstones — no uncovered run, but this snapshot's superseded
+        # segments lost their mask) join the same rebuild.
         seq = int(meta.get("compaction_seq", 0))
         rebuilt_buckets = sorted({int(b) for e in compacted_unc
-                                  for b in e["compacted_buckets"]})
+                                  for b in e["compacted_buckets"]}
+                                 | set(pending_res))
         compacted_tags = {os.path.basename(e["run_path"])
                           for e in accounted_runs(index_dir)
                           if e.get("status") == "compacted"}
@@ -415,9 +448,11 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
             # instead of letting Spark raise UNABLE_TO_INFER_SCHEMA
             included.add(e["run_path"])
             continue
-        posts = spark.read.parquet(e["run_path"])
-        ds = (spark.read.parquet(e["doc_stats_path"])
-              .select("doc_id", "dl"))
+        from .lsm import with_seq
+        rseq = int(e.get("seq", 0) or 0)
+        posts = with_seq(spark.read.parquet(e["run_path"]), rseq)
+        ds = with_seq(spark.read.parquet(e["doc_stats_path"])
+                      .select("doc_id", "dl"), rseq)
         delta_ix = InvertedIndex(posts, ds, None,
                                  int(meta["total_docs"]),
                                  float(meta["avg_dl"]), config)
@@ -474,6 +509,7 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
         bm["payload_bytes"] / max(bm["n_postings"], 1), 3)
     # n_terms is as-of the last FULL build (an exact union-distinct would
     # cost an O(index) scan — informational only, so we keep it stale)
+    bm["resolve_epoch"] = now_res  # pending buckets rebuilt above
     bm["refreshes"] = int(bm.get("refreshes", 0)) + 1
     bm["last_refresh"] = {
         "runs": sorted(e["run_path"] for e in new_runs),
@@ -654,7 +690,8 @@ def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
     meta_path = os.path.join(index_dir, "meta.json")
     if os.path.isfile(meta_path):
         with open(meta_path) as fh:
-            now_epoch = int(json.load(fh).get("delete_epoch", 0))
+            m = json.load(fh)
+        now_epoch = int(m.get("delete_epoch", 0))
         built_epoch = int((blocks_meta or {}).get("delete_epoch", 0))
         if built_epoch != now_epoch:
             raise ValueError(
@@ -663,6 +700,20 @@ def check_blocks_fresh(index_dir: str, blocks_meta: dict | None,
                 f"{now_epoch}) and removed the tombstone table this "
                 "snapshot needs to mask deleted docs. Rebuild with "
                 "write_blocks(), or opt in with allow_stale=True.")
+        # flush-time tombstone RESOLUTION (lsm.compact_runs) removed an
+        # upsert tombstone whose barrier masked this snapshot's old
+        # generations of the doc — serving it now would DUPLICATE the
+        # doc (old + new payloads both unmasked). refresh_blocks
+        # rebuilds exactly the recorded buckets.
+        now_res = int(m.get("resolve_epoch", 0))
+        built_res = int((blocks_meta or {}).get("resolve_epoch", 0))
+        if built_res != now_res:
+            raise ValueError(
+                f"{where}: block snapshot is STALE — a flush resolved "
+                f"upsert tombstones (resolve epoch {built_res} → "
+                f"{now_res}) whose masks this snapshot's superseded "
+                "payload segments rely on. Run refresh_blocks() (bucket-"
+                "scoped), or opt in with allow_stale=True.")
 
 
 def load_blocks(spark: SparkSession, index_dir: str,
@@ -716,16 +767,29 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
         # attached by load_blocks; in-session build_blocks frames need no
         # scaling (their bounds were computed with the current avgdl)
         build_avg_dl = getattr(blocks, "_se_build_avg_dl", None)
-    tomb_arr = None
+    tomb_arr = barr_arr = None
     tdf = getattr(index, "tombstones", None)
     if tdf is not None:
-        tomb_pdf = tdf.select("doc_id").limit(
+        # barrier-aware mask: a tombstone hides generations with
+        # seq <= barrier only — an upserted doc's NEWER payload segment
+        # (seq > barrier) stays live. Legacy doc_id-only frames mask
+        # every generation (the pre-barrier invariant).
+        from .delete import LEGACY_BARRIER
+        cols = ["doc_id"] + (["barrier"] if "barrier" in tdf.columns
+                             else [])
+        tomb_pdf = tdf.select(*cols).limit(
             MAX_TOMBSTONES_FOR_WAND + 1).toPandas()
         if len(tomb_pdf) > MAX_TOMBSTONES_FOR_WAND:
             raise ValueError(
                 f">{MAX_TOMBSTONES_FOR_WAND} tombstones — run "
                 "compact_deletes() before block-index queries")
-        tomb_arr = np.sort(tomb_pdf["doc_id"].to_numpy(dtype=np.int64))
+        tomb_arr = tomb_pdf["doc_id"].to_numpy(dtype=np.int64)
+        barr_arr = (tomb_pdf["barrier"].to_numpy(dtype=np.int64)
+                    if "barrier" in cols
+                    else np.full(tomb_arr.size, LEGACY_BARRIER,
+                                 dtype=np.int64))
+        o = np.argsort(tomb_arr)
+        tomb_arr, barr_arr = tomb_arr[o], barr_arr[o]
     ub_scale = 1.0
     if build_avg_dl:
         ub_scale = max(1.0, float(index.avg_dl) / float(build_avg_dl))
@@ -777,28 +841,35 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                 return
             # a (term, blk) group can span SEVERAL block rows: the base
             # write plus incremental refresh_blocks deltas each contribute
-            # a payload segment (docs disjoint by the append contract) —
-            # accumulate, never overwrite, or delta docs silently vanish
+            # a payload segment (docs disjoint by the append contract,
+            # per-GENERATION for upserted docs) — accumulate, never
+            # overwrite, or delta docs silently vanish
             by_term: dict = {}
-            for _, t, pl in rows:
-                by_term.setdefault(t, []).append(pl)
+            for _, t, pl, sq in rows:
+                by_term.setdefault(t, []).append((pl, sq))
             doc_parts, score_parts = [], []
             for t in korder:
                 pls = by_term.get(t)
                 if not pls:
                     continue
+                parts = [decode_block(pl) for pl, _ in pls]
                 if len(pls) == 1:
-                    docs, tfs, dls = decode_block(pls[0])
+                    docs, tfs, dls = parts[0]
+                    seqs = np.full(docs.size, pls[0][1], dtype=np.int64)
                 else:
-                    parts = [decode_block(pl) for pl in pls]
                     docs = np.concatenate([p[0] for p in parts])
                     tfs = np.concatenate([p[1] for p in parts])
                     dls = np.concatenate([p[2] for p in parts])
+                    seqs = np.repeat(
+                        np.array([sq for _, sq in pls], dtype=np.int64),
+                        [p[0].size for p in parts])
                 if tomb_arr is not None and tomb_arr.size:
-                    # merge-on-read: drop deleted docs before scoring
+                    # merge-on-read: a tombstone masks generations with
+                    # seq <= barrier; newer segments (upsert) stay live
                     pos = np.searchsorted(tomb_arr, docs)
                     pos[pos == tomb_arr.size] = 0
-                    live = tomb_arr[pos] != docs
+                    hit = tomb_arr[pos] == docs
+                    live = ~hit | (seqs > barr_arr[pos])
                     if not live.all():
                         docs, tfs, dls = docs[live], tfs[live], dls[live]
                     if docs.size == 0:
@@ -829,14 +900,15 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
         for pdf in batches:
             if done:
                 break
-            for blk, ub2, term, payload in zip(
-                    pdf["blk"], pdf["blk_ub"], pdf["term"], pdf["payload"]):
+            for blk, ub2, term, payload, sq in zip(
+                    pdf["blk"], pdf["blk_ub"], pdf["term"], pdf["payload"],
+                    pdf["seq"]):
                 if blk != cur_blk:
                     flush_block(cur_rows)
                     cur_blk, cur_rows = blk, []
                     if done:
                         break
-                cur_rows.append((float(ub2), term, bytes(payload)))
+                cur_rows.append((float(ub2), term, bytes(payload), int(sq)))
         if not done:
             flush_block(cur_rows)
         if heap:
@@ -845,6 +917,11 @@ def wand_topk(blocks: DataFrame, index: InvertedIndex, field: str,
                 "score": np.array([s for s, _ in heap], dtype=np.float64),
             })
 
-    local = q.select("blk", "blk_ub", "term", "payload").mapInPandas(
-        kernel, "doc_id long, score double")
+    # legacy snapshots (pre-generation layout) carry no seq column —
+    # their rows are generation 0, masked by every barrier (exactly the
+    # pre-barrier delete semantics they were written under)
+    seq_col = (F.col("seq") if "seq" in q.columns
+               else F.lit(0).cast("long").alias("seq"))
+    local = q.select("blk", "blk_ub", "term", "payload", seq_col) \
+        .mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -305,13 +305,20 @@ class SparkSearchEngine:
         docs, SearchEngine.ts:270-287). Broadcast (tombstones are bounded
         small); no-op when the index has no delete state.
 
-        Two masks: live ``tombstones`` (deleted, not yet compacted) and
-        ``docs_tombstones`` (physically purged ids whose rows survive in
-        the immutable registered docs table — without this second
-        anti-join, compact_deletes would RESURRECT deleted docs in
-        range/geo/exists results)."""
-        for attr in ("tombstones", "docs_tombstones"):
-            t = getattr(self.index, attr, None)
+        Two masks: ``dead_ids`` — tombstoned ids with NO surviving
+        generation (an UPSERTED doc carries a tombstone but its newer run
+        generation out-survives the barrier, so it is alive; raw
+        ``tombstones`` would wrongly hide it) — and ``docs_tombstones``
+        (physically purged ids whose rows survive in the immutable
+        registered docs table — without this second anti-join,
+        compact_deletes would RESURRECT deleted docs in range/geo/exists
+        results). ``tombstones`` is the legacy fallback for handles built
+        before the barrier layout (every tombstoned id was dead then)."""
+        dead = getattr(self.index, "dead_ids", None)
+        masks = [dead] if dead is not None else \
+            [getattr(self.index, "tombstones", None)]
+        masks.append(getattr(self.index, "docs_tombstones", None))
+        for t in masks:
             if t is not None:
                 cand = cand.join(
                     F.broadcast(t.select("doc_id").distinct()),

@@ -361,14 +361,13 @@ class SearchService:
         return srv
 
     def _tombstones_frame(self, name: str):
-        """DataFrame[doc_id] of deleted docs, or None — global agg scopes
-        must not count tombstoned docs (the reference physically removes
-        them from idx.documents)."""
-        import os
-        tomb = os.path.join(self.catalog._dir(name), "tombstones")
-        if not os.path.isdir(tomb):
-            return None
-        return self.spark.read.parquet(tomb).select("doc_id")
+        """DataFrame[doc_id] of DEAD docs (no surviving generation), or
+        None — global agg scopes must not count deleted docs (the
+        reference physically removes them from idx.documents), but an
+        UPSERTED doc carries a tombstone AND a newer live generation, so
+        the raw tombstone table would wrongly exclude it."""
+        from .operators.delete import load_dead_ids
+        return load_dead_ids(self.spark, self.catalog._dir(name))
 
     def _index_config(self, name: str) -> IndexConfig:
         """IndexConfig from the index meta, cached per meta.json mtime —
@@ -436,8 +435,9 @@ class SearchService:
                 # snapshot's sidecar — see these rows. Named by the
                 # LSM run key so the INCREMENTAL sidecar refresh can
                 # map an uncovered run to exactly its docs batch.
-                # Written AFTER upsert's escalation, so a replace's
-                # purge of the OLD docs-run rows can't eat this batch.
+                # Written AFTER the append committed; a replaced doc's
+                # OLD docs-run rows stay until compaction, but _docs_view
+                # window-dedups to the latest run generation.
                 import os
                 res["batch"].write.mode("overwrite").parquet(os.path.join(
                     ixdir, "docs_runs", res["entry"]["chunk"]))

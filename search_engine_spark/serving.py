@@ -208,30 +208,59 @@ class ServingIndex:
         if not allow_stale:
             check_blocks_fresh(index_dir, bm, f"ServingIndex({index_dir})")
         # merge-on-read deletes: the immutable block table still holds
-        # tombstoned docs' payloads; decoded postings are filtered against
-        # the tombstone set so served results and df (hence idf/scores)
-        # match the DSL path's post-delete view exactly.
-        self._tombstones = None
+        # tombstoned docs' payloads; decoded postings are masked against
+        # the BARRIER tombstone table (a tombstone hides generations with
+        # payload seq <= barrier; an upserted doc's newer segment stays
+        # live) so served results and df (hence idf/scores) match the DSL
+        # path's post-delete view exactly. Two layouts: the current
+        # single crash-atomic tombstones.parquet (doc_id, barrier) and
+        # the legacy append-dir whose rows mask every generation.
+        self._tombstones = None   # sorted int64 doc ids
+        self._tomb_barriers = None  # aligned int64 barriers
+        from .operators.delete import LEGACY_BARRIER, TOMBSTONES_FILE
+        t_ids, t_bar = [], []
+        tomb_file = os.path.join(index_dir, TOMBSTONES_FILE)
+        if os.path.isfile(tomb_file):
+            t = pq.read_table(tomb_file)
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            t_ids.append(ids)
+            t_bar.append(np.asarray(t.column("barrier"), dtype=np.int64)
+                         if "barrier" in t.column_names
+                         else np.full(ids.size, LEGACY_BARRIER, np.int64))
         tomb_dir = os.path.join(index_dir, "tombstones")
         if os.path.isdir(tomb_dir):
             t = pq.read_table(tomb_dir, columns=["doc_id"])
-            self._tombstones = np.unique(
-                np.asarray(t.column("doc_id"), dtype=np.int64))
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            t_ids.append(ids)
+            t_bar.append(np.full(ids.size, LEGACY_BARRIER, np.int64))
+        if t_ids:
+            ids = np.concatenate(t_ids)
+            bar = np.concatenate(t_bar)
+            # fold duplicates to max barrier (delete.load_tombstones twin)
+            o = np.lexsort((bar, ids))
+            ids, bar = ids[o], bar[o]
+            last = np.ones(ids.size, dtype=bool)
+            last[:-1] = ids[1:] != ids[:-1]
+            self._tombstones = ids[last]
+            self._tomb_barriers = bar[last]
         # doc-registry lineage binds at construction like everything else:
         # committed-but-uncompacted runs' doc_stats paths are captured NOW,
         # so a run appended after construction can't leak into a lazily
         # computed _all_doc_ids (the HTTP facade re-opens per state change)
         from .operators.lsm import live_runs
         self._live_run_ds = []
+        self._live_run_seqs = []  # aligned per-file generation (run seq)
         for e in live_runs(index_dir):
             p = e.get("doc_stats_path")
             if p and os.path.isdir(p):
                 # run dirs are ds_bucket-partitioned (lsm.write_run) —
                 # walk the bucket subdirs for the data files
                 for root, _, files in os.walk(p):
-                    self._live_run_ds += [
-                        os.path.join(root, f) for f in sorted(files)
-                        if f.endswith(".parquet")]
+                    for f in sorted(files):
+                        if f.endswith(".parquet"):
+                            self._live_run_ds.append(os.path.join(root, f))
+                            self._live_run_seqs.append(
+                                int(e.get("seq", 0) or 0))
         # bucket -> list of parquet files (tiny metadata, cached once)
         self._bucket_files: dict = {}
         for name in os.listdir(blocks_dir):
@@ -325,13 +354,16 @@ class ServingIndex:
                 cache.popitem(last=False)
 
     def _term_blocks(self, field: str, term: str, with_pos: bool = False):
-        """All payload bytes for one (field, term): pruned bucket dir +
-        cached row-group zone maps on the sorted (field, term) columns.
-        ``with_pos`` also returns the positions payloads (blocks built
-        with positions — wand.build_blocks default)."""
+        """(payload bytes, generation seq) pairs for one (field, term) —
+        ``with_pos`` makes them (payload, pos_payload, seq) triples —
+        via pruned bucket dir + cached row-group zone maps on the sorted
+        (field, term) columns. The seq is what barrier tombstones mask
+        against (legacy pre-generation snapshots carry no seq column:
+        their rows are generation 0, masked by every barrier — exactly
+        the delete semantics they were written under)."""
         import pyarrow.compute as pc
         b = bucket_of(field, term, self.n_buckets)
-        cols = ["field", "term", "payload"] + (
+        base_cols = ["field", "term", "payload"] + (
             ["pos_payload"] if with_pos else [])
         out = []
         for path in self._bucket_files.get(b, ()):
@@ -341,20 +373,26 @@ class ServingIndex:
                                     and s[2] <= term <= s[3])]
             if not rgs:
                 continue
-            if with_pos and "pos_payload" not in pf.schema_arrow.names:
+            names = pf.schema_arrow.names
+            if with_pos and "pos_payload" not in names:
                 raise ValueError(
                     "block index has no positions section — rebuild with "
                     "write_blocks() (build_blocks with_positions=True) to "
                     "serve phrase queries")
+            has_seq = "seq" in names
+            cols = base_cols + (["seq"] if has_seq else [])
             t = pf.read_row_groups(rgs, columns=cols)
             mask = pc.and_(pc.equal(t.column("field"), field),
                            pc.equal(t.column("term"), term))
             ft = t.filter(mask)
+            seqs = (ft.column("seq").to_pylist() if has_seq
+                    else [0] * ft.num_rows)
             if with_pos:
                 out.extend(zip(ft.column("payload").to_pylist(),
-                               ft.column("pos_payload").to_pylist()))
+                               ft.column("pos_payload").to_pylist(),
+                               seqs))
             else:
-                out.extend(ft.column("payload").to_pylist())
+                out.extend(zip(ft.column("payload").to_pylist(), seqs))
         return out
 
     def postings(self, field: str, term: str):
@@ -365,20 +403,28 @@ class ServingIndex:
         hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
             return hit
-        docs, tfs, dls = decode_blocks_batch(self._term_blocks(field, term))
+        pairs = self._term_blocks(field, term)
+        docs, tfs, dls, ns = decode_blocks_batch(
+            [p for p, _ in pairs], return_counts=True)
+        seqs = (np.repeat(np.array([s for _, s in pairs], dtype=np.int64),
+                          ns) if pairs else np.zeros(0, dtype=np.int64))
+        t = self._tombstones
+        if t is not None and t.size and docs.size:
+            # barrier mask: drop generations with seq <= barrier; an
+            # upserted doc's newer segment survives (at most one live
+            # generation per doc, so downstream uniqueness holds)
+            pos = np.searchsorted(t, docs)
+            pos[pos == t.size] = 0
+            hit_m = t[pos] == docs
+            live = ~hit_m | (seqs > self._tomb_barriers[pos])
+            if not live.all():
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
         if docs.size and not np.all(docs[:-1] <= docs[1:]):
             # a term's blocks can span several reduce-task files per bucket
             # (single-shuffle layout): restore global docID order so
             # searchsorted-based membership/scoring is valid
             o = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[o], tfs[o], dls[o]
-        t = self._tombstones
-        if t is not None and t.size and docs.size:
-            pos = np.searchsorted(t, docs)
-            pos[pos == t.size] = 0
-            live = t[pos] != docs
-            if not live.all():
-                docs, tfs, dls = docs[live], tfs[live], dls[live]
         entry = (docs, tfs, dls)
         self._cache_put(self._postings_cache, key, entry, self.cache_terms)
         return entry
@@ -392,16 +438,34 @@ class ServingIndex:
         hit = self._cache_get(self._postings_cache, key)
         if hit is not None:
             return hit
-        pairs = self._term_blocks(field, term, with_pos=True)
+        triples = self._term_blocks(field, term, with_pos=True)
         # batch decode: ONE varbyte pass over all main payloads and ONE
         # over all positions payloads. Positions deltas restart per doc
         # (first value absolute), so the concatenated buffer decodes with
         # the global tf array exactly like per-block calls — a head term's
         # thousands of blocks would otherwise pay per-block numpy setup
         # (measured ~2 ms/block → tens of seconds at 1M docs).
-        docs, tfs, dls = decode_blocks_batch([p for p, _ in pairs])
+        docs, tfs, dls, ns = decode_blocks_batch(
+            [p for p, _, _ in triples], return_counts=True)
         flat, offsets = decode_positions(
-            b"".join(bytes(pp) for _, pp in pairs), tfs)
+            b"".join(bytes(pp) for _, pp, _ in triples), tfs)
+        t = self._tombstones
+        if t is not None and t.size and docs.size:
+            # barrier mask BEFORE the sort (docs still in payload order,
+            # so the per-payload generation repeats align): drop
+            # generations with seq <= barrier, positions included
+            seqs = np.repeat(
+                np.array([s for _, _, s in triples], dtype=np.int64), ns)
+            pos = np.searchsorted(t, docs)
+            pos[pos == t.size] = 0
+            hit_m = t[pos] == docs
+            live = ~hit_m | (seqs > self._tomb_barriers[pos])
+            if not live.all():
+                keep = np.repeat(live, tfs)
+                flat = flat[keep]
+                docs, tfs, dls = docs[live], tfs[live], dls[live]
+                offsets = np.zeros(docs.size + 1, dtype=np.int64)
+                np.cumsum(tfs, out=offsets[1:])
         if docs.size and not np.all(docs[:-1] <= docs[1:]):
             # restore global docID order (multi-file buckets) — per-doc
             # position slices are permuted along with their doc rows.
@@ -419,17 +483,6 @@ class ServingIndex:
                 flat = flat[idx]
             docs, tfs, dls = docs[o], tfs[o], dls[o]
             offsets = new_off
-        t = self._tombstones
-        if t is not None and t.size and docs.size:
-            pos = np.searchsorted(t, docs)
-            pos[pos == t.size] = 0
-            live = t[pos] != docs
-            if not live.all():
-                keep = np.repeat(live, tfs)
-                flat = flat[keep]
-                docs, tfs, dls = docs[live], tfs[live], dls[live]
-                offsets = np.zeros(docs.size + 1, dtype=np.int64)
-                np.cumsum(tfs, out=offsets[1:])
         entry = (docs, tfs, dls, flat, offsets)
         self._cache_put(self._postings_cache, key, entry, self.cache_terms)
         return entry
@@ -867,31 +920,51 @@ class ServingIndex:
         if ids is None:
             import pyarrow.dataset as pads
             from .operators.index_build import DOC_STATS
-            parts = []
+            parts, gens = [], []
             base = os.path.join(self.index_dir, DOC_STATS)
             if os.path.isdir(base):
-                parts.append(np.asarray(
+                arr = np.asarray(
                     pads.dataset(base, format="parquet")
                     .to_table(columns=["doc_id"]).column("doc_id"),
-                    dtype=np.int64))
+                    dtype=np.int64)
+                parts.append(arr)
+                gens.append(np.zeros(arr.size, dtype=np.int64))
             # committed-but-uncompacted LSM runs keep their doc stats under
             # runs/ until compaction promotes them — the doc REGISTRY is
             # base ∪ live runs (exactly load_index's union view), otherwise
             # match_all / docs-table ops silently drop appended docs.
             # File paths were captured at construction; a run promoted away
             # by a racing compaction raises here (→ Spark fallback at the
-            # facade) rather than silently dropping its docs, and np.unique
-            # absorbs the promoted-copy-plus-run-file overlap window.
-            if self._live_run_ds:
-                parts.append(np.asarray(
-                    pads.dataset(self._live_run_ds, format="parquet")
+            # facade) rather than silently dropping its docs, and the
+            # max-generation fold absorbs the promoted-copy-plus-run-file
+            # overlap window.
+            by_seq: dict = {}
+            for path, seq in zip(self._live_run_ds, self._live_run_seqs):
+                by_seq.setdefault(seq, []).append(path)
+            for seq in sorted(by_seq):
+                arr = np.asarray(
+                    pads.dataset(by_seq[seq], format="parquet")
                     .to_table(columns=["doc_id"]).column("doc_id"),
-                    dtype=np.int64))
-            ids = (np.unique(np.concatenate(parts)) if parts
-                   else np.zeros(0, dtype=np.int64))
-            t = self._tombstones
-            if t is not None and t.size:
-                ids = np.setdiff1d(ids, t, assume_unique=True)
+                    dtype=np.int64)
+                parts.append(arr)
+                gens.append(np.full(arr.size, seq, dtype=np.int64))
+            if parts:
+                allv = np.concatenate(parts)
+                allg = np.concatenate(gens)
+                # per-id MAX generation, then the barrier mask: an id is
+                # registered iff its newest generation survives (base rows
+                # are generation 0; an upserted doc's run row wins)
+                ids, inv = np.unique(allv, return_inverse=True)
+                mx = np.zeros(ids.size, dtype=np.int64)
+                np.maximum.at(mx, inv, allg)
+                t = self._tombstones
+                if t is not None and t.size and ids.size:
+                    pos = np.searchsorted(t, ids)
+                    pos[pos == t.size] = 0
+                    hit = t[pos] == ids
+                    ids = ids[~hit | (mx > self._tomb_barriers[pos])]
+            else:
+                ids = np.zeros(0, dtype=np.int64)
             self._all_ids = ids
         return ids
 
@@ -1218,11 +1291,30 @@ class ServingIndex:
             return None
         import pyarrow.dataset as pads
         ds = pads.dataset(path, format="parquet")
-        ids = np.asarray(ds.to_table(columns=["doc_id"]).column("doc_id"),
-                         dtype=np.int64)
-        order = np.argsort(ids, kind="stable")  # slices arrive per-file
+        t = self._tombstones
+        want_gen = (t is not None and t.size
+                    and "__gen" in ds.schema.names)
+        idt = ds.to_table(columns=["doc_id"] + (["__gen"] if want_gen
+                                                else []))
+        ids = np.asarray(idt.column("doc_id"), dtype=np.int64)
+        rows = np.arange(ids.size, dtype=np.int64)
+        if want_gen and ids.size:
+            # barrier mask over sidecar generations: an upserted doc has
+            # its OLD row (gen <= barrier) masked and its refresh-delta
+            # row (gen > barrier) serving the new values — without this,
+            # the first-match searchsorted in _dv_gather could pick the
+            # superseded generation's values
+            gen = np.asarray(
+                idt.column("__gen").combine_chunks().fill_null(0),
+                dtype=np.int64)
+            pos = np.searchsorted(t, ids)
+            pos[pos == t.size] = 0
+            hit = t[pos] == ids
+            keep = ~hit | (gen > self._tomb_barriers[pos])
+            ids, rows = ids[keep], rows[keep]
+        o = np.argsort(ids, kind="stable")  # slices arrive per-file
         self._dv_id_col = meta.get("id_col", "doc_id")
-        self._dv = (ids[order], _DVColumns(ds, meta["fields"], order))
+        self._dv = (ids[o], _DVColumns(ds, meta["fields"], rows[o]))
         return self._dv
 
     def can_aggregate(self, aggs: dict) -> bool:

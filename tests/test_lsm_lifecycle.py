@@ -125,9 +125,10 @@ class TestLifecycleCycles:
 
 class TestLifecycleWithReadd(TestLifecycleCycles):
     """Cycles that interleave delete → RE-ADD in both delete states: while
-    the id is still tombstoned (append escalates to compact_deletes) and
-    after the physical purge (append unmasks the docs_tombstones entry).
-    The Python doc-set model stays the oracle at every step."""
+    the id is still tombstoned (the new run's generation out-survives the
+    barrier — O(batch), no rewrite) and after the physical purge (append
+    unmasks the docs_tombstones entry). The Python doc-set model stays
+    the oracle at every step."""
 
     def test_cycles(self, spark, service):
         svc = service
@@ -148,9 +149,8 @@ class TestLifecycleWithReadd(TestLifecycleCycles):
             live -= set(victims)
             self._check(svc, live, where + " post-delete")
 
-            # revive victim 0 while STILL tombstoned -> escalation:
-            # compact_deletes runs first (purges victim 1 into the mask),
-            # then the new run carries victim 0's fresh postings
+            # revive victim 0 while STILL tombstoned -> the new run's
+            # generation out-survives the barrier; victim 1 stays masked
             out = svc.add_documents("life", [
                 {"doc_id": victims[0],
                  "text": f"alpha shared re{cycle} tok3", "lang": "en"}])
@@ -158,11 +158,12 @@ class TestLifecycleWithReadd(TestLifecycleCycles):
                 where
             live.add(victims[0])
             self._check(svc, live, where + " post-readd-tombstoned")
-            # escalation bumped delete_epoch -> old blocks must refuse
+            # the revival run isn't covered by the old snapshot ->
+            # blocks must refuse (stale includes_runs)
             with pytest.raises(ValueError, match="STALE"):
                 ServingIndex(ixdir)
 
-            # revive victim 1 from the PURGED state -> cheap unmask
+            # revive victim 1 (still tombstone-masked) the same way
             out = svc.add_documents("life", [
                 {"doc_id": victims[1],
                  "text": f"alpha shared re{cycle} tok4", "lang": "en"}])

@@ -6,9 +6,11 @@ postings, then the new doc is re-indexed) — so a deleted id must come back
 to life when re-added. Our LSM + merge-on-read design has three states a
 re-added id can be in, each with its own path:
 
-- still TOMBSTONED (deleted, not compacted): append escalates to
-  compact_deletes first, preserving the invariant that a tombstoned id
-  never has live postings anywhere.
+- still TOMBSTONED (deleted, not compacted): nothing special happens —
+  the new run's generation ``seq`` exceeds the tombstone's barrier, so
+  every reader's sequence-numbered mask (rows with seq <= barrier hidden)
+  shows the new generation and hides the old. O(batch), no rewrite; the
+  physical purge defers to the next compaction (tests/test_barriers.py).
 - physically PURGED (compact_deletes ran): its registered docs-table row
   is masked via the ``docs_tombstones`` table; re-add just unmasks it and
   the docs-run row becomes the value source — O(batch).
@@ -59,7 +61,7 @@ def test_readd_before_compaction_revives(spark, svc):
                                               "value": "reborn"}},
                            "size": 5})
     assert _ids(res) == [5]
-    # old postings are gone (escalated purge, then fresh run)
+    # the old generation is barrier-masked (no physical purge happened)
     old = svc.search("w", {"query": {"term": {"field": "text",
                                               "value": "old5"}}, "size": 5})
     assert _ids(old) == []
