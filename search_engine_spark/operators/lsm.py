@@ -295,17 +295,41 @@ def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
       deletion pattern: old generations stay masked, the new one shows;
       physical purge happens at the next compaction). O(batch), no
       index rewrite — this used to escalate to a full compact_deletes.
+    - batch id under a LEGACY (pre-barrier) tombstone: those carry the
+      mask-ALL sentinel barrier, which would swallow the new run's
+      generation too. Safe to lower to the CURRENT clock — the legacy
+      invariant guaranteed no live generation existed, and every
+      existing generation has seq <= clock — one crash-atomic tombstone
+      rewrite, still O(tombstones), no index rewrite.
     - batch id in the DOCS_TOMBSTONES mask (purged earlier, registered
       docs-table row masked): just unmask it — the new docs-run row
       becomes the value source and the append itself is plain O(batch).
     """
-    from .delete import _rewrite_docs_tombstones, load_docs_tombstones
+    from .delete import (_rewrite_docs_tombstones, _rewrite_tombstones,
+                         load_docs_tombstones, load_tombstones)
     spark = docs.sparkSession
+    ids = docs.select(
+        F.col(config.id_col).cast("long").alias("doc_id")).distinct()
+    tomb = load_tombstones(spark, index_dir)
+    if tomb is not None:
+        cur = current_seq(index_dir)
+        # a barrier that would outlast even the NEXT allocated seq can
+        # only be the legacy sentinel (normal barriers are <= clock)
+        blocked = (tomb.join(ids, "doc_id", "semi")
+                   .where(F.col("barrier") > F.lit(cur)))
+        if blocked.limit(1).count():
+            flag = blocked.select("doc_id").withColumn(
+                "__readd", F.lit(True))
+            folded = (tomb.join(flag, "doc_id", "left")
+                      .select("doc_id",
+                              F.when(F.col("__readd").isNotNull(),
+                                     F.least("barrier", F.lit(cur)))
+                              .otherwise(F.col("barrier"))
+                              .alias("barrier")))
+            _rewrite_tombstones(spark, index_dir, folded)
     dt = load_docs_tombstones(spark, index_dir)
     if dt is None:
         return
-    ids = docs.select(
-        F.col(config.id_col).cast("long").alias("doc_id")).distinct()
     if ids.join(dt, "doc_id", "semi").limit(1).count():
         _rewrite_docs_tombstones(spark, index_dir,
                                  dt.join(ids, "doc_id", "anti"))

@@ -94,6 +94,35 @@ def test_revival_rewrites_nothing(spark, tmp_path):
     assert meta["total_docs"] == 30
 
 
+def test_legacy_dir_tombstone_readd_still_revives(spark, tmp_path):
+    """Migration: a tombstone written by the pre-barrier layout (append
+    dir, mask-ALL sentinel barrier) would swallow the re-add run's
+    generation too — append_docs lowers it to the current clock first
+    (safe: the legacy invariant guaranteed no live generation), so
+    delete → re-add keeps working across the layout change."""
+    ixdir = str(tmp_path / "ix")
+    write_index(_docs(spark), ixdir, IndexConfig(**CFG))
+    # legacy layout: plain doc_id parquet dir, no barrier column
+    spark.createDataFrame([(6,)], "doc_id long").write.parquet(
+        os.path.join(ixdir, "tombstones"))
+
+    docs = _docs(spark)
+    assert _members(spark, ixdir, "old6", docs) == []
+    readd = spark.createDataFrame(
+        [(6, "alpha revenant six", "en")],
+        "doc_id long, text string, lang string")
+    append_docs(readd, ixdir, IndexConfig(**CFG))
+
+    assert _members(spark, ixdir, "revenant", docs) == [6]
+    assert _members(spark, ixdir, "old6", docs) == []
+    # the legacy dir was folded into the crash-atomic barrier file
+    assert not os.path.isdir(os.path.join(ixdir, "tombstones"))
+    t = load_tombstones(spark, ixdir).collect()
+    assert [(r["doc_id"],) for r in t] == [(6,)]
+    from search_engine_spark.operators.delete import LEGACY_BARRIER
+    assert t[0]["barrier"] < LEGACY_BARRIER
+
+
 def test_midgeneration_masked_then_resolved_by_flush(spark, tmp_path):
     """Upsert the same doc twice before any flush: only the NEWEST
     generation serves (the mid-generation run is masked by the second
