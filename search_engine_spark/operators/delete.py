@@ -282,8 +282,8 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
     meta["avg_dl"] = float(stats["avgdl"] or 0.0)
     meta["dl_sum"] = int(stats["dlsum"] or 0)
     meta["n_tombstones"] = n_tomb
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh, indent=1)
+    from .index_build import write_meta
+    write_meta(index_dir, meta)
     return meta
 
 
@@ -434,7 +434,7 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
                 shutil.rmtree(d)
                 os.rename(tmp, d)
 
-    with open(os.path.join(index_dir, META), "w") as fh:
-        json.dump(meta, fh, indent=1)
+    from .index_build import write_meta
+    write_meta(index_dir, meta)
     _rewrite_tombstones(spark, index_dir, None)  # clears file + legacy dir
     return meta

@@ -55,6 +55,18 @@ RUNS = "runs"
 BUCKET_FN = "xxh64:42"
 
 
+def write_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta.json writer (tmp + os.replace). Every meta write in the
+    package MUST go through this: the HTTP facade's reader threads load
+    meta concurrently with mutators (catalog.stats on each /search), and a
+    plain truncate-then-write exposes a torn/empty file mid-write — seen as
+    a JSONDecodeError 500 under the lifecycle hammer test."""
+    p = os.path.join(index_dir, META)
+    with open(p + ".tmp", "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(p + ".tmp", p)
+
+
 def check_bucket_fn(meta: dict, where: str) -> None:
     """Refuse to serve an index whose bucket layout predates (or differs
     from) the current bucket hash — missing/legacy fingerprints would make
@@ -158,7 +170,8 @@ def _is_array_field(docs: DataFrame, f: str) -> bool:
     return docs.select(F.col(f)).schema[0].dataType.typeName() == "array"
 
 
-def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
+def tokenize_to_rows(docs: DataFrame, config: IndexConfig,
+                     with_dl: bool = False) -> DataFrame:
     """docs → one row per token occurrence: (doc_id, field, pos, term).
 
     ALL scalar fields tokenize in ONE source scan: per-field token arrays
@@ -171,6 +184,15 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     (SearchEngine.ts:902-919): each element is tokenized with the standard
     analyzer and positions RESTART per element; addToken dedups positions, so
     tf = |unique positions| — replicated downstream via collect_set(pos).
+
+    ``with_dl=True`` (all-scalar configs only — dl counts scalar fields,
+    build_doc_stats) also emits ``_dl``: the doc's total token count,
+    computed on the materialized token arrays BEFORE the explode — zero
+    extra shuffle, zero re-tokenize. Riding dl on every posting row is
+    what lets BM25 scoring and the block build skip the postings ⋈
+    doc_stats join entirely (at 10^12 docs that join shuffles the
+    corpus-sized doc_stats table per query). Ignored when the config has
+    array fields (their branches explode before a doc-level sum exists).
     """
     def _needs_lang_col():
         if config.stem_lang == "auto" \
@@ -182,6 +204,7 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
 
     all_array_fields = [f for f in config.fields if _is_array_field(docs, f)]
     all_scalar_fields = [f for f in config.fields if f not in all_array_fields]
+    with_dl = with_dl and not all_array_fields
 
     # stem_lang='detect': detection is PER DOCUMENT over the PRE-stopword
     # token stream of all scalar fields concatenated — the reference's
@@ -212,11 +235,13 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
         lang_src = []
         lang_extra = []
 
-    def _stem_projection(frame):
+    def _stem_projection(frame, extra=()):
         """Apply the configured stemming to the MATERIALIZED ``_toks``
         column (one extra Project). Detection ('detect') runs over the
         already-tokenized array (lang_id_tokens) so the analyzer chain is
-        never re-evaluated per language."""
+        never re-evaluated per language. ``extra`` columns (e.g. the
+        pre-computed ``_dl``) ride through — stemming is 1:1 per token,
+        so counts computed pre-stem stay exact."""
         if not config.stem_lang:
             return frame
         if config.stem_lang == "auto":
@@ -232,7 +257,8 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
         else:
             from ..analysis.stemmer import stem_tokens
             stemmed = stem_tokens(F.col("_toks"), config.stem_lang)
-        return frame.select("doc_id", "field", stemmed.alias("_toks"))
+        return frame.select("doc_id", "field", stemmed.alias("_toks"),
+                            *extra)
 
     parts = []
     scalar_fields = []
@@ -252,6 +278,15 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                     F.posexplode("_toks").alias("pos", "term")))
         else:
             scalar_fields.append(f)
+    dl_extra = ("_dl",) if with_dl else ()
+
+    def _with_dl_col(frame):
+        # dl from the MATERIALIZED array (one extra Project, no
+        # re-tokenize); size() is -1 for null arrays (build_doc_stats)
+        n = F.size("_toks")
+        return frame.withColumn(
+            "_dl", F.when(n < 0, 0).otherwise(n).cast("long"))
+
     if len(scalar_fields) == 1:
         f = scalar_fields[0]
         # materialize the token array in a Project BEFORE the generator:
@@ -264,9 +299,11 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
             tokens_for(F.col(f), config.analyzer_for(f),
                        stopwords=config.stopwords).alias("_toks"),
             *lang_src)
+        if with_dl:
+            tokenized = _with_dl_col(tokenized)
         parts.append(
-            _stem_projection(tokenized).select(
-                "doc_id", "field",
+            _stem_projection(tokenized, dl_extra).select(
+                "doc_id", "field", *dl_extra,
                 F.posexplode("_toks").alias("pos", "term")))
     elif scalar_fields:
         # ONE source scan for ALL scalar fields: per-field token arrays are
@@ -281,16 +318,32 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
                 tokens_for(F.col(f), config.analyzer_for(f),
                            stopwords=config.stopwords).alias("toks"))
             for f in scalar_fields]
-        ft = docs.select(F.col(config.id_col).alias("doc_id"),
-                         F.explode(F.array(*structs)).alias("_ft"),
-                         *lang_src)
+        if with_dl:
+            # doc-level dl = Σ |toks| over the materialized struct array,
+            # computed BEFORE the explode so every per-field row carries
+            # the doc total (null field arrays count 0, build_doc_stats)
+            fts = docs.select(F.col(config.id_col).alias("doc_id"),
+                              F.array(*structs).alias("_fts"),
+                              *lang_src)
+            fts = fts.withColumn(
+                "_dl", F.aggregate(
+                    "_fts", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.greatest(
+                        F.size(x["toks"]), F.lit(0)).cast("long")))
+            ft = fts.select("doc_id", F.explode("_fts").alias("_ft"),
+                            "_dl", *lang_extra)
+        else:
+            ft = docs.select(F.col(config.id_col).alias("doc_id"),
+                             F.explode(F.array(*structs)).alias("_ft"),
+                             *lang_src)
         tokenized = ft.select("doc_id",
                               F.col("_ft.field").alias("field"),
                               F.col("_ft.toks").alias("_toks"),
+                              *dl_extra,
                               *lang_extra)
         parts.append(
-            _stem_projection(tokenized).select(
-                "doc_id", "field",
+            _stem_projection(tokenized, dl_extra).select(
+                "doc_id", "field", *dl_extra,
                 F.posexplode("_toks").alias("pos", "term")))
     out = parts[0]
     for p in parts[1:]:
@@ -298,16 +351,32 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig) -> DataFrame:
     return out
 
 
-def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
-    """(field, term, doc_id, tf, positions) — the row-expanded posting table.
+def build_postings(docs: DataFrame, config: IndexConfig,
+                   with_dl: bool = False) -> DataFrame:
+    """(field, term, doc_id, tf, positions[, dl]) — the row-expanded posting
+    table.
 
     tf = number of UNIQUE in-field positions (canonical semantics: the
     reference dedups positions in addToken, ShardedInvertedIndex.ts:219-224,
     and termFrequency returns positions.length). Scalar fields emit each
     position exactly once (posexplode indices), so count/collect_list match
     set semantics without the per-group hash-set; array fields RESTART
-    positions per element (duplicates possible) and keep the dedup path."""
-    rows = tokenize_to_rows(docs, config)
+    positions per element (duplicates possible) and keep the dedup path.
+
+    ``with_dl=True`` (all-scalar configs — tokenize_to_rows) adds ``dl``,
+    the owning doc's total token count, to every posting row. dl is
+    functionally dependent on doc_id, so riding it in the groupBy keys
+    changes neither the group count nor map-side combining — it just makes
+    the persisted postings self-sufficient for BM25: query scoring and the
+    block build read (tf, dl) off the posting row instead of shuffling the
+    corpus-sized doc_stats table per query (the round-4 scale fix; the
+    block payloads already store exactly (doc_id, tf, dl) per posting,
+    postings_codec). Array-field configs silently skip it (positions
+    restart per element — no doc-level sum exists pre-explode) and keep
+    the join path."""
+    rows = tokenize_to_rows(docs, config, with_dl=with_dl)
+    has_dl = "_dl" in rows.columns
+    keys = ["field", "term", "doc_id"] + (["_dl"] if has_dl else [])
     if any(_is_array_field(docs, f) for f in config.fields):
         aggs = [F.size(F.collect_set("pos")).alias("tf")]
         if config.positions:
@@ -316,7 +385,8 @@ def build_postings(docs: DataFrame, config: IndexConfig) -> DataFrame:
         aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
         if config.positions:
             aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return rows.groupBy("field", "term", "doc_id").agg(*aggs)
+    out = rows.groupBy(*keys).agg(*aggs)
+    return out.withColumnRenamed("_dl", "dl") if has_dl else out
 
 
 def build_doc_stats(docs: DataFrame, config: IndexConfig) -> DataFrame:
@@ -361,7 +431,7 @@ def build_index(docs: DataFrame, config: IndexConfig) -> InvertedIndex:
     """Ephemeral (in-session) index build — used by tests and the
     correctness-gate queries at small SF. For persisted, resumable builds
     use :func:`write_index` / :func:`build_index_resumable`."""
-    postings = build_postings(docs, config)
+    postings = build_postings(docs, config, with_dl=True)
     doc_stats = build_doc_stats(docs, config)
     stats = doc_stats.agg(F.count(F.lit(1)).alias("n"),
                           F.avg("dl").alias("avgdl")).collect()[0]
@@ -477,7 +547,8 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     from pyspark.sql import Observation
     spark = docs.sparkSession
     t0 = time.time()
-    postings = build_postings(docs, config).select("*", _bucket_col(config))
+    postings = build_postings(docs, config,
+                              with_dl=True).select("*", _bucket_col(config))
     (postings.repartition(config.n_buckets, "bucket")
      .sortWithinPartitions("bucket", "field", "term", "doc_id")
      .write.mode("overwrite").partitionBy("bucket")
@@ -528,8 +599,7 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
         "docs_per_sec": int(stats["n"]) / elapsed if elapsed else None,
         "postings_per_sec": n_postings / elapsed if elapsed else None,
     }
-    with open(os.path.join(index_dir, META), "w") as fh:
-        json.dump(meta, fh, indent=1)
+    write_meta(index_dir, meta)
     return meta
 
 
@@ -633,7 +703,7 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         tc = time.time()
         chunk_docs = docs.where(chunk_hash == i)
         run_path = os.path.join(index_dir, RUNS, f"chunk={i}")
-        postings = build_postings(chunk_docs, config)
+        postings = build_postings(chunk_docs, config, with_dl=True)
         postings.write.mode("overwrite").parquet(run_path)
         ds = build_doc_stats(chunk_docs, config)
         ds.write.mode("overwrite").parquet(
@@ -686,6 +756,5 @@ def build_index_resumable(docs: DataFrame, index_dir: str, config: IndexConfig,
         "ds_buckets": config.n_buckets,
         "n_chunks": n_chunks, "build_seconds": time.time() - t0,
     }
-    with open(os.path.join(index_dir, META), "w") as fh:
-        json.dump(meta, fh, indent=1)
+    write_meta(index_dir, meta)
     return meta

@@ -203,7 +203,7 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
     # batch stats ride the two write jobs via observe() — no read-back
     # aggregate or count jobs per batch (same pattern as write_index)
     obs_p = Observation(f"run_postings_{run_key}")
-    (build_postings(docs, config)
+    (build_postings(docs, config, with_dl=True)
      .observe(obs_p, F.count(F.lit(1)).alias("n"))
      .write.mode("overwrite").parquet(run_path))
     ds_path = os.path.join(index_dir, RUNS, f"doc_stats_{run_key}")
@@ -367,6 +367,57 @@ def read_run_doc_stats(spark: SparkSession, paths: list,
         schema = "doc_id long, dl long" + (
             ", seq long" if seqs is not None else "")
         return spark.createDataFrame([], schema)
+    return out
+
+
+def read_run_postings(spark: SparkSession, runs: list, config: IndexConfig,
+                      want_dl: bool | None = None) -> DataFrame | None:
+    """Union of the runs' postings with bucket + seq attached, dl-ALIGNED.
+
+    Posting rows carry the inline ``dl`` column since round 4
+    (build_postings with_dl — what lets scoring skip the doc_stats join);
+    mixed-version artifacts (a pre-dl base with post-dl runs, or the
+    reverse) must still union and compact cleanly. ``want_dl``:
+
+    - True  → every frame gets ``dl``; pre-dl runs recover it via a
+      broadcast join against their OWN doc-stats run (same generation, so
+      the values are exact by construction)
+    - False → ``dl`` is dropped everywhere
+    - None  → keep ``dl`` only if EVERY run already has it
+
+    compact_runs passes the BASE's schema as want_dl so the bucket
+    partitions it rewrites stay schema-uniform with untouched ones."""
+    pinned = want_dl is not None  # caller fixed the on-disk schema
+    frames = []
+    for e in runs:
+        df = (spark.read.parquet(e["run_path"])
+              .select("*", _bucket_col(config)))
+        df = with_seq(df, int(e.get("seq", 0) or 0))
+        frames.append((df, e.get("doc_stats_path")))
+    if not frames:
+        return None
+    if want_dl is None:
+        want_dl = all("dl" in df.columns for df, _ in frames)
+    out = None
+    for df, dsp in frames:
+        if want_dl and "dl" not in df.columns:
+            if not (dsp and dir_has_parquet(dsp)):
+                if pinned:
+                    # a ds-less run holds zero posting rows by the
+                    # write_run contract — a typed null column keeps the
+                    # pinned schema without inventing values
+                    df = df.withColumn("dl", F.lit(None).cast("long"))
+                else:
+                    # nothing to recover dl from — degrade the whole
+                    # union (consumers fall back to the doc_stats join)
+                    return read_run_postings(spark, runs, config,
+                                             want_dl=False)
+            else:
+                ds = spark.read.parquet(dsp).select("doc_id", "dl")
+                df = df.join(F.broadcast(ds), "doc_id", "left")
+        elif not want_dl and "dl" in df.columns:
+            df = df.drop("dl")
+        out = df if out is None else out.unionByName(df)
     return out
 
 
@@ -606,12 +657,17 @@ def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
         runs = live_runs(index_dir)
     if not runs:
         return base_postings, base_doc_stats, base_term_stats
-    run_posts = None
-    for e in runs:
-        df = (spark.read.parquet(e["run_path"])
-              .select("*", _bucket_col(config)))
-        df = with_seq(df, int(e.get("seq", 0) or 0))
-        run_posts = df if run_posts is None else run_posts.unionByName(df)
+    run_posts = read_run_postings(spark, runs, config)
+    # dl-align the UNION VIEW (projection only, nothing rewritten): when
+    # one side predates the inline-dl layout, consumers simply fall back
+    # to the doc_stats join for dl
+    if base_postings is not None:
+        base_has = "dl" in base_postings.columns
+        runs_have = "dl" in run_posts.columns
+        if base_has and not runs_have:
+            base_postings = base_postings.drop("dl")
+        elif runs_have and not base_has:
+            run_posts = run_posts.drop("dl")
     run_ds = read_run_doc_stats(
         spark, [e["doc_stats_path"] for e in runs],
         seqs=[int(e.get("seq", 0) or 0) for e in runs])
@@ -722,14 +778,15 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                          stem_lang=meta.get("stem_lang"),
                          stem_lang_col=meta.get("stem_lang_col", "lang"),
                          analyzers=meta.get("analyzers") or {})
-    run_posts = None
-    for e in runs:
-        df = (spark.read.parquet(e["run_path"])
-              .select("*", _bucket_col(config)))
-        df = with_seq(df, int(e.get("seq", 0) or 0))
-        run_posts = df if run_posts is None else run_posts.unionByName(df)
     base_dir = os.path.join(index_dir, POSTINGS)
     base_exists = os.path.isdir(base_dir)
+    # the rewritten bucket partitions MUST match the untouched ones'
+    # schema — align the runs' inline-dl column to the base's layout
+    # (recovered from run doc-stats for pre-dl runs, dropped for a
+    # pre-dl base); runs-only dirs keep dl iff every run has it
+    want_dl = ("dl" in spark.read.parquet(base_dir).columns
+               if base_exists else None)
+    run_posts = read_run_postings(spark, runs, config, want_dl=want_dl)
 
     tomb = load_tombstones(spark, index_dir)
     resolved_ids: list = []
@@ -966,6 +1023,6 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     # rebuild files base-c<seq>-*.parquet so a crash replay REPLACES its
     # own files (and recognizes stale base-c<other-seq> files as garbage)
     meta["compaction_seq"] = next_cseq
-    with open(os.path.join(index_dir, META), "w") as fh:
-        json.dump(meta, fh, indent=1)
+    from .index_build import write_meta
+    write_meta(index_dir, meta)
     return meta

@@ -101,11 +101,19 @@ def build_blocks(index: InvertedIndex,
     # (base 0 / LSM run seq) so readers can mask superseded generations
     # per segment against barrier tombstones (seq <= barrier → hidden) —
     # what makes upsert/revival O(batch) on the serving artifacts too
-    p = with_seq(index.postings).select(*cols, "seq")
-    ds = with_seq(index.doc_stats).select("doc_id", "dl", "seq")
-    # join on (doc_id, seq): an upserted doc has one doc_stats row PER
-    # generation — its gen-9 posting must take the gen-9 dl, not both
-    joined = p.join(ds, ["doc_id", "seq"])
+    p = with_seq(index.postings)
+    if "dl" in p.columns:
+        # inline-dl postings (build_postings with_dl, round 4): the row
+        # already carries its own generation's dl — the doc_stats shuffle
+        # join below is skipped entirely, making the block build a single
+        # (field, term, blk)-shuffle job over the postings alone
+        joined = p.select(*cols, "dl", "seq")
+    else:
+        p = p.select(*cols, "seq")
+        ds = with_seq(index.doc_stats).select("doc_id", "dl", "seq")
+        # join on (doc_id, seq): an upserted doc has one doc_stats row PER
+        # generation — its gen-9 posting must take the gen-9 dl, not both
+        joined = p.join(ds, ["doc_id", "seq"])
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
     qnorm = (tf * F.lit(k1 + 1.0)) / \

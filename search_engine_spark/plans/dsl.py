@@ -157,15 +157,19 @@ class SparkSearchEngine:
             return node.cand.withColumn("score", F.lit(0.0))
 
         postings = self._postings_for(node.score_terms or None, terms_df)
-        scored_rows = (
-            postings
-            .join(F.broadcast(self.index.term_stats), ["field", "term"])
-            .join(self.index.doc_stats, "doc_id")
-            .withColumn("s", bm25_score(
-                F.col("tf"), F.col("df"), F.col("dl"),
-                self.index.total_docs, self.index.avg_dl, self.k1, self.b,
-                boost=self._boost_col()))
-        )
+        scored_rows = postings.join(
+            F.broadcast(self.index.term_stats), ["field", "term"])
+        if "dl" not in postings.columns:
+            # pre-inline-dl postings layout: fetch dl the expensive way.
+            # Post-round-4 indexes ride dl on every posting row
+            # (build_postings with_dl), so scoring is join-free below —
+            # at 10^12 docs this join would shuffle the corpus-sized
+            # doc_stats table per query.
+            scored_rows = scored_rows.join(self.index.doc_stats, "doc_id")
+        scored_rows = scored_rows.withColumn("s", bm25_score(
+            F.col("tf"), F.col("df"), F.col("dl"),
+            self.index.total_docs, self.index.avg_dl, self.k1, self.b,
+            boost=self._boost_col()))
         if (node.score_terms and len(set(node.score_terms)) == 1
                 and node.score_terms_df is None):
             # single (field, term): exactly one posting row per doc — the

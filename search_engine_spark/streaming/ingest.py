@@ -150,8 +150,8 @@ def merge_stream_runs(spark, index_dir: str, config: IndexConfig) -> dict:
     meta["compaction_seq"] = int(prior.get("compaction_seq", 0)) + 1
     if prior.get("delete_epoch") is not None:
         meta["delete_epoch"] = prior["delete_epoch"]
-    with open(mp, "w") as fh:
-        json.dump(meta, fh, indent=1)
+    from ..operators.index_build import write_meta
+    write_meta(index_dir, meta)
     # the from-runs rebuild wrote every bucket partition — record the
     # full bucket range as the compaction's footprint for refresh_blocks
     mark_compacted(index_dir, merged_entries,
