@@ -95,6 +95,17 @@ def main():
         }
     summary["head_vs_baseline_best"] = round(
         summary["baseline"]["best_s"] / summary["head"]["best_s"], 3)
+    # within-round pair ratios (head_s / baseline_s): each ratio compares
+    # two runs adjacent in time, so host drift cancels PER PAIR, and the
+    # median is robust to single-run outliers that hijack best-of (a
+    # hypervisor burst can hand one side a lucky 23 s run and the other a
+    # 59 s stall in the same round). This is the load-bearing number;
+    # best-of stays for cross-round comparability.
+    pair_ratios = [
+        round(h["build_s"] / b["build_s"], 3)
+        for h, b in zip(results["head"], results["baseline"])]
+    summary["pair_ratios_head_over_baseline"] = pair_ratios
+    summary["pair_ratio_median"] = round(statistics.median(pair_ratios), 3)
     out = {"n_pages": n_pages, "baseline_commit": baseline,
            "interleaved_rounds": n_rounds, **summary}
     print(json.dumps(out))
@@ -118,7 +129,11 @@ def main():
                   f"{s['best_docs_per_sec']} |")
     md += ["",
            f"**speedup (baseline best / head best): "
-           f"{summary['head_vs_baseline_best']}×**", ""]
+           f"{summary['head_vs_baseline_best']}×**", "",
+           f"**within-round pair ratios (head/baseline, lower = head "
+           f"faster): {summary['pair_ratios_head_over_baseline']} — "
+           f"median {summary['pair_ratio_median']}×** (robust to the "
+           "single-run outliers best-of is hostage to)", ""]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     tag = os.environ.get("AB_OUT_TAG", "r03")
     with open(os.path.join(REPO, "BENCH", f"AB_{tag}.md"), "w") as fh:
