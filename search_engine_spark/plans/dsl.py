@@ -156,9 +156,20 @@ class SparkSearchEngine:
         if terms_df is None:
             return node.cand.withColumn("score", F.lit(0.0))
 
-        postings = self._postings_for(node.score_terms or None, terms_df)
+        # with an over-limit expansion frame present, the union terms_df is
+        # authoritative — the literal IN-list alone would drop the
+        # expansion's pairs from scoring (both lookups take the join path)
+        lit = (node.score_terms or None) \
+            if node.score_terms_df is None else None
+        postings = self._postings_for(lit, terms_df)
+        # term_stats is filtered to the QUERY's pairs before the broadcast:
+        # broadcasting the whole dictionary works at sandbox scale but a
+        # web-scale vocabulary (~1e9 terms) would OOM the driver — the
+        # IN-list predicate also row-group-skips the (field, term)-sorted
+        # term_stats files, so the lookup reads ~one row group
         scored_rows = postings.join(
-            F.broadcast(self.index.term_stats), ["field", "term"])
+            F.broadcast(self._term_stats_for(lit, terms_df)),
+            ["field", "term"])
         if "dl" not in postings.columns:
             # pre-inline-dl postings layout: fetch dl the expensive way.
             # Post-round-4 indexes ride dl on every posting row
@@ -209,13 +220,7 @@ class SparkSearchEngine:
         """
         p = self.index.postings
         if literal_terms is not None and len(literal_terms) <= COLLECT_TERMS_LIMIT:
-            by_field: dict[str, list] = {}
-            for f, t in literal_terms:
-                by_field.setdefault(f, []).append(t)
-            pred = None
-            for f, toks in by_field.items():
-                c = (F.col("field") == f) & F.col("term").isin(toks)
-                pred = c if pred is None else (pred | c)
+            pred = self._pairs_pred(literal_terms)
             if "bucket" in p.columns and self.index.config is not None:
                 # partition pruning: bucket IN-list computed driver-side in
                 # pure Python (portable h60 hash) — no Spark job needed
@@ -227,6 +232,34 @@ class SparkSearchEngine:
         assert terms_df is not None
         return p.join(F.broadcast(terms_df.select("field", "term")),
                       ["field", "term"])
+
+    @staticmethod
+    def _pairs_pred(literal_terms):
+        """Per-field term IN-list predicate for a set of (field, term)
+        pairs — pushed into parquet scans (row-group min/max skipping on
+        the sorted ``term`` column)."""
+        by_field: dict[str, list] = {}
+        for f, t in literal_terms:
+            by_field.setdefault(f, []).append(t)
+        pred = None
+        for f, toks in by_field.items():
+            c = (F.col("field") == f) & F.col("term").isin(toks)
+            pred = c if pred is None else (pred | c)
+        return pred
+
+    def _term_stats_for(self, literal_terms,
+                        terms_df: DataFrame | None = None) -> DataFrame:
+        """term_stats rows (df counts) for a set of (field, term) pairs —
+        the same pushdown shapes as :meth:`_postings_for`, so the frame
+        handed to ``F.broadcast`` in :meth:`_score` is query-sized, never
+        vocabulary-sized."""
+        ts = self.index.term_stats
+        if literal_terms is not None \
+                and len(literal_terms) <= COLLECT_TERMS_LIMIT:
+            return ts.where(self._pairs_pred(literal_terms))
+        assert terms_df is not None
+        return ts.join(F.broadcast(terms_df.select("field", "term")),
+                       ["field", "term"])
 
     # ------------------------------------------------------------------
     # query rewrites (front end)
@@ -671,6 +704,9 @@ class SparkSearchEngine:
 
         results: DataFrame | None = None
         score_terms: list = []
+        score_dfs: list = []  # children's over-limit expansion frames —
+        # dropping them would silently un-score a >COLLECT_TERMS_LIMIT
+        # wildcard/fuzzy expansion nested inside a bool clause
 
         for clause in filt:  # filters first, non-scoring
             node = self._compile(clause, scoring=False)
@@ -680,6 +716,8 @@ class SparkSearchEngine:
         for clause in must:
             node = self._compile(clause, scoring)
             score_terms += node.score_terms
+            if node.score_terms_df is not None:
+                score_dfs.append(node.score_terms_df.select("field", "term"))
             results = node.cand if results is None else results.join(
                 node.cand, "doc_id", "semi")
 
@@ -687,6 +725,8 @@ class SparkSearchEngine:
             nodes = [self._compile(c, scoring) for c in should]
             for n in nodes:
                 score_terms += n.score_terms
+                if n.score_terms_df is not None:
+                    score_dfs.append(n.score_terms_df.select("field", "term"))
             tagged = None
             for i, n in enumerate(nodes):
                 t = n.cand.select("doc_id", F.lit(i).alias("_clause"))
@@ -737,7 +777,10 @@ class SparkSearchEngine:
         pure_should = (not must and not filt and not must_not and should
                        and not bq.get("minimum_should_match")
                        and all(n.cand_is_scored_union for n in nodes))
-        return _Node(results.distinct(), score_terms,
+        merged_df = None
+        for d in score_dfs:
+            merged_df = d if merged_df is None else merged_df.unionByName(d)
+        return _Node(results.distinct(), score_terms, merged_df,
                      cand_is_scored_union=bool(pure_should) and scoring)
 
 
