@@ -112,7 +112,21 @@ def main():
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # Hand-authored sections after the script-owned ones (everything from
+    # the first section following "## Reference baseline") must survive a
+    # rerun — carry them over from the existing file.
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    hand_tail = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as fh:
+            old = fh.read()
+        marker = "## Reference baseline"
+        idx = old.find(marker)
+        if idx >= 0:
+            nxt = old.find("\n## ", idx + len(marker))
+            if nxt >= 0:
+                hand_tail = old[nxt + 1:]
+    with open(baseline_path, "w") as fh:
         fh.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
 Same workload (`bench.py`: pages index build + BM25 query mix), same input
@@ -176,6 +190,8 @@ that the in-process reference does not pay; the engine's win is corpus size
 (bounded only by cluster storage) and build throughput scaling, not
 single-query latency at toy scale.
 """)
+        if hand_tail:
+            fh.write(hand_tail)
     print(json.dumps(result))
 
 
