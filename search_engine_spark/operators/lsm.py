@@ -803,6 +803,22 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
             .where(F.col("seq") > F.col("barrier"))
             .select("doc_id").distinct().collect())
         tomb_ids = tomb.select("doc_id")
+        masked_buckets: set = set()
+        if resolved_ids:
+            # buckets of the resolved docs' SUPERSEDED run rows (a doc
+            # upserted twice before this flush): the rows are dropped
+            # from the fold below, but the blocks snapshot encoded them
+            # from the RAW run parquet — once the tombstone that masks
+            # them is shrunk, those delta segments would resurface. The
+            # affected set (→ resolve_events → refresh rebuild) must
+            # therefore cover their buckets even though no folded row
+            # lands there.
+            masked_buckets = {
+                int(r["bucket"]) for r in run_posts
+                .where(F.col("doc_id").isin(resolved_ids))
+                .join(F.broadcast(tomb), "doc_id")
+                .where(F.col("seq") <= F.col("barrier"))
+                .select("bucket").distinct().collect()}
         # drop superseded mid-generations from the folded runs
         run_posts = (run_posts
                      .join(F.broadcast(tomb), "doc_id", "left")
@@ -810,8 +826,12 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                             | (F.col("seq") > F.col("barrier")))
                      .drop("barrier"))
 
-    affected = sorted(r["bucket"] for r in
-                      run_posts.select("bucket").distinct().collect())
+    run_buckets = {int(r["bucket"]) for r in
+                   run_posts.select("bucket").distinct().collect()}
+    masked_buckets = (masked_buckets - run_buckets) if tomb is not None \
+        else set()
+    affected = sorted(run_buckets | masked_buckets)
+    extra_buckets: set = set()
     if resolved_ids and base_exists:
         # EXTEND the rewrite to the buckets holding the resolved docs'
         # OLD postings (their vocabulary may differ from the new
@@ -820,11 +840,31 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         extra = (spark.read.parquet(base_dir)
                  .where(F.col("doc_id").isin(resolved_ids))
                  .select("bucket").distinct().collect())
-        affected = sorted(set(affected) | {int(r["bucket"]) for r in extra})
+        extra_buckets = ({int(r["bucket"]) for r in extra}
+                         - run_buckets - masked_buckets)
+        affected = sorted(run_buckets | masked_buckets | extra_buckets)
     merged = run_posts
+    emptied_buckets: set = set()
     if base_exists:
         base = spark.read.parquet(base_dir).where(
             F.col("bucket").isin(affected))
+        norun_buckets = extra_buckets | masked_buckets
+        if norun_buckets and tomb_ids is not None:
+            # dynamic partition overwrite only rewrites partitions PRESENT
+            # in the output — a bucket that receives no folded run row
+            # and whose base rows are ALL purged (it held nothing but a
+            # resolved doc's old vocabulary) would keep its stale
+            # partition dir, and the tombstone shrink below would then
+            # UNMASK those rows (resurrecting the superseded generation).
+            # Only extension/masked buckets can empty (run buckets
+            # receive run rows), so one pruned scan over them finds the
+            # survivors; the emptied dirs are removed after the write.
+            still = {int(r["bucket"]) for r in
+                     (spark.read.parquet(base_dir)
+                      .where(F.col("bucket").isin(sorted(norun_buckets)))
+                      .join(F.broadcast(tomb_ids), "doc_id", "anti")
+                      .select("bucket").distinct().collect())}
+            emptied_buckets = norun_buckets - still
         if tomb_ids is not None:
             # drop EVERY tombstoned doc's base rows in the rewritten
             # buckets: resolved docs' old generations are purged for
@@ -856,6 +896,11 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
          .write.mode("overwrite").partitionBy("bucket").parquet(base_dir))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for b in sorted(emptied_buckets):
+        # replay-safe: a rerun's extension scan no longer finds the
+        # resolved docs' rows here, so the dir simply stays absent
+        shutil.rmtree(os.path.join(base_dir, f"bucket={b}"),
+                      ignore_errors=True)
 
     ds_dir = os.path.join(index_dir, DOC_STATS)
     os.makedirs(ds_dir, exist_ok=True)
