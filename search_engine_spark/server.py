@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -132,11 +133,33 @@ class SearchService:
                           facet_fields=tuple(facet_fields or ()))
         meta = self.catalog.create_index(name, docs, cfg,
                                          overwrite=overwrite)
+        # persist the docs-table location so a RESTARTED service restores
+        # the document store without an operator --register step (the
+        # reference's snapshot restore brings documents back by itself,
+        # SnapshotManager.ts restore path)
+        from .operators.index_build import write_meta
+        mp = os.path.join(self.catalog._dir(name), "meta.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m["docs_path"] = os.path.abspath(docs_path)
+        write_meta(self.catalog._dir(name), m)
         self._docs[name] = docs
         return meta
 
     def register_docs(self, name: str, docs) -> None:
         self._docs[name] = docs
+
+    def _restore_docs(self, name: str):
+        """Lazily re-register the docs table recorded at create_index —
+        a fresh process serves an existing catalog with no explicit
+        register_docs call. Returns None when the index predates the
+        recorded path (register_docs stays available)."""
+        path = self.catalog.stats(name).get("docs_path")
+        if not path or not os.path.isdir(path):
+            return None
+        docs = self.spark.read.parquet(path)
+        self._docs[name] = docs
+        return docs
 
     def _docs_view(self, name: str):
         """Registered docs table ∪ persisted docs-runs (rows added via
@@ -151,8 +174,9 @@ class SearchService:
         pays one broadcast anti-join against the run ids. Ids in the
         ``docs_tombstones`` mask (physically purged, registered row
         immutable) are filtered out entirely."""
-        import os
         docs = self._docs.get(name)
+        if docs is None:
+            docs = self._restore_docs(name)
         if docs is None:
             return None
         ixdir = self.catalog._dir(name)

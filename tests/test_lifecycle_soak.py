@@ -20,3 +20,13 @@ def test_soak_one_seed(spark, tmp_path):
     from soak_lifecycle import run_soak
     trace = run_soak(spark, str(tmp_path), seed=1, n_ops=15)
     assert len(trace) == 15
+
+
+def test_soak_auto_persist_seed(spark, tmp_path):
+    # same machinery with the AutoPersistenceManager policy on: every
+    # 3rd appended doc triggers an incremental snapshot refresh, so the
+    # interleavings hit refresh-on-append between every mutation kind
+    from soak_lifecycle import run_soak
+    trace = run_soak(spark, str(tmp_path), seed=2, n_ops=12,
+                     auto_persist={"enabled": True, "batch_size": 3})
+    assert len(trace) == 12

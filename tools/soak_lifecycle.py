@@ -39,7 +39,8 @@ def _doc(doc_id: int, gen: int) -> dict:
 
 
 class Soak:
-    def __init__(self, spark, root: str, seed: int, check_every: int = 1):
+    def __init__(self, spark, root: str, seed: int, check_every: int = 1,
+                 auto_persist: dict | None = None):
         from search_engine_spark.server import SearchService
         self.spark = spark
         self.rng = random.Random(seed)
@@ -54,7 +55,10 @@ class Soak:
             "doc_id long, text string, lang string")
         docs_path = os.path.join(root, "docs")
         docs.write.parquet(docs_path)
-        self.svc = SearchService(spark, os.path.join(root, "ix"))
+        self.svc_root = os.path.join(root, "ix")
+        self.auto_persist = auto_persist
+        self.svc = SearchService(spark, self.svc_root,
+                                 auto_persist=auto_persist)
         self.svc.create_index("soak", docs_path, fields={"text": "text"})
         self.svc.snapshot("soak")
         self.ixdir = self.svc.catalog._dir("soak")
@@ -127,9 +131,19 @@ class Soak:
         consolidate_blocks(self.spark, self.ixdir)
         consolidate_doc_values(self.spark, self.ixdir)
 
+    def op_restart(self):
+        # process restart: a FRESH service over the same catalog root must
+        # restore everything from disk (docs table via meta.docs_path,
+        # runs/tombstones/snapshots via their artifacts) — no in-memory
+        # state may be load-bearing
+        from search_engine_spark.server import SearchService
+        self.svc = SearchService(self.spark, self.svc_root,
+                                 auto_persist=self.auto_persist)
+
     OPS = [("append_new", 3), ("upsert_live", 3), ("resend_identical", 1),
            ("delete_live", 2), ("readd_dead", 2), ("snapshot", 3),
-           ("flush", 2), ("compact_deletes", 1), ("consolidate", 1)]
+           ("flush", 2), ("compact_deletes", 1), ("consolidate", 1),
+           ("restart", 1)]
 
     # -- oracle ------------------------------------------------------------
     def check(self, where: str):
@@ -166,6 +180,19 @@ class Soak:
             assert got["total"] == 1 and \
                 got["hits"][0]["doc_id"] == i, \
                 f"{ctx}: live doc {i} gen {gen} probe -> {got['total']}"
+            # stored-field enrichment must show the CURRENT generation's
+            # body, not a stale sidecar row
+            body = got["hits"][0].get("text")
+            assert body == _text(i, gen), \
+                f"{ctx}: doc {i} enriched body {body!r} != gen {gen}"
+            # hit-scoped terms agg over the matched set must count 1
+            agg = self.svc.search("soak", {
+                "query": {"term": {"field": "text", "value": f"u{i}"}},
+                "size": 0,
+                "aggregations": {"langs": {"terms": {"field": "lang"}}}})
+            buckets = agg["aggregations"]["langs"]["buckets"]
+            assert [(b["key"], b["doc_count"]) for b in buckets] == \
+                [("en", 1)], f"{ctx}: agg over doc {i} -> {buckets}"
             if gen > 0:
                 old = self.svc.search("soak", {"query": {"term": {
                     "field": "text", "value": f"v{i}x{gen - 1}"}},
@@ -203,8 +230,10 @@ class Soak:
 
 
 def run_soak(spark, root: str, seed: int, n_ops: int = 25,
-             check_every: int = 1) -> list[str]:
-    s = Soak(spark, root, seed, check_every=check_every)
+             check_every: int = 1,
+             auto_persist: dict | None = None) -> list[str]:
+    s = Soak(spark, root, seed, check_every=check_every,
+             auto_persist=auto_persist)
     s.run(n_ops)
     return s.trace
 
@@ -220,11 +249,13 @@ def main():
     spark = get_spark("soak", cores=int(os.environ.get(
         "SPARK_GRAFT_CPUS", "8")), shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    auto = {"enabled": True, "batch_size": 3} \
+        if os.environ.get("SOAK_AUTO_PERSIST") else None
     for seed in range(n_seeds):
         root = tempfile.mkdtemp(prefix=f"soak_{seed}_")
         t0 = time.time()
         try:
-            trace = run_soak(spark, root, seed, n_ops)
+            trace = run_soak(spark, root, seed, n_ops, auto_persist=auto)
         finally:
             shutil.rmtree(root, ignore_errors=True)
         print(f"seed {seed}: OK ({n_ops} ops, {time.time() - t0:.0f}s) "
