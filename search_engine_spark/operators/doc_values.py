@@ -45,6 +45,18 @@ def _index_delete_epoch(index_dir: str) -> int:
     with open(mp) as fh:
         return int(json.load(fh).get("delete_epoch", 0))
 
+
+def _index_resolve_state(index_dir: str) -> tuple:
+    """(resolve_epoch, resolve_events) from the index meta —
+    lsm.compact_runs bumps the epoch whenever it resolves upsert
+    tombstones and records the purged (doc_id -> barrier) pairs."""
+    mp = os.path.join(index_dir, "meta.json")
+    if not os.path.isfile(mp):
+        return 0, []
+    with open(mp) as fh:
+        m = json.load(fh)
+    return int(m.get("resolve_epoch", 0)), list(m.get("resolve_events", []))
+
 #: spark simpleString prefixes we can serve aggregations over
 _SERVABLE_TYPES = ("string", "boolean", "tinyint", "smallint", "int",
                    "bigint", "float", "double", "decimal", "date",
@@ -140,7 +152,10 @@ def write_doc_values(docs: DataFrame, index_dir: str, fields: list,
             # then reintroduce an id with NEW values) — the incremental
             # refresh must full-rebuild across that boundary or the
             # sidecar would hold two generations of the same doc_id
-            "delete_epoch": _index_delete_epoch(index_dir)}
+            "delete_epoch": _index_delete_epoch(index_dir),
+            # resolution lineage (lsm.compact_runs resolve_events): a full
+            # write bakes the canonical view, so it is current as of now
+            "resolve_epoch": _index_resolve_state(index_dir)[0]}
     mp = os.path.join(index_dir, DV_META)
     with open(mp + ".tmp", "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -226,7 +241,28 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
     included = set(meta.get("includes_runs", []))
     new_runs = [e for e in accounted_runs(index_dir)
                 if e["run_path"] not in included]
-    if not new_runs:
+    # tombstone RESOLUTIONS since this sidecar was written: an UNCOVERED
+    # run folded by compact_runs reaches the sidecar below as its RAW
+    # docs batch — including generations the flush purged — after the
+    # masking tombstone is gone. Re-apply the recorded purges once the
+    # deltas are installed (idempotent for rows the flush already
+    # removed from covered files).
+    built_res = int(meta.get("resolve_epoch", 0))
+    now_res, events = _index_resolve_state(index_dir)
+    stale_events = [ev for ev in events
+                    if int(ev.get("epoch", 0)) > built_res]
+    if built_res != now_res and (
+            any("purges" not in ev for ev in stale_events)
+            or {int(ev["epoch"]) for ev in stale_events}
+            != set(range(built_res + 1, now_res + 1))):
+        # pre-upgrade or pruned-away events: no exact purge set — rebuild
+        return _full()
+    pending: dict = {}
+    for ev in stale_events:
+        for k, v in (ev.get("purges") or {}).items():
+            i = int(k)
+            pending[i] = max(int(v), pending.get(i, -1))
+    if not new_runs and built_res == now_res:
         return meta
     batches = []
     for e in new_runs:
@@ -264,7 +300,13 @@ def refresh_doc_values(spark: SparkSession, index_dir: str,
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         included.add(run_path)
+    if pending:
+        # AFTER the delta installs: the purge must see the just-installed
+        # files. Meta (resolve_epoch) is updated last, so a crash between
+        # install and purge replays the purge on the next refresh.
+        purge_doc_values(index_dir, pending)
     meta["includes_runs"] = sorted(included)
+    meta["resolve_epoch"] = now_res
     mp = os.path.join(index_dir, DV_META)
     with open(mp + ".tmp", "w") as fh:
         json.dump(meta, fh, indent=1)

@@ -1045,9 +1045,29 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         # refresh_blocks consume these)
         meta["resolve_epoch"] = int(meta.get("resolve_epoch", 0)) + 1
         events = list(meta.get("resolve_events", []))
+        # the event ALSO carries the purged (doc_id -> barrier) pairs:
+        # an UNCOVERED run folded by this flush reaches the sidecar only
+        # at the next refresh_doc_values, which installs the run's raw
+        # docs batch — including the superseded generations purged here —
+        # AFTER the masking tombstone is gone. The refresh re-applies
+        # these purges (idempotent for rows already removed above).
         events.append({"epoch": meta["resolve_epoch"],
-                       "buckets": affected})
-        meta["resolve_events"] = events
+                       "buckets": affected,
+                       "purges": {str(int(r["doc_id"])): int(r["barrier"])
+                                  for r in res_rows}})
+        # prune events consumed by BOTH snapshot artifacts (blocks +
+        # sidecar) so meta stays bounded at any flush count
+        floor = meta["resolve_epoch"]
+        for fn in ("blocks_meta.json", "doc_values_meta.json"):
+            fp = os.path.join(index_dir, fn)
+            if os.path.isfile(fp):
+                with open(fp) as fh:
+                    floor = min(floor,
+                                int(json.load(fh).get("resolve_epoch", 0)))
+            else:
+                floor = 0
+        meta["resolve_events"] = [ev for ev in events
+                                  if int(ev.get("epoch", 0)) > floor]
         # shrink the tombstone table LAST (crash-atomic single-file
         # swap): a replay between the rewrites above and this swap
         # re-derives the same resolved set from the still-present runs

@@ -28,6 +28,52 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class InjectedCrash(Exception):
+    """Raised by the fault injector at a randomly chosen file operation."""
+
+
+class _FaultInjector:
+    """Crash the process (by exception) at the K-th Python-side file
+    mutation — os.replace / os.rename / shutil.move / os.remove are the
+    orchestration calls every crash-replay contract in the engine is
+    written against (atomic swaps, deterministic file installs, delta
+    drops). Spark's own JVM writes are not interceptable and not the
+    point: the replay logic lives in the Python glue."""
+
+    TARGETS = [("os", "replace"), ("os", "rename"), ("os", "remove"),
+               ("shutil", "move")]
+
+    def __init__(self, k: int):
+        self.k = k
+        self.calls = 0
+        self.saved: list = []
+
+    def __enter__(self):
+        import shutil as _sh
+        mods = {"os": os, "shutil": _sh}
+
+        def wrap(fn):
+            def inner(*a, **kw):
+                self.calls += 1
+                if self.calls >= self.k:
+                    raise InjectedCrash(
+                        f"injected at file-op #{self.calls}")
+                return fn(*a, **kw)
+            return inner
+
+        for mod, name in self.TARGETS:
+            m = mods[mod]
+            orig = getattr(m, name)
+            self.saved.append((m, name, orig))
+            setattr(m, name, wrap(orig))
+        return self
+
+    def __exit__(self, *exc):
+        for m, name, orig in self.saved:
+            setattr(m, name, orig)
+        return False
+
+
 def _text(doc_id: int, gen: int) -> str:
     # exactly 4 tokens so meta.dl_sum == 4 * |live|; u<id> is the per-doc
     # membership probe, v<id>x<gen> the per-generation probe
@@ -140,10 +186,42 @@ class Soak:
         self.svc = SearchService(self.spark, self.svc_root,
                                  auto_persist=self.auto_persist)
 
+    def _crashed(self, name: str):
+        """Run a maintenance op with a crash injected at a random file
+        operation, then REPLAY it to completion (every maintenance op
+        documents replay-exactness), restarting the service in between —
+        the state a real operator would be in after a mid-op process
+        death. The per-step check then holds the replayed state to the
+        same model as any other step."""
+        k = self.rng.randint(1, 6)
+        try:
+            with _FaultInjector(k):
+                getattr(self, f"op_{name}")()
+            self.trace[-1] += "(nocrash)"
+        except InjectedCrash:
+            self.trace[-1] += f"(crash@{k})"
+            self.op_restart()
+            getattr(self, f"op_{name}")()  # replay
+
+    def op_flush_crash(self):
+        self._crashed("flush")
+
+    def op_snapshot_crash(self):
+        self._crashed("snapshot")
+
+    def op_compact_deletes_crash(self):
+        self._crashed("compact_deletes")
+
+    def op_consolidate_crash(self):
+        self._crashed("consolidate")
+
     OPS = [("append_new", 3), ("upsert_live", 3), ("resend_identical", 1),
            ("delete_live", 2), ("readd_dead", 2), ("snapshot", 3),
            ("flush", 2), ("compact_deletes", 1), ("consolidate", 1),
            ("restart", 1)]
+
+    CRASH_OPS = [("flush_crash", 2), ("snapshot_crash", 2),
+                 ("compact_deletes_crash", 1), ("consolidate_crash", 1)]
 
     # -- oracle ------------------------------------------------------------
     def check(self, where: str):
@@ -217,8 +295,9 @@ class Soak:
             f"seed={self.seed} final reload: {n} != {len(self.live)} " \
             f"trace={self.trace}"
 
-    def run(self, n_ops: int):
-        names = [n for n, w in self.OPS for _ in range(w)]
+    def run(self, n_ops: int, crashes: bool = False):
+        ops = self.OPS + (self.CRASH_OPS if crashes else [])
+        names = [n for n, w in ops for _ in range(w)]
         for step in range(n_ops):
             name = self.rng.choice(names)
             self.trace.append(name)
@@ -230,11 +309,11 @@ class Soak:
 
 
 def run_soak(spark, root: str, seed: int, n_ops: int = 25,
-             check_every: int = 1,
-             auto_persist: dict | None = None) -> list[str]:
+             check_every: int = 1, auto_persist: dict | None = None,
+             crashes: bool = False) -> list[str]:
     s = Soak(spark, root, seed, check_every=check_every,
              auto_persist=auto_persist)
-    s.run(n_ops)
+    s.run(n_ops, crashes=crashes)
     return s.trace
 
 
@@ -251,11 +330,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     auto = {"enabled": True, "batch_size": 3} \
         if os.environ.get("SOAK_AUTO_PERSIST") else None
+    crashes = bool(os.environ.get("SOAK_CRASHES"))
     for seed in range(n_seeds):
         root = tempfile.mkdtemp(prefix=f"soak_{seed}_")
         t0 = time.time()
         try:
-            trace = run_soak(spark, root, seed, n_ops, auto_persist=auto)
+            trace = run_soak(spark, root, seed, n_ops, auto_persist=auto,
+                             crashes=crashes)
         finally:
             shutil.rmtree(root, ignore_errors=True)
         print(f"seed {seed}: OK ({n_ops} ops, {time.time() - t0:.0f}s) "
