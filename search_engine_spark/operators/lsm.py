@@ -786,7 +786,16 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     # pre-dl base); runs-only dirs keep dl iff every run has it
     want_dl = ("dl" in spark.read.parquet(base_dir).columns
                if base_exists else None)
-    run_posts = read_run_postings(spark, runs, config, want_dl=want_dl)
+    run_posts_raw = read_run_postings(spark, runs, config, want_dl=want_dl)
+    # per-doc max-seq rule, independent of tombstones: a doc with rows in
+    # several runs keeps only its HIGHEST-seq generation. The barrier
+    # filter below drops the same rows on the normal path — but a replay
+    # that crashed after the tombstone shrink has no barrier left, and
+    # would otherwise fold the superseded generations back into the base
+    latest_gen = run_posts_raw.groupBy("doc_id").agg(
+        F.max("seq").alias("__mx"))
+    run_posts = (run_posts_raw.join(F.broadcast(latest_gen), "doc_id")
+                 .where(F.col("seq") == F.col("__mx")).drop("__mx"))
 
     tomb = load_tombstones(spark, index_dir)
     resolved_ids: list = []
@@ -814,7 +823,7 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
             # therefore cover their buckets even though no folded row
             # lands there.
             masked_buckets = {
-                int(r["bucket"]) for r in run_posts
+                int(r["bucket"]) for r in run_posts_raw
                 .where(F.col("doc_id").isin(resolved_ids))
                 .join(F.broadcast(tomb), "doc_id")
                 .where(F.col("seq") <= F.col("barrier"))
@@ -843,6 +852,23 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         extra_buckets = ({int(r["bucket"]) for r in extra}
                          - run_buckets - masked_buckets)
         affected = sorted(run_buckets | masked_buckets | extra_buckets)
+    # resolution journal: the extension above is derived from the
+    # PRE-PURGE base, which a crashed earlier attempt may already have
+    # rewritten — a replay would then under-record the resolution event's
+    # bucket set, and the block snapshot would never rebuild the missed
+    # partitions (their superseded rows resurface once the tombstone is
+    # gone; found by the crash-injection soak, seed 1). The journal pins
+    # attempt 1's final set BEFORE the overwrite; replays union it in.
+    next_cseq = int(meta.get("compaction_seq", 0)) + 1
+    jpath = os.path.join(index_dir, "resolve_journal.json")
+    journal_emptied: set = set()
+    if os.path.isfile(jpath):
+        with open(jpath) as fh:
+            j = json.load(fh)
+        if int(j.get("cseq", -1)) == next_cseq:
+            jb = {int(b) for b in j.get("buckets", [])}
+            affected = sorted(set(affected) | jb)
+            journal_emptied = {int(b) for b in j.get("emptied", [])}
     merged = run_posts
     emptied_buckets: set = set()
     if base_exists:
@@ -887,6 +913,12 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     # above, and any FUTURE barrier is allocated above the current clock,
     # so it masks generation 0 and the folded rows uniformly
     merged = merged.drop("seq")
+    emptied_buckets |= journal_emptied
+    if resolved_ids:
+        with open(jpath + ".tmp", "w") as fh:
+            json.dump({"cseq": next_cseq, "buckets": affected,
+                       "emptied": sorted(emptied_buckets)}, fh)
+        os.replace(jpath + ".tmp", jpath)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -904,7 +936,6 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
 
     ds_dir = os.path.join(index_dir, DOC_STATS)
     os.makedirs(ds_dir, exist_ok=True)
-    next_cseq = int(meta.get("compaction_seq", 0)) + 1
     flush_tags = tuple(os.path.basename(e["doc_stats_path"]) + "-"
                        for e in runs if e.get("doc_stats_path"))
 
@@ -939,19 +970,39 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     # those rows — a blind move would promote a dead mid-generation into
     # the base as generation 0, unmasked once its tombstone resolves.
     superseded: dict = {}
-    if tomb is not None:
-        for e in runs:
-            p = e.get("doc_stats_path")
-            if not p or not os.path.isdir(p) or not dir_has_parquet(p):
-                continue
-            rseq = int(e.get("seq", 0) or 0)
-            bad = {int(r["doc_id"]) for r in
-                   spark.read.parquet(p).select("doc_id")
-                   .join(F.broadcast(tomb), "doc_id")
-                   .where(F.lit(rseq) <= F.col("barrier"))
-                   .distinct().collect()}
-            if bad:
-                superseded[p] = bad
+    # cross-run max-seq rule, tombstone-independent (mirrors the postings
+    # fold): a doc with stats rows in several runs keeps only the
+    # highest-seq run's row — a replay that crashed after the tombstone
+    # shrink would otherwise promote the superseded generation's row too
+    # (doc_stats double-count)
+    ds_seq_all = read_run_doc_stats(
+        spark, [e["doc_stats_path"] for e in runs],
+        seqs=[int(e.get("seq", 0) or 0) for e in runs])
+    multi = {int(r["doc_id"]): int(r["mx"]) for r in
+             ds_seq_all.groupBy("doc_id")
+             .agg(F.max("seq").alias("mx"),
+                  F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") > 1).collect()}
+    for e in runs:
+        p = e.get("doc_stats_path")
+        if not p or not os.path.isdir(p) or not dir_has_parquet(p):
+            continue
+        rseq = int(e.get("seq", 0) or 0)
+        cand = [i for i, mx in multi.items() if mx > rseq]
+        bad: set = set()
+        if cand:
+            bad |= {int(r["doc_id"]) for r in
+                    spark.read.parquet(p).select("doc_id")
+                    .where(F.col("doc_id").isin(cand))
+                    .distinct().collect()}
+        if tomb is not None:
+            bad |= {int(r["doc_id"]) for r in
+                    spark.read.parquet(p).select("doc_id")
+                    .join(F.broadcast(tomb), "doc_id")
+                    .where(F.lit(rseq) <= F.col("barrier"))
+                    .distinct().collect()}
+        if bad:
+            superseded[p] = bad
 
     def _promote_files(src_dir: str, dst_dir: str, tag: str,
                        drop_ids: set | None = None) -> None:
@@ -1068,9 +1119,18 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                 floor = 0
         meta["resolve_events"] = [ev for ev in events
                                   if int(ev.get("epoch", 0)) > floor]
-        # shrink the tombstone table LAST (crash-atomic single-file
-        # swap): a replay between the rewrites above and this swap
-        # re-derives the same resolved set from the still-present runs
+        # persist the resolution event BEFORE the tombstone shrink: the
+        # shrink is the commit point that lifts the masks, and a crash
+        # between the two would otherwise lose the event for good — the
+        # block snapshot would keep its superseded segments unmasked with
+        # nothing left to trigger the rebuild
+        from .index_build import write_meta
+        write_meta(index_dir, meta)
+        # shrink the tombstone table (crash-atomic single-file swap): a
+        # replay between the rewrites above and this swap re-derives the
+        # same resolved set from the still-present runs; a replay AFTER
+        # it relies on the max-seq rules above, the persisted event, and
+        # the resolve journal instead of the vanished barriers
         from .delete import _rewrite_tombstones
         meta["n_tombstones"] = _rewrite_tombstones(
             spark, index_dir,
@@ -1090,4 +1150,8 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     meta["compaction_seq"] = next_cseq
     from .index_build import write_meta
     write_meta(index_dir, meta)
+    try:  # the resolution event is durable in meta now
+        os.remove(jpath)
+    except FileNotFoundError:
+        pass
     return meta
