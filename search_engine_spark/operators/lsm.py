@@ -1155,3 +1155,72 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     except FileNotFoundError:
         pass
     return meta
+
+
+def consolidate_docs_runs(spark: SparkSession, index_dir: str,
+                          id_col: str = "doc_id",
+                          min_chunks: int = 8) -> dict:
+    """Fold covered docs-run batches into ONE latest-generation chunk.
+
+    Every HTTP append persists its batch under ``docs_runs/<run_key>`` so
+    field values reach aggregations/enrichment and the incremental
+    sidecar refresh; without folding, the document-store union view's
+    plan grows one frame per append and delete compaction pays one job
+    per chunk — unbounded decay on a long-lived index. Eligible chunks
+    (``folded=*`` outputs of earlier passes, plus batches whose index run
+    the sidecar lineage already covers — refresh_doc_values never needs
+    their per-run batch again; with no sidecar, batches whose run is no
+    longer live) fold into ``folded=<M>`` where M is the highest eligible
+    batch number. Under the reader's (number, name) chunk order that name
+    sorts after every folded input and before every remaining chunk, so
+    at EVERY intermediate state — fold file present alongside its inputs,
+    inputs partially removed — the latest-generation window resolves each
+    id to the same row. Crash-safe: Spark's _SUCCESS marker gates the
+    inputs' removal; a replay reuses or rewrites its own deterministic
+    chunk name."""
+    from pyspark.sql import Window
+
+    dr_root = os.path.join(index_dir, "docs_runs")
+    if not os.path.isdir(dr_root):
+        return {"folded_chunks": 0}
+
+    def _key(name: str):
+        tail = name.rsplit("=", 1)[-1]
+        return (int(tail) if tail.isdigit() else -1, name)
+
+    chunks = sorted(
+        (c for c in os.listdir(dr_root)
+         if os.path.isdir(os.path.join(dr_root, c))
+         and dir_has_parquet(os.path.join(dr_root, c))), key=_key)
+    dv_meta_path = os.path.join(index_dir, "doc_values_meta.json")
+    if os.path.isfile(dv_meta_path):
+        with open(dv_meta_path) as fh:
+            covered = {os.path.basename(p) for p in
+                       json.load(fh).get("includes_runs", [])}
+        eligible = [c for c in chunks
+                    if c.startswith("folded=") or c in covered]
+    else:
+        live = {os.path.basename(e["run_path"]) for e in
+                live_runs(index_dir)}
+        eligible = [c for c in chunks if c not in live]
+    if len(eligible) < max(int(min_chunks), 2):
+        return {"folded_chunks": 0}
+    m = max(_key(c)[0] for c in eligible)
+    dst = f"folded={m}"
+    dst_dir = os.path.join(dr_root, dst)
+    if not os.path.isfile(os.path.join(dst_dir, "_SUCCESS")):
+        frames = [spark.read.parquet(os.path.join(dr_root, c))
+                  .withColumn("__gen", F.lit(i))
+                  for i, c in enumerate(eligible)]
+        merged = frames[0]
+        for f in frames[1:]:
+            merged = merged.unionByName(f, allowMissingColumns=True)
+        w = Window.partitionBy(id_col).orderBy(F.desc("__gen"))
+        (merged.withColumn("__rn", F.row_number().over(w))
+         .where(F.col("__rn") == 1).drop("__gen", "__rn")
+         .write.mode("overwrite").parquet(dst_dir))
+    for c in eligible:
+        if c != dst:
+            shutil.rmtree(os.path.join(dr_root, c), ignore_errors=True)
+    return {"folded_chunks": len(eligible) - (1 if dst in eligible else 0),
+            "chunk": dst}

@@ -605,6 +605,15 @@ class SearchService:
                                              min_delta_files=thresh)
                 if dvc.get("merged_files"):
                     metrics["dv_consolidated"] = dvc
+                # document-store run batches: fold covered chunks into one
+                # latest-generation chunk so the union view's plan and the
+                # delete-compaction job count stay O(1) in appends
+                from .operators.lsm import consolidate_docs_runs
+                drc = consolidate_docs_runs(self.spark, ixdir,
+                                            id_col=cfg.id_col,
+                                            min_chunks=thresh)
+                if drc.get("folded_chunks"):
+                    metrics["docs_runs_folded"] = drc
             finally:
                 self._snap_busy.discard(name)
             # reset UNDER the same lock appends count under: every counted

@@ -173,9 +173,11 @@ class Soak:
     def op_consolidate(self):
         from search_engine_spark.operators.doc_values import \
             consolidate_doc_values
+        from search_engine_spark.operators.lsm import consolidate_docs_runs
         from search_engine_spark.operators.wand import consolidate_blocks
         consolidate_blocks(self.spark, self.ixdir)
         consolidate_doc_values(self.spark, self.ixdir)
+        consolidate_docs_runs(self.spark, self.ixdir, min_chunks=2)
 
     def op_restart(self):
         # process restart: a FRESH service over the same catalog root must
