@@ -260,6 +260,16 @@ class Soak:
             assert got["total"] == 1 and \
                 got["hits"][0]["doc_id"] == i, \
                 f"{ctx}: live doc {i} gen {gen} probe -> {got['total']}"
+            # ABSOLUTE score correctness under mutation: the model knows
+            # the exact BM25 inputs for a generation probe (df=1, tf=1,
+            # dl=4, N=|live|, avg_dl=4) — drifted meta counters, stale
+            # doc stats, or a serving/Spark scoring-parameter split all
+            # surface here, on whichever path the router picked
+            from search_engine_spark.functions.bm25 import bm25_score_py
+            want = bm25_score_py(1, 1, 4, len(self.live), 4.0)
+            score = got["hits"][0]["score"]
+            assert abs(score - want) <= 1e-9 * max(abs(want), 1.0), \
+                f"{ctx}: doc {i} score {score} != expected {want}"
             # stored-field enrichment must show the CURRENT generation's
             # body, not a stale sidecar row
             body = got["hits"][0].get("text")
