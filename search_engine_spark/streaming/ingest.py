@@ -33,8 +33,18 @@ from ..operators.index_build import (MANIFEST, RUNS, IndexConfig,
 
 def stream_index_runs(pages_stream: DataFrame, index_dir: str,
                       config: IndexConfig, checkpoint_dir: str | None = None,
-                      trigger_available_now: bool = True):
+                      trigger_available_now: bool = True,
+                      upsert: bool = True):
     """Start a streaming query appending per-micro-batch posting runs.
+
+    ``upsert=True`` (default — the reference's ``add()`` replaces on id
+    collision, QueryEngine.ts:137-149) gives re-crawl semantics: a
+    streamed page whose id is already live tombstones the old generation
+    at the current barrier before the batch's run is written above it —
+    O(batch ds_bucket-pruned lookup + tombstone swap), nothing physically
+    rewritten, exactly the HTTP upsert path's mask mechanics. With
+    ``upsert=False`` colliding ids simply coexist (pre-round-4 behavior:
+    only safe when the source is known collision-free).
 
     Returns the StreamingQuery; call ``.awaitTermination()`` (availableNow
     drains the source and stops) then :func:`merge_stream_runs`.
@@ -50,10 +60,30 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
         # meta additively exact per batch, so the index is QUERYABLE
         # between batches (load_index unions the committed runs) with no
         # merge job; replays (foreachBatch re-runs) are idempotent.
-        from ..operators.lsm import write_run
+        from ..operators.lsm import _manifest_entries, write_run
+        manifest_name = f"stream-{batch_id:05d}.json"
+        if upsert:
+            # replay no-op guard FIRST: a committed batch must not
+            # re-tombstone its own ids as "collisions"
+            if any(name == manifest_name and
+                   e.get("status") in ("committed", "compacted")
+                   for name, e in _manifest_entries(index_dir)):
+                return
+            batch_df = batch_df.dropDuplicates([config.id_col])
+            from ..operators.lsm import existing_ids_pruned
+            existing = existing_ids_pruned(batch_df.sparkSession, index_dir,
+                                           batch_df, config.id_col)
+            colliding = [int(r[0]) for r in
+                         batch_df.join(existing, config.id_col, "semi")
+                         .select(F.col(config.id_col).cast("long"))
+                         .distinct().collect()]
+            if colliding:
+                # barrier = current clock; the run below gets seq above it
+                from ..operators.delete import delete_docs
+                delete_docs(batch_df.sparkSession, index_dir, colliding)
         write_run(batch_df, index_dir, config,
                   run_key=f"stream_batch={batch_id}",
-                  manifest_name=f"stream-{batch_id:05d}.json",
+                  manifest_name=manifest_name,
                   lineage={"source": "stream", "batch_id": batch_id})
 
     writer = (pages_stream.writeStream

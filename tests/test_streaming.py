@@ -137,3 +137,72 @@ def test_stream_ingest_with_stemming_equals_batch(tmp_path, spark):
               b.postings.select("field", "term", "doc_id", "tf").collect()}
         assert sa == sb, mode
         assert abs(a.avg_dl - b.avg_dl) < 1e-12
+
+
+def test_stream_upsert_replaces_recrawled_id(tmp_path, spark):
+    """Re-crawl semantics (reference add() replaces, QueryEngine.ts:
+    137-149): a streamed page whose id is already live tombstones the old
+    generation; the batch's run out-survives the barrier. Totals, BM25
+    inputs, and term membership must all reflect only the new version."""
+    from search_engine_spark.operators.delete import load_index_with_deletes
+    from search_engine_spark.plans.dsl import SparkSearchEngine
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(i, f"http://x/{i}", f"alpha shared body{i}", "en")
+         for i in range(20)],
+        "doc_id long, url string, text string, lang string")
+    base.write.parquet(src + "/a")
+    recrawl = spark.createDataFrame(
+        [(3, "http://x/3", "alpha shared freshcopy", "en"),
+         (100, "http://x/100", "alpha shared newdoc", "en")],
+        "doc_id long, url string, text string, lang string")
+    recrawl.write.parquet(src + "/b")
+
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    idx_dir = str(tmp_path / "ix")
+    q = stream_index_runs(stream, idx_dir, IndexConfig(**CFG))
+    q.awaitTermination(120)
+
+    docs_now = (base.join(recrawl.select("doc_id"), "doc_id", "anti")
+                .unionByName(recrawl))
+    idx = load_index_with_deletes(spark, idx_dir)
+    assert idx.total_docs == 21  # 20 + 1 new, re-crawl replaced in place
+    eng = SparkSearchEngine(idx, docs_now)
+    got = {r["doc_id"] for r in eng.search(
+        {"term": {"field": "text", "value": "freshcopy"}}, size=5).collect()}
+    assert got == {3}
+    assert eng.search({"term": {"field": "text", "value": "body3"}},
+                      size=5).count() == 0
+    # flush resolves the upsert physically; totals survive
+    from search_engine_spark.operators.lsm import compact_runs
+    compact_runs(spark, idx_dir)
+    idx = load_index_with_deletes(spark, idx_dir)
+    assert idx.total_docs == 21
+    assert idx.doc_stats.select("doc_id").distinct().count() == 21
+    eng = SparkSearchEngine(idx, docs_now)
+    assert eng.search({"term": {"field": "text", "value": "body3"}},
+                      size=5).count() == 0
+
+
+def test_stream_upsert_off_keeps_collisions(tmp_path, spark):
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(1, "u", "alpha one", "en")],
+        "doc_id long, url string, text string, lang string")
+    base.write.parquet(src + "/a")
+    again = spark.createDataFrame(
+        [(1, "u", "alpha two", "en")],
+        "doc_id long, url string, text string, lang string")
+    again.write.parquet(src + "/b")
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    idx_dir = str(tmp_path / "ix")
+    q = stream_index_runs(stream, idx_dir, IndexConfig(**CFG),
+                          upsert=False)
+    q.awaitTermination(120)
+    meta = merge_stream_runs(spark, idx_dir, IndexConfig(**CFG))
+    assert meta["total_docs"] == 2  # documented collision-unsafe mode
