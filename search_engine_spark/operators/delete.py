@@ -330,10 +330,70 @@ def load_index_with_deletes(spark: SparkSession, index_dir: str) -> InvertedInde
     return idx
 
 
+def recover_interrupted_compaction(index_dir: str) -> bool:
+    """Complete a delete compaction's table swap after a mid-swap crash.
+
+    :func:`compact_deletes` replaces POSTINGS and DOC_STATS via
+    write-staging → rename-to-``.compact`` (the atomic commit marker) →
+    rename live → ``.old`` → rename ``.compact`` in → drop ``.old``. A
+    crash inside that chain can leave the live dir ABSENT for up to one
+    rename (previously: absent for a full rmtree — the crash-injection
+    soak caught a replay failing with PATH_NOT_FOUND). This makes every
+    reachable state recoverable and idempotent:
+
+    - live missing + ``.compact`` present → finish the swap (the marker
+      rename only happens after the staging write completed).
+    - live missing + only ``.old`` → restore the old table (unreachable
+      by the protocol order, kept as a safety net).
+    - live present → drop ``.old``/``.staging``/``.compact`` leftovers
+      (an uncommitted ``.compact`` is pre-tombstone-drop, so the masked
+      live table is still the correct view; the replay recomputes it).
+
+    Returns True when it repaired or cleaned anything."""
+    import shutil
+    did = False
+    for name in (POSTINGS, DOC_STATS):
+        live = os.path.join(index_dir, name)
+        compact = live + ".compact"
+        old = live + ".old"
+        staging = live + ".staging"
+        if not os.path.isdir(live):
+            if os.path.isdir(compact):
+                os.rename(compact, live)
+                did = True
+            elif os.path.isdir(old):
+                os.rename(old, live)
+                did = True
+        if os.path.isdir(live):
+            for leftover in (old, staging, compact):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover, ignore_errors=True)
+                    did = True
+    return did
+
+
+def _swap_table(index_dir: str, name: str) -> None:
+    """Commit a staged table rewrite: ``.staging`` (already fully
+    written) → ``.compact`` marker → live, with the live dir absent for
+    only the one rename between the outgoing and incoming tables."""
+    import shutil
+    live = os.path.join(index_dir, name)
+    compact = live + ".compact"
+    if os.path.isdir(compact):
+        shutil.rmtree(compact)
+    os.rename(live + ".staging", compact)
+    if os.path.isdir(live):
+        os.rename(live, live + ".old")
+    os.rename(compact, live)
+    shutil.rmtree(live + ".old", ignore_errors=True)
+
+
 def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     """Apply tombstones physically: rewrite the index tables without the
     deleted rows and drop the tombstone table."""
     import shutil
+
+    recover_interrupted_compaction(index_dir)
 
     # live LSM runs must fold into the base FIRST: they may hold masked
     # generations of tombstoned docs, and clearing the tombstone table
@@ -360,12 +420,11 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
 
     p = spark.read.parquet(os.path.join(index_dir, POSTINGS)) \
         .join(tomb, "doc_id", "anti")
-    tmp = os.path.join(index_dir, POSTINGS + ".compact")
+    tmp = os.path.join(index_dir, POSTINGS + ".staging")
     (p.repartition(config.n_buckets, "bucket")
      .sortWithinPartitions("field", "term", "doc_id")
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-    shutil.rmtree(os.path.join(index_dir, POSTINGS))
-    os.rename(tmp, os.path.join(index_dir, POSTINGS))
+    _swap_table(index_dir, POSTINGS)
 
     # rewrite doc_stats through the canonical bucketed writer so the
     # append-dedup pruning layout (ds_bucket partitions) survives delete
@@ -374,16 +433,20 @@ def compact_deletes(spark: SparkSession, index_dir: str) -> dict:
     ds = spark.read.parquet(os.path.join(index_dir, DOC_STATS)) \
         .join(tomb, "doc_id", "anti")
     tmp_root = os.path.join(index_dir, DOC_STATS + ".compactdir")
+    if os.path.isdir(tmp_root):
+        shutil.rmtree(tmp_root)
     os.makedirs(tmp_root, exist_ok=True)
     ds_buckets = int(meta.get("ds_buckets") or meta["n_buckets"])
     write_doc_stats(ds, tmp_root, ds_buckets)
     # a legacy meta (no ds_buckets) must learn the bucket count the
     # rewrite just used, or existing_ids_pruned reads 0 and never prunes
     meta["ds_buckets"] = ds_buckets
-    shutil.rmtree(os.path.join(index_dir, DOC_STATS))
-    os.rename(os.path.join(tmp_root, DOC_STATS),
-              os.path.join(index_dir, DOC_STATS))
+    ds_staging = os.path.join(index_dir, DOC_STATS + ".staging")
+    if os.path.isdir(ds_staging):
+        shutil.rmtree(ds_staging)
+    os.rename(os.path.join(tmp_root, DOC_STATS), ds_staging)
     shutil.rmtree(tmp_root, ignore_errors=True)
+    _swap_table(index_dir, DOC_STATS)
 
     postings_r = spark.read.parquet(os.path.join(index_dir, POSTINGS))
     build_term_stats(postings_r).sortWithinPartitions(
