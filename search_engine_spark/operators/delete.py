@@ -243,6 +243,17 @@ def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
         run_ds = read_run_doc_stats(
             spark, [e["doc_stats_path"] for e in runs],
             seqs=[int(e.get("seq", 0) or 0) for e in runs])
+        if ds is not None and os.path.isfile(
+                os.path.join(index_dir, "flush_inflight.json")):
+            # a flush is mid-fold (or crashed mid-fold): run docs exist
+            # in BOTH tables — run copies win (lsm.union_with_runs has
+            # the full rationale); per-doc max-seq drops superseded run
+            # generations whose barriers a crashed shrink already lifted
+            mx = run_ds.groupBy("doc_id").agg(F.max("seq").alias("__mx"))
+            run_ds = (run_ds.join(F.broadcast(mx), "doc_id")
+                      .where(F.col("seq") == F.col("__mx")).drop("__mx"))
+            ds = ds.join(F.broadcast(run_ds.select("doc_id").distinct()),
+                         "doc_id", "anti")
         ds = run_ds if ds is None else ds.unionByName(run_ds)
     return ds
 

@@ -675,6 +675,53 @@ def union_with_runs(spark: SparkSession, index_dir: str, config: IndexConfig,
         F.count(F.lit(1)).alias("df"))
     if base_postings is None:
         return run_posts, run_ds, run_ts
+    marker = os.path.join(index_dir, "flush_inflight.json")
+    inflight = False
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as fh:
+                mruns = set(json.load(fh).get("runs", []))
+        except (json.JSONDecodeError, OSError):
+            mruns = None  # mid-write: conservative
+        # a marker orphaned by a crash AFTER mark_compacted names only
+        # no-longer-live runs — its flush fully committed, the plain
+        # union is exact, and degraded mode would tax every read with a
+        # term_stats recount until some future flush. Ignore it then.
+        inflight = mruns is None or bool(
+            mruns & {e["run_path"] for e in runs})
+    if inflight:
+        # a compaction crashed between committing the folded base and
+        # flipping the manifest: the runs' docs exist in BOTH tables, and
+        # a plain union would show them twice (double counts, inflated
+        # df). Degraded-but-correct mode until the replay completes: run
+        # rows win per doc (broadcast anti-join — map-side, the run id
+        # set is O(batch)), and term_stats is recounted exactly from the
+        # deduped union instead of the additive merge. Zero cost outside
+        # this window (one isfile per load). Run rows additionally keep
+        # only each doc's max-seq generation: a crash after the tombstone
+        # shrink has no barriers left to mask superseded run rows.
+        mx = run_posts.groupBy("doc_id").agg(F.max("seq").alias("__mx"))
+        run_posts = (run_posts.join(F.broadcast(mx), "doc_id")
+                     .where(F.col("seq") == F.col("__mx")).drop("__mx"))
+        mxd = run_ds.groupBy("doc_id").agg(F.max("seq").alias("__mx"))
+        run_ds = (run_ds.join(F.broadcast(mxd), "doc_id")
+                  .where(F.col("seq") == F.col("__mx")).drop("__mx"))
+        run_ids = run_posts.select("doc_id").distinct()
+        base_postings = base_postings.join(
+            F.broadcast(run_ids), "doc_id", "anti")
+        # ds dedup keys on the ids the run STATS still supply: before
+        # promotion the base lacks them (no-op), after promotion the run
+        # dirs are gone (no-op) — only the exact overlap window drops the
+        # base copy. Keying on posting-derived ids would drop promoted
+        # rows the runs no longer serve.
+        base_doc_stats = base_doc_stats.join(
+            F.broadcast(run_ds.select("doc_id").distinct()),
+            "doc_id", "anti")
+        postings = with_seq(base_postings).unionByName(run_posts)
+        doc_stats = with_seq(base_doc_stats).unionByName(run_ds)
+        term_stats = postings.groupBy("field", "term").agg(
+            F.count(F.lit(1)).alias("df"))
+        return postings, doc_stats, term_stats
     postings = with_seq(base_postings).unionByName(run_posts)
     doc_stats = with_seq(base_doc_stats).unionByName(run_ds)
     term_stats = (base_term_stats.unionByName(run_ts)
@@ -768,6 +815,14 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     is a transiently masked (not resurrected, not duplicated) doc."""
     from .delete import load_tombstones
     runs = live_runs(index_dir)
+    # reclaim dirs leaked by a crash between mark_compacted and the
+    # cleanup loop of an earlier flush (compacted runs are out of every
+    # union view — nothing reads their files)
+    for _, e in _manifest_entries(index_dir):
+        if e.get("status") == "compacted":
+            for p in (e.get("run_path"), e.get("doc_stats_path")):
+                if p and os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
     with open(os.path.join(index_dir, META)) as fh:
         meta = json.load(fh)
     if not runs:
@@ -780,6 +835,15 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
                          analyzers=meta.get("analyzers") or {})
     base_dir = os.path.join(index_dir, POSTINGS)
     base_exists = os.path.isdir(base_dir)
+    # in-flight marker: between the folded base committing and
+    # mark_compacted flipping the manifest, the runs' docs exist in BOTH
+    # tables — union_with_runs reads this marker and switches to its
+    # degraded-but-correct dedup mode, so a reader between a mid-flush
+    # crash and the replay never sees double counts or inflated df
+    inflight = os.path.join(index_dir, "flush_inflight.json")
+    with open(inflight + ".tmp", "w") as fh:
+        json.dump({"runs": sorted(e["run_path"] for e in runs)}, fh)
+    os.replace(inflight + ".tmp", inflight)
     # the rewritten bucket partitions MUST match the untouched ones'
     # schema — align the runs' inline-dl column to the base's layout
     # (recovered from run doc-stats for pre-dl runs, dropped for a
@@ -1006,18 +1070,27 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
 
     def _promote_files(src_dir: str, dst_dir: str, tag: str,
                        drop_ids: set | None = None) -> None:
+        # COPY, don't move: promoted rows read as generation 0 in the
+        # base, so until the tombstone shrink below they are masked by
+        # the very barriers they resolve — the run files must keep
+        # serving their seq-stamped copies through the whole flush (the
+        # union view's inflight dedup prefers them), or a concurrent
+        # reader loses the doc for the promotion→shrink window (found by
+        # the crash-point sweep at op 15). Sources are reclaimed with the
+        # run dirs after mark_compacted.
         os.makedirs(dst_dir, exist_ok=True)
         for name in os.listdir(src_dir):
             if name.endswith(".parquet"):
                 dst = os.path.join(dst_dir, f"{tag}-{name}")
                 src = os.path.join(src_dir, name)
                 if os.path.exists(dst):  # replay: already promoted
-                    os.remove(src)
-                elif drop_ids:
+                    continue
+                if drop_ids:
                     _filter_parquet_file(src, dst, drop_ids)
-                    os.remove(src)
                 else:
-                    shutil.move(src, dst)
+                    tmp = dst + ".tmp"
+                    shutil.copy2(src, tmp)
+                    os.replace(tmp, dst)
 
     # Route EVERY promoted file to the BASE's layout: parquet partition
     # discovery refuses a dir with data files at two depths ('conflicting
@@ -1051,7 +1124,7 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
             for name in subdirs:
                 _promote_files(os.path.join(src, name),
                                os.path.join(ds_dir, name), tag, drop)
-        shutil.rmtree(src, ignore_errors=True)
+        # src reclaimed after mark_compacted (see _promote_files)
 
     # term_stats: recount the AFFECTED buckets from the post-compact base
     # and splice them over the untouched terms (bucket_of is deterministic
@@ -1137,11 +1210,19 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
             tomb.where(~F.col("doc_id").isin(resolved_ids)))
 
     mark_compacted(index_dir, runs, buckets=affected)
-    # reclaim the folded postings runs — their rows now live in the base
-    # buckets; leaving them would leak a full copy of every appended
-    # posting. Manifest entries stay (status='compacted') for lineage.
+    try:  # manifest flipped: the runs are out of every union view
+        os.remove(inflight)
+    except FileNotFoundError:
+        pass
+    # reclaim the folded postings + doc-stats runs — their rows now live
+    # in the base tables; leaving them would leak a full copy of every
+    # appended row. Manifest entries stay (status='compacted') for
+    # lineage. (A crash between mark_compacted and here leaks the dirs;
+    # the entry sweep below reclaims them on the next flush.)
     for e in runs:
         shutil.rmtree(e["run_path"], ignore_errors=True)
+        if e.get("doc_stats_path"):
+            shutil.rmtree(e["doc_stats_path"], ignore_errors=True)
     meta["compacted_buckets"] = affected
     meta["n_runs_compacted"] = len(runs)
     # monotonic flush counter: refresh_blocks names its bucket-scoped
