@@ -71,6 +71,22 @@ def load_tombstones(spark: SparkSession, index_dir: str):
         t = spark.read.parquet(f)
         if "barrier" not in t.columns:
             t = t.withColumn("barrier", F.lit(LEGACY_BARRIER))
+        if "pending" in t.columns:
+            # PENDING-ACTIVATION rows (upsert_docs): the tombstone names
+            # the reserved run that replaces the doc and masks NOTHING
+            # until that run commits — so the old generation never
+            # transiently vanishes between the tombstone write and the
+            # run commit, and a crashed upsert leaves the doc untouched
+            # (the inert row is swept by the next tombstone rewrite).
+            from .lsm import _manifest_entries
+            committed = {e.get("chunk")
+                         for _, e in _manifest_entries(index_dir)
+                         if e.get("status") in ("committed", "compacted")}
+            clist = sorted(c for c in committed if c)
+            cond = F.col("pending").isNull()
+            if clist:
+                cond = cond | F.col("pending").isin(clist)
+            t = t.where(cond)
         parts.append(t.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.coalesce(F.col("barrier"), F.lit(LEGACY_BARRIER))
@@ -103,8 +119,11 @@ def _rewrite_tombstones(spark: SparkSession, index_dir: str,
     import pyarrow.parquet as pq
     fpath = os.path.join(index_dir, TOMBSTONES_FILE)
     legacy = os.path.join(index_dir, TOMBSTONES)
+    has_pending = tomb is not None and "pending" in tomb.columns
     rows = [] if tomb is None else sorted(
-        (int(r["doc_id"]), int(r["barrier"])) for r in tomb.collect())
+        (int(r["doc_id"]), int(r["barrier"]),
+         (r["pending"] if has_pending else None))
+        for r in tomb.collect())
     if not rows:
         try:
             os.remove(fpath)
@@ -115,7 +134,8 @@ def _rewrite_tombstones(spark: SparkSession, index_dir: str,
     tmp = fpath + ".tmp"
     pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
-        "barrier": pa.array([r[1] for r in rows], pa.int64())}), tmp)
+        "barrier": pa.array([r[1] for r in rows], pa.int64()),
+        "pending": pa.array([r[2] for r in rows], pa.string())}), tmp)
     os.replace(tmp, fpath)
     # the file now carries the full folded set; drop the legacy dir last
     shutil.rmtree(legacy, ignore_errors=True)
@@ -258,7 +278,8 @@ def _doc_stats_with_runs(spark: SparkSession, index_dir: str):
     return ds
 
 
-def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list,
+                pending_run: str | None = None) -> dict:
     """Tombstone ``doc_ids`` at the current generation barrier and refresh
     collection stats. Returns new meta.
 
@@ -277,10 +298,27 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list) -> dict:
     barrier = current_seq(index_dir)
     prev = load_tombstones(spark, index_dir)
     new = spark.createDataFrame(
-        [(int(d), barrier) for d in doc_ids], "doc_id long, barrier long")
-    folded = new if prev is None else prev.unionByName(new) \
-        .groupBy("doc_id").agg(F.max("barrier").alias("barrier"))
+        [(int(d), barrier, pending_run) for d in doc_ids],
+        "doc_id long, barrier long, pending string")
+    if prev is None:
+        folded = new
+    else:
+        from pyspark.sql import Window
+        u = prev.withColumn("pending", F.lit(None).cast("string")) \
+            .unionByName(new)
+        w = Window.partitionBy("doc_id").orderBy(F.desc("barrier"))
+        folded = (u.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") == 1).drop("__rn"))
     n_tomb = _rewrite_tombstones(spark, index_dir, folded)
+    if pending_run is not None:
+        # PENDING-ACTIVATION (upsert_docs): this tombstone masks nothing
+        # until its reserved run commits, so the collection stats are
+        # untouched here — the run's manifest entry carries the replaced
+        # docs' (count, dl) and reconcile_meta applies the NET delta
+        # atomically with the commit. The old generation stays fully
+        # visible until the exact moment the new one is.
+        with open(os.path.join(index_dir, META)) as fh:
+            return json.load(fh)
     tomb = load_tombstones(spark, index_dir)
     ds = mask_live(base_ds, tomb)
     stats = ds.agg(F.count(F.lit(1)).alias("n"),

@@ -167,8 +167,14 @@ def reconcile_meta(index_dir: str, config: IndexConfig) -> dict:
         old_dl = meta.get("dl_sum")
         if old_dl is None:  # pre-dl_sum layout (exact: dl_sum is avg*n)
             old_dl = int(round(float(meta.get("avg_dl", 0.0)) * old_n))
-        meta["total_docs"] = old_n + int(e["n_docs"])
-        meta["dl_sum"] = int(old_dl) + int(e.get("dl_sum", 0))
+        # an upsert run's entry carries the REPLACED docs' (count, dl):
+        # applying the net delta here makes the swap atomic with the
+        # commit — the old generation counts until the exact moment the
+        # new one does (upsert_docs; plain appends carry zeros)
+        meta["total_docs"] = (old_n + int(e["n_docs"])
+                              - int(e.get("replaced_docs", 0)))
+        meta["dl_sum"] = (int(old_dl) + int(e.get("dl_sum", 0))
+                          - int(e.get("replaced_dl", 0)))
         meta["avg_dl"] = (meta["dl_sum"] / meta["total_docs"]
                           if meta["total_docs"] else 0.0)
         meta["n_postings"] = (int(meta.get("n_postings", 0))
@@ -186,7 +192,8 @@ def reconcile_meta(index_dir: str, config: IndexConfig) -> dict:
 
 
 def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
-              run_key: str, manifest_name: str, lineage: dict) -> dict:
+              run_key: str, manifest_name: str, lineage: dict,
+              entry_extra: dict | None = None) -> dict:
     """Shared run writer for append/stream batches: postings + doc-stats
     runs under ``runs/<run_key>``, manifest entry (with exact batch stats)
     committed last, then meta reconciled. Idempotent under replay: same
@@ -225,7 +232,7 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
         "n_docs": int(row["n"]), "dl_sum": int(row["dl_sum"] or 0),
         "n_postings": int(obs_p.get["n"] or 0), "run_path": run_path,
         "doc_stats_path": ds_path, "seconds": time.time() - t0,
-        "lineage": lineage,
+        "lineage": lineage, **(entry_extra or {}),
     }
     mpath = os.path.join(index_dir, MANIFEST, manifest_name)
     with open(mpath + ".tmp", "w") as fh:
@@ -235,7 +242,9 @@ def write_run(docs: DataFrame, index_dir: str, config: IndexConfig,
     return entry
 
 
-def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
+def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
+                reserved: tuple | None = None,
+                entry_extra: dict | None = None) -> dict:
     """Append a batch of documents to a persisted index in O(batch) —
     the LSM twin of the reference's O(doc) ``add()``
     (SearchEngine.ts:219-253). Writes ``runs/add_batch=<n>`` postings +
@@ -255,6 +264,21 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     semantics, route appends through one writer (what Iceberg's optimistic
     manifest commit would arbitrate on a real deployment)."""
     _reclaim_tombstoned(docs, index_dir, config)
+    add_id, name = reserved if reserved is not None \
+        else reserve_add(index_dir)
+    return write_run(docs, index_dir, config,
+                     run_key=f"{ADD_PREFIX}_batch={add_id}",
+                     manifest_name=name,
+                     lineage={"source": "append", "add_id": add_id},
+                     entry_extra=entry_extra)
+
+
+def reserve_add(index_dir: str) -> tuple:
+    """Claim the next append batch id (manifest file created O_EXCL) and
+    return ``(add_id, manifest_name)``. Split out of :func:`append_docs`
+    so upsert_docs can name the reserved run in its PENDING tombstones
+    BEFORE any data is written — the tombstone activates exactly when
+    this reservation commits."""
     mdir = os.path.join(index_dir, MANIFEST)
     os.makedirs(mdir, exist_ok=True)
     while True:
@@ -275,11 +299,7 @@ def append_docs(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
             json.dump({"chunk": f"{ADD_PREFIX}_batch={add_id}",
                        "status": "reserved",
                        "lineage": {"source": "append", "add_id": add_id}}, fh)
-        break
-    return write_run(docs, index_dir, config,
-                     run_key=f"{ADD_PREFIX}_batch={add_id}",
-                     manifest_name=name,
-                     lineage={"source": "append", "add_id": add_id})
+        return add_id, name
 
 
 def _reclaim_tombstoned(docs: DataFrame, index_dir: str,
@@ -488,6 +508,48 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
     return out.select(F.col("doc_id").alias(id_col))
 
 
+def live_doc_dl(spark: SparkSession, index_dir: str, ids: list) -> int:
+    """Σ dl of the CURRENT generation of the given live doc ids — the
+    replaced-mass side of an upsert's atomic stats delta. Pruned exactly
+    like :func:`existing_ids_pruned`: the base doc_stats read touches only
+    the ids' ds_bucket partitions, live-run stats are read whole (small
+    by construction); per doc the max-seq row wins (the live generation —
+    callers pass ids they already verified live)."""
+    if not ids:
+        return 0
+    from .index_build import _ds_bucket_col
+    id_rows = spark.createDataFrame([(int(i),) for i in ids],
+                                    "doc_id long")
+    parts = []
+    base_p = os.path.join(index_dir, DOC_STATS)
+    if os.path.isdir(base_p) and dir_has_parquet(base_p):
+        base = spark.read.parquet(base_p)
+        if "ds_bucket" in base.columns:
+            with open(os.path.join(index_dir, META)) as fh:
+                nb = int(json.load(fh).get("ds_buckets") or 0)
+            if nb:
+                want = sorted({r["ds_bucket"] for r in id_rows
+                               .select(_ds_bucket_col(nb)).collect()})
+                base = base.where(F.col("ds_bucket").isin(want))
+        parts.append(with_seq(base.select("doc_id", "dl")))
+    for e in live_runs(index_dir):
+        p = e.get("doc_stats_path")
+        if p and dir_has_parquet(p):
+            parts.append(with_seq(
+                spark.read.parquet(p).select("doc_id", "dl"),
+                int(e.get("seq", 0) or 0)))
+    if not parts:
+        return 0
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    row = (out.join(F.broadcast(id_rows), "doc_id")
+           .groupBy("doc_id")
+           .agg(F.max_by("dl", "seq").alias("dl"))
+           .agg(F.sum("dl").alias("s")).collect()[0])
+    return int(row["s"] or 0)
+
+
 def identical_ids(batch: DataFrame, current: DataFrame,
                   id_col: str) -> DataFrame:
     """Ids whose ``batch`` row equals the stored ``current`` row on EVERY
@@ -622,11 +684,26 @@ def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
     to_append = (docs.join(ident, config.id_col, "anti")
                  if n_ident else docs).localCheckpoint()
     n_append = to_append.count()
-    if changed_ids:
-        from .delete import delete_docs
-        delete_docs(spark, index_dir, changed_ids)
     entry = None
-    if n_append:
+    if changed_ids:
+        # REPLACEMENT is atomic at the run's manifest commit: the run id
+        # is reserved first, the tombstones name it (PENDING — they mask
+        # nothing until the commit), and the entry carries the replaced
+        # docs' (count, dl) so reconcile_meta applies the net stats delta
+        # in the same step. At no instant does a reader see the doc
+        # missing, doubled, or the collection stats half-applied; a crash
+        # anywhere leaves the OLD generation fully live (the inert
+        # tombstones are swept by the next rewrite).
+        from .delete import delete_docs
+        add_id, mname = reserve_add(index_dir)
+        replaced_dl = live_doc_dl(spark, index_dir, changed_ids)
+        delete_docs(spark, index_dir, changed_ids,
+                    pending_run=f"{ADD_PREFIX}_batch={add_id}")
+        entry = append_docs(
+            to_append, index_dir, config, reserved=(add_id, mname),
+            entry_extra={"replaced_docs": len(changed_ids),
+                         "replaced_dl": replaced_dl})
+    elif n_append:
         entry = append_docs(to_append, index_dir, config)
     return {"added": n_append - len(changed_ids),
             "replaced": len(changed_ids),

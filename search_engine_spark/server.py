@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
 import time
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -79,6 +80,84 @@ def clamp_options(body: dict) -> dict:
     return out
 
 
+class _RWLock:
+    """Reentrant-read / reentrant-write lock with writer preference.
+
+    Many concurrent readers OR one writer; a pending writer blocks NEW
+    readers (no flush starvation behind a steady query stream). A thread
+    holding the write side may take the read side (mutators call shared
+    helpers); read→write upgrade is refused (deadlock by construction)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers: dict = {}       # thread ident -> depth
+        self._writer = None            # thread ident
+        self._wdepth = 0
+        self._waiting = 0
+
+    class _Guard:
+        def __init__(self, lock, write):
+            self._lock, self._write = lock, write
+
+        def __enter__(self):
+            (self._lock._acquire_write if self._write
+             else self._lock._acquire_read)()
+            return self
+
+        def __exit__(self, *exc):
+            (self._lock._release_write if self._write
+             else self._lock._release_read)()
+            return False
+
+    def read_guard(self):
+        return self._Guard(self, write=False)
+
+    def write_guard(self):
+        return self._Guard(self, write=True)
+
+    def _acquire_read(self):
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me or me in self._readers:
+                self._readers[me] = self._readers.get(me, 0) + 1
+                return
+            while self._writer is not None or self._waiting:
+                self._cond.wait()
+            self._readers[me] = 1
+
+    def _release_read(self):
+        me = threading.get_ident()
+        with self._cond:
+            self._readers[me] -= 1
+            if not self._readers[me]:
+                del self._readers[me]
+                self._cond.notify_all()
+
+    def _acquire_write(self):
+        me = threading.get_ident()
+        with self._cond:
+            if self._writer == me:
+                self._wdepth += 1
+                return
+            if me in self._readers:
+                raise RuntimeError("read->write lock upgrade unsupported")
+            self._waiting += 1
+            try:
+                while self._writer is not None or self._readers:
+                    self._cond.wait()
+            finally:
+                self._waiting -= 1
+            self._writer = me
+            self._wdepth = 1
+
+    def _release_write(self):
+        with self._cond:
+            self._wdepth -= 1
+            if not self._wdepth:
+                self._writer = None
+                self._cond.notify_all()
+
+
 class SearchService:
     """Catalog-backed search service the HTTP handler delegates to."""
 
@@ -116,12 +195,19 @@ class SearchService:
         self._auto_pending: dict = {}   # name -> docs appended since save
         self._auto_last: dict = {}      # name -> last auto-save time
         # ThreadingHTTPServer runs handlers concurrently: index MUTATIONS
-        # (append/flush/snapshot) serialize behind one lock — append ids
-        # are additionally reserved O_EXCL on disk (lsm.append_docs), but
-        # flush-vs-append and flush-vs-flush have no disk-level arbiter.
-        # Searches stay lock-free (they read immutable committed state).
-        import threading
-        self._mutate_lock = threading.Lock()
+        # (append/flush/snapshot) take the WRITE side of one RW lock;
+        # SPARK-PATH searches take the READ side — a Spark plan lists
+        # parquet files at construction and reads them at execution, so a
+        # fold rewriting those directories mid-query makes totals flicker
+        # (raw parquet has no snapshot isolation; caught by
+        # tests/test_search_during_flush.py). The millisecond fast path
+        # stays LOCK-FREE: it serves immutable snapshot artifacts behind
+        # their own freshness guards (_snap_busy + staleness checks), so
+        # read throughput is unaffected; only the seconds-scale Spark
+        # fallback serializes against seconds-scale mutations — which is
+        # the reference's effective behavior (single-threaded event loop).
+        self._lock = _RWLock()
+        self._mutate_lock = self._lock.write_guard()
 
     def create_index(self, name: str, docs_path: str,
                      fields: dict | None = None,
@@ -303,45 +389,50 @@ class SearchService:
                             "servedBy": "blocks",
                         },
                     }
-        eng = self.catalog.engine(docs, name)
-        # ONE compiled plan serves both hits and total: the scored frame is
-        # persisted for the request, the count materializes it, and the
-        # top-k sort-limit reads the cached rows — the candidate subtree
-        # (postings joins, BM25) executes once per request instead of twice
-        # (server.ts computes both from its single in-memory result set).
-        scored = eng.search_scored(query).persist()
-        try:
-            total = scored.count()
-            top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                   .offset(opts["from"]).limit(opts["size"]))
-            pairs = [(r["doc_id"], r["score"]) for r in top.collect()]
-            aggregations, facets = {}, {}
-            if opts["aggregations"]:
-                # the reference computes every agg over the MATCHED set
-                # (SearchEngine.ts:541-560) — the persisted scored frame
-                # already materialized it, so each agg is one scan of the
-                # hit-scoped docs, not a recompute of the query
-                from .operators.agg_compile import compile_aggregations
-                aggregations = compile_aggregations(
-                    opts["aggregations"], docs, scored.select("doc_id"),
-                    id_col=cfg.id_col,
-                    tombstones=self._tombstones_frame(name))
-            if facet_fields:
-                from .operators.agg_compile import compile_facets
-                facets = compile_facets(facet_fields, docs,
-                                        scored.select("doc_id"),
-                                        id_col=cfg.id_col)
-        finally:
-            scored.unpersist()
-        # stored-document enrichment (SearchEngine.ts:619-627): the same
-        # scalar columns the sidecar carries, pulled from the docs table
-        # with a pushed-down IN over the page's ids
-        from .operators.doc_values import enrich_rows, servable_fields
-        stored = enrich_rows(docs, cfg.id_col, [d for d, _ in pairs],
-                             [f for f in servable_fields(docs, cfg.id_col)
-                              if "." not in f])
-        hits = [{**stored.get(d, {}), "doc_id": d, "score": s}
-                for d, s in pairs]
+        with self._lock.read_guard():
+            # re-resolve the docs view UNDER the lock: the cached
+            # plan captured file listings that a flush committing
+            # in between may have rewritten
+            docs = self._docs_view(name)
+            eng = self.catalog.engine(docs, name)
+            # ONE compiled plan serves both hits and total: the scored frame is
+            # persisted for the request, the count materializes it, and the
+            # top-k sort-limit reads the cached rows — the candidate subtree
+            # (postings joins, BM25) executes once per request instead of twice
+            # (server.ts computes both from its single in-memory result set).
+            scored = eng.search_scored(query).persist()
+            try:
+                total = scored.count()
+                top = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                       .offset(opts["from"]).limit(opts["size"]))
+                pairs = [(r["doc_id"], r["score"]) for r in top.collect()]
+                aggregations, facets = {}, {}
+                if opts["aggregations"]:
+                    # the reference computes every agg over the MATCHED set
+                    # (SearchEngine.ts:541-560) — the persisted scored frame
+                    # already materialized it, so each agg is one scan of the
+                    # hit-scoped docs, not a recompute of the query
+                    from .operators.agg_compile import compile_aggregations
+                    aggregations = compile_aggregations(
+                        opts["aggregations"], docs, scored.select("doc_id"),
+                        id_col=cfg.id_col,
+                        tombstones=self._tombstones_frame(name))
+                if facet_fields:
+                    from .operators.agg_compile import compile_facets
+                    facets = compile_facets(facet_fields, docs,
+                                            scored.select("doc_id"),
+                                            id_col=cfg.id_col)
+            finally:
+                scored.unpersist()
+            # stored-document enrichment (SearchEngine.ts:619-627): the same
+            # scalar columns the sidecar carries, pulled from the docs table
+            # with a pushed-down IN over the page's ids
+            from .operators.doc_values import enrich_rows, servable_fields
+            stored = enrich_rows(docs, cfg.id_col, [d for d, _ in pairs],
+                                 [f for f in servable_fields(docs, cfg.id_col)
+                                  if "." not in f])
+            hits = [{**stored.get(d, {}), "doc_id": d, "score": s}
+                    for d, s in pairs]
         self._queries += 1
         return {
             "hits": hits, "total": total,

@@ -222,6 +222,23 @@ class ServingIndex:
         tomb_file = os.path.join(index_dir, TOMBSTONES_FILE)
         if os.path.isfile(tomb_file):
             t = pq.read_table(tomb_file)
+            if "pending" in t.column_names:
+                # pending-activation rows (delete.load_tombstones twin):
+                # an upsert tombstone masks nothing until its named run
+                # commits — drop inert rows so the old generation keeps
+                # serving through the append
+                from .operators.lsm import _manifest_entries
+                committed = {e.get("chunk")
+                             for _, e in _manifest_entries(index_dir)
+                             if e.get("status") in ("committed",
+                                                    "compacted")}
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                pend = t.column("pending")
+                keep = pc.or_(pc.is_null(pend), pc.is_in(
+                    pend, value_set=pa.array(
+                        sorted(c for c in committed if c), pa.string())))
+                t = t.filter(keep)
             ids = np.asarray(t.column("doc_id"), dtype=np.int64)
             t_ids.append(ids)
             t_bar.append(np.asarray(t.column("barrier"), dtype=np.int64)

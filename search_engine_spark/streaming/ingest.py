@@ -77,14 +77,28 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
                          batch_df.join(existing, config.id_col, "semi")
                          .select(F.col(config.id_col).cast("long"))
                          .distinct().collect()]
-            if colliding:
-                # barrier = current clock; the run below gets seq above it
-                from ..operators.delete import delete_docs
-                delete_docs(batch_df.sparkSession, index_dir, colliding)
+        else:
+            colliding = []
+        extra = None
+        if colliding:
+            # PENDING tombstone named after this batch's run: it masks
+            # nothing until the manifest commit below, so the old page
+            # version serves until the exact moment the new one does;
+            # the entry's replaced-(count, dl) makes the stats delta
+            # atomic with the commit (upsert_docs mechanics)
+            from ..operators.delete import delete_docs
+            from ..operators.lsm import live_doc_dl
+            spark = batch_df.sparkSession
+            replaced_dl = live_doc_dl(spark, index_dir, colliding)
+            delete_docs(spark, index_dir, colliding,
+                        pending_run=f"stream_batch={batch_id}")
+            extra = {"replaced_docs": len(colliding),
+                     "replaced_dl": replaced_dl}
         write_run(batch_df, index_dir, config,
                   run_key=f"stream_batch={batch_id}",
                   manifest_name=manifest_name,
-                  lineage={"source": "stream", "batch_id": batch_id})
+                  lineage={"source": "stream", "batch_id": batch_id},
+                  entry_extra=extra)
 
     writer = (pages_stream.writeStream
               .foreachBatch(process_batch)
