@@ -73,10 +73,16 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
             from ..operators.lsm import existing_ids_pruned
             existing = existing_ids_pruned(batch_df.sparkSession, index_dir,
                                            batch_df, config.id_col)
-            colliding = [int(r[0]) for r in
-                         batch_df.join(existing, config.id_col, "semi")
-                         .select(F.col(config.id_col).cast("long"))
-                         .distinct().collect()]
+            raw = [r[0] for r in  # try_cast: ANSI cast would throw mid-job
+                   batch_df.join(existing, config.id_col, "semi")
+                   .select(F.col(config.id_col).try_cast("long"))
+                   .distinct().collect()]
+            if any(v is None for v in raw):
+                raise ValueError(
+                    "streaming upsert needs long-castable doc ids (the "
+                    "tombstone tables key on doc_id long, like "
+                    "upsert_docs)")
+            colliding = [int(v) for v in raw]
         else:
             colliding = []
         extra = None
