@@ -508,18 +508,21 @@ def existing_ids_pruned(spark: SparkSession, index_dir: str,
     return out.select(F.col("doc_id").alias(id_col))
 
 
-def live_doc_dl(spark: SparkSession, index_dir: str, ids: list) -> int:
-    """Σ dl of the CURRENT generation of the given live doc ids — the
-    replaced-mass side of an upsert's atomic stats delta. Pruned exactly
-    like :func:`existing_ids_pruned`: the base doc_stats read touches only
-    the ids' ds_bucket partitions, live-run stats are read whole (small
-    by construction); per doc the max-seq row wins (the live generation —
-    callers pass ids they already verified live)."""
-    if not ids:
+def live_doc_dl(spark: SparkSession, index_dir: str,
+                ids: "list | DataFrame") -> int:
+    """Σ dl of the CURRENT generation of the given live doc ids (list or
+    id frame) — the replaced-mass side of an upsert's atomic stats delta.
+    Pruned exactly like :func:`existing_ids_pruned`: the base doc_stats
+    read touches only the ids' ds_bucket partitions (the collected bucket
+    set is ≤ ds_buckets values, never one per id), live-run stats are
+    read whole (small by construction); per doc the max-seq row wins (the
+    live generation — callers pass ids they already verified live)."""
+    from pyspark.sql import DataFrame as _DF
+    if not isinstance(ids, _DF) and not ids:
         return 0
+    from .delete import ids_frame
     from .index_build import _ds_bucket_col
-    id_rows = spark.createDataFrame([(int(i),) for i in ids],
-                                    "doc_id long")
+    id_rows = ids_frame(spark, ids, what="live_doc_dl")
     parts = []
     base_p = os.path.join(index_dir, DOC_STATS)
     if os.path.isdir(base_p) and dir_has_parquet(base_p):
@@ -529,7 +532,8 @@ def live_doc_dl(spark: SparkSession, index_dir: str, ids: list) -> int:
                 nb = int(json.load(fh).get("ds_buckets") or 0)
             if nb:
                 want = sorted({r["ds_bucket"] for r in id_rows
-                               .select(_ds_bucket_col(nb)).collect()})
+                               .select(_ds_bucket_col(nb))
+                               .distinct().collect()})
                 base = base.where(F.col("ds_bucket").isin(want))
         parts.append(with_seq(base.select("doc_id", "dl")))
     for e in live_runs(index_dir):
@@ -652,20 +656,23 @@ def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
                  .localCheckpoint())  # pin before any index rewrite
     n_coll = colliding.count()
     n_ident = 0
-    changed_ids: list = []
+    n_changed = 0
+    changed_ids = None  # DataFrame[doc_id long] — never a driver list
     if n_coll:
         if current is not None:
             # push the colliding ids into the stored-side scan: parquet
             # row-group min/max skipping prunes it (same pattern as
             # doc_values.enrich) — don't full-scan the corpus to compare
-            # a handful of docs. Huge batches fall back to the semi-join.
-            ids = [r[0] for r in
-                   colliding.select(config.id_col).distinct().collect()]
-            cur = (current.where(F.col(config.id_col).isin(ids))
-                   if len(ids) <= 10_000 else
-                   current.join(F.broadcast(colliding.select(config.id_col)
-                                            .distinct()),
-                                config.id_col, "semi"))
+            # a handful of docs. Huge batches use the semi-join (no
+            # driver id list above the pushdown threshold).
+            if n_coll <= 10_000:
+                ids = [r[0] for r in
+                       colliding.select(config.id_col).distinct().collect()]
+                cur = current.where(F.col(config.id_col).isin(ids))
+            else:
+                cur = current.join(
+                    F.broadcast(colliding.select(config.id_col).distinct()),
+                    config.id_col, "semi")
             ident = identical_ids(colliding, cur,
                                   config.id_col).localCheckpoint()
             n_ident = ident.count()
@@ -673,19 +680,16 @@ def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
         else:
             ident = None
             changed = colliding
-        raw = [r[0] for r in  # try_cast: ANSI cast would throw mid-job
-               changed.select(F.col(config.id_col).try_cast("long"))
-               .distinct().collect()]
-        if any(v is None for v in raw):
-            raise ValueError(
-                "upsert replace path needs long-castable doc ids (the "
-                "tombstone tables key on doc_id long, like delete_docs)")
-        changed_ids = [int(v) for v in raw]
+        from .delete import ids_frame
+        changed_ids = ids_frame(
+            docs.sparkSession, changed.select(config.id_col),
+            what="upsert replace path").localCheckpoint()
+        n_changed = changed_ids.count()
     to_append = (docs.join(ident, config.id_col, "anti")
                  if n_ident else docs).localCheckpoint()
     n_append = to_append.count()
     entry = None
-    if changed_ids:
+    if n_changed:
         # REPLACEMENT is atomic at the run's manifest commit: the run id
         # is reserved first, the tombstones name it (PENDING — they mask
         # nothing until the commit), and the entry carries the replaced
@@ -701,12 +705,12 @@ def upsert_docs(docs: DataFrame, index_dir: str, config: IndexConfig,
                     pending_run=f"{ADD_PREFIX}_batch={add_id}")
         entry = append_docs(
             to_append, index_dir, config, reserved=(add_id, mname),
-            entry_extra={"replaced_docs": len(changed_ids),
+            entry_extra={"replaced_docs": n_changed,
                          "replaced_dl": replaced_dl})
     elif n_append:
         entry = append_docs(to_append, index_dir, config)
-    return {"added": n_append - len(changed_ids),
-            "replaced": len(changed_ids),
+    return {"added": n_append - n_changed,
+            "replaced": n_changed,
             "unchanged": n_ident,
             "entry": entry,
             "batch": to_append if n_append else None}
