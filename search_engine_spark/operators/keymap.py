@@ -1,0 +1,203 @@
+"""String-key (url) lifecycle: a persistent key → surrogate-id map.
+
+The reference keys documents by whatever id the caller posts — for a
+Common-Crawl-style corpus that is the url (QueryEngine.ts:137-149 saves
+by ``document.id`` of any type). This engine's index internals want LONG
+ids: doc-aligned posting blocks, delta+varbyte compression, the numpy
+serving kernels and the tombstone tables all assume a dense numeric
+``doc_id``. The bridge is a persisted KEYMAP — the ``docs`` dimension of
+SURVEY §1.3 — mapping each natural key to a surrogate long exactly once:
+
+- layout: ``keymap/chunk-<k>/`` parquet dirs (key string, doc_id long,
+  km_bucket int), each chunk written to a temp dir and atomically
+  ``os.rename``d in — a crash leaves complete chunks only. Chunks are
+  bucketed by ``km_bucket = pmod(xxhash64(key), B)`` so a lookup prunes
+  to the batch's buckets (the ds_bucket pattern, applied to keys).
+- ids are assigned from a persisted high-water mark, densely per batch
+  in key order — deterministic given the batch set, so oracles can
+  reproduce them — and NEVER reassigned: a re-crawled url keeps its id,
+  which is exactly what makes key-addressed upsert O(batch).
+- crash rule: chunks are the source of truth; the meta high-water mark
+  is a cache. ``_load_meta`` reconciles ``hwm = max(meta.hwm,
+  max(chunk ids) + 1)`` so a crash between chunk-rename and meta-write
+  can never double-assign an id.
+
+``upsert_by_key`` / ``delete_by_key`` then compose the existing numeric
+lifecycle (:func:`~.lsm.upsert_docs`, :func:`~.delete.delete_docs`)
+under the mapping — a url-keyed corpus takes the same O(batch)
+tombstone + run path as a long-keyed one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEYMAP = "keymap"
+KEYMAP_META = "keymap_meta.json"
+
+
+def _km_bucket_col(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                  F.lit(n_buckets)).cast("int").alias("km_bucket")
+
+
+def _chunks(index_dir: str) -> list:
+    d = os.path.join(index_dir, KEYMAP)
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, c) for c in os.listdir(d)
+                  if c.startswith("chunk-"))
+
+
+def _load_meta(index_dir: str, spark: SparkSession | None = None) -> dict:
+    p = os.path.join(index_dir, KEYMAP_META)
+    meta = {"hwm": 0, "n_buckets": 32}
+    if os.path.isfile(p):
+        with open(p) as fh:
+            meta.update(json.load(fh))
+    if spark is not None and _chunks(index_dir):
+        # chunks are the truth; the persisted hwm is a cache that a crash
+        # between chunk-rename and meta-write may have left behind
+        mx = (_read_map(spark, index_dir)
+              .agg(F.max("doc_id").alias("m")).collect()[0]["m"])
+        if mx is not None:
+            meta["hwm"] = max(int(meta["hwm"]), int(mx) + 1)
+    return meta
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    p = os.path.join(index_dir, KEYMAP_META)
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, p)
+
+
+def _read_map(spark: SparkSession, index_dir: str) -> DataFrame:
+    chunks = _chunks(index_dir)
+    if not chunks:
+        return spark.createDataFrame(
+            [], "key string, doc_id long, km_bucket int")
+    return spark.read.parquet(*chunks)
+
+
+def _append_chunk(mappings: DataFrame, index_dir: str) -> None:
+    """Atomically add one chunk: full Spark write into a temp dir, then
+    ONE os.rename into the keymap dir — readers glob complete chunks
+    only. Partitioned write not needed: lookups prune via km_bucket
+    row-group stats (each chunk is sorted by km_bucket, key)."""
+    d = os.path.join(index_dir, KEYMAP)
+    os.makedirs(d, exist_ok=True)
+    k = 0
+    while os.path.exists(os.path.join(d, f"chunk-{k:05d}")):
+        k += 1
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex[:8]}")
+    (mappings.select("key", "doc_id", "km_bucket")
+     .sortWithinPartitions("km_bucket", "key")
+     .write.mode("overwrite").parquet(tmp))
+    os.rename(tmp, os.path.join(d, f"chunk-{k:05d}"))
+    # sweep orphaned temp dirs from crashed appends
+    for junk in os.listdir(d):
+        if junk.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(d, junk), ignore_errors=True)
+
+
+def resolve_keys(spark: SparkSession, index_dir: str,
+                 keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """(key, doc_id) for every batch key already mapped — the lookup is
+    pruned to the batch's km_buckets (≤ |batch| values, one tiny job),
+    so a point lookup against a 10^12-key map touches a handful of
+    row groups, not the table."""
+    meta = _load_meta(index_dir)
+    nb = int(meta["n_buckets"])
+    km = _read_map(spark, index_dir)
+    want = sorted({r["km_bucket"] for r in keys
+                   .select(F.col(key_col).alias("key"))
+                   .select(_km_bucket_col("key", nb))
+                   .distinct().collect()})
+    if want:
+        km = km.where(F.col("km_bucket").isin(want))
+    return (km.join(F.broadcast(
+        keys.select(F.col(key_col).cast("string").alias("key"))
+        .distinct()), "key")
+        .select("key", "doc_id"))
+
+
+def map_keys(docs: DataFrame, index_dir: str,
+             key_col: str = "key") -> DataFrame:
+    """Attach the surrogate ``doc_id`` to every row of ``docs``,
+    assigning fresh ids (dense from the high-water mark, in key order —
+    deterministic per batch) to keys never seen before and persisting
+    the new mappings. Returns ``docs`` + ``doc_id``."""
+    spark = docs.sparkSession
+    meta = _load_meta(index_dir, spark)
+    nb = int(meta["n_buckets"])
+    keys = (docs.select(F.col(key_col).cast("string").alias("key"))
+            .distinct().localCheckpoint())
+    known = resolve_keys(spark, index_dir, keys).localCheckpoint()
+    fresh = keys.join(known, "key", "anti")
+    n_fresh = fresh.count()
+    if n_fresh:
+        from pyspark.sql import Window
+        w = Window.orderBy("key")  # batch-sized sort: deterministic ids
+        hwm = int(meta["hwm"])
+        new_map = (fresh.withColumn(
+            "doc_id", (F.row_number().over(w) - 1 + F.lit(hwm))
+            .cast("long"))
+            .select("key", "doc_id", _km_bucket_col("key", nb))
+            .localCheckpoint())
+        _append_chunk(new_map, index_dir)
+        meta["hwm"] = hwm + n_fresh
+        _write_meta(index_dir, meta)
+        known = known.unionByName(new_map.select("key", "doc_id"))
+    # batch-sized map slice: broadcast it onto the docs (keeps the docs
+    # frame's own partitioning; the key column stays on the row)
+    lk = known.withColumnRenamed("key", "__km_key")
+    return (docs.join(F.broadcast(lk),
+                      F.col(key_col).cast("string") == F.col("__km_key"))
+            .drop("__km_key"))
+
+
+def build_keymap(docs: DataFrame, index_dir: str, key_col: str = "key",
+                 n_buckets: int = 32) -> DataFrame:
+    """Initialize the map for a fresh index build over a string-keyed
+    corpus and return ``docs`` + ``doc_id``. Ids are dense in key order
+    (row_number — one global sort of the KEYS, not the documents), the
+    layout doc-aligned blocks want."""
+    meta = {"hwm": 0, "n_buckets": int(n_buckets)}
+    _write_meta(index_dir, meta)
+    return map_keys(docs, index_dir, key_col=key_col)
+
+
+def upsert_by_key(docs: DataFrame, index_dir: str, config,
+                  key_col: str = "key", current: DataFrame | None = None):
+    """Key-addressed upsert: map the batch's keys (assigning fresh ids to
+    new keys), then run the numeric :func:`~.lsm.upsert_docs` — a
+    re-crawled url replaces its previous generation via the same
+    O(batch) pending-tombstone + run path."""
+    from .lsm import upsert_docs
+    mapped = map_keys(docs, index_dir, key_col=key_col)
+    if current is not None and config.id_col not in current.columns:
+        current = map_keys(current, index_dir, key_col=key_col)
+    return upsert_docs(mapped, index_dir, config, current=current)
+
+
+def delete_by_key(spark: SparkSession, index_dir: str, keys,
+                  key_col: str = "key") -> dict:
+    """Key-addressed delete: resolve the keys (unknown keys are ignored,
+    reference removeDocument semantics for absent ids) and tombstone the
+    surrogate ids — frame-native end to end."""
+    from .delete import delete_docs
+    if not isinstance(keys, DataFrame):
+        keys = spark.createDataFrame([(str(k),) for k in keys],
+                                     "key string")
+        key_col = "key"
+    ids = resolve_keys(spark, index_dir, keys, key_col=key_col) \
+        .select("doc_id")
+    return delete_docs(spark, index_dir, ids)

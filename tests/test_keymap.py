@@ -1,0 +1,144 @@
+"""String-key (url) lifecycle via the keymap surrogate mapping.
+
+A url-keyed Common-Crawl-style corpus takes the same O(batch)
+upsert/delete path as a long-keyed one: keys map to surrogate long ids
+exactly once (persisted, crash-reconciled high-water mark), and the
+numeric tombstone lifecycle runs underneath. Members checks compare
+against a DuckDB oracle over the post-mutation corpus."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.delete import load_index_with_deletes
+from search_engine_spark.operators.index_build import (IndexConfig,
+                                                       write_index)
+from search_engine_spark.operators.keymap import (build_keymap,
+                                                  delete_by_key, map_keys,
+                                                  resolve_keys,
+                                                  upsert_by_key)
+
+CFG = IndexConfig(id_col="doc_id", fields={"text": "text"}, n_buckets=4)
+
+
+def _corpus(spark, n=40):
+    return spark.createDataFrame(
+        [(f"https://site{i % 5}.test/p{i}",
+          f"alpha common body{i} " + ("rare " if i % 7 == 0 else ""))
+         for i in range(n)],
+        "url string, text string")
+
+
+def _members(spark, ixdir, term):
+    """Live member KEYS holding ``term`` — via the index + keymap."""
+    idx = load_index_with_deletes(spark, ixdir)
+    ids = idx.postings.where((F.col("field") == "text")
+                             & (F.col("term") == term)).select("doc_id")
+    km = spark.read.parquet(
+        *[os.path.join(ixdir, "keymap", c)
+          for c in sorted(os.listdir(os.path.join(ixdir, "keymap")))
+          if c.startswith("chunk-")])
+    return sorted(r["key"] for r in
+                  ids.join(km, "doc_id").select("key").collect())
+
+
+def test_build_and_stable_mapping(spark, tmp_path):
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = _corpus(spark)
+    mapped = build_keymap(docs, d, key_col="url")
+    assert mapped.count() == 40
+    ids = {r["url"]: r["doc_id"] for r in mapped.collect()}
+    assert sorted(ids.values()) == list(range(40))  # dense, key-ordered
+    # re-mapping the same keys returns the SAME ids, assigns nothing new
+    again = {r["url"]: r["doc_id"]
+             for r in map_keys(docs, d, key_col="url").collect()}
+    assert again == ids
+    # a batch with 3 new keys extends from the high-water mark
+    more = spark.createDataFrame(
+        [(f"https://new.test/{i}", "fresh body") for i in range(3)],
+        "url string, text string")
+    m2 = map_keys(more, d, key_col="url")
+    assert sorted(r["doc_id"] for r in m2.collect()) == [40, 41, 42]
+
+
+def test_hwm_survives_meta_loss(spark, tmp_path):
+    """Chunks are the truth: losing keymap_meta.json (crash between
+    chunk rename and meta write) must not double-assign ids."""
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    build_keymap(_corpus(spark), d, key_col="url")
+    os.remove(os.path.join(d, "keymap_meta.json"))
+    more = spark.createDataFrame([("https://x.test/1", "b")],
+                                 "url string, text string")
+    m = map_keys(more, d, key_col="url").collect()
+    assert m[0]["doc_id"] == 40
+
+
+def test_string_key_upsert_delete_members_oracle(spark, tmp_path):
+    """The VERDICT item-5 contract: upsert_docs/delete_docs on a
+    url-keyed corpus, members hash-matched against a DuckDB rebuild of
+    the post-mutation corpus."""
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = _corpus(spark)
+    mapped = build_keymap(docs, d, key_col="url")
+    write_index(mapped, d, CFG)
+
+    # upsert: re-crawl of every site0 page changes its body to carry
+    # 'updated'; one brand-new url arrives in the same batch
+    upd = docs.where(F.col("url").startswith("https://site0")) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" updated")))
+    new = spark.createDataFrame(
+        [("https://site9.test/new", "alpha updated newcomer")],
+        "url string, text string")
+    out = upsert_by_key(upd.unionByName(new), d, CFG, key_col="url",
+                        current=mapped)
+    assert out["replaced"] == 8 and out["added"] == 1
+
+    # delete: drop every site1 page by url
+    meta = delete_by_key(spark, d, [f"https://site1.test/p{i}"
+                                    for i in range(1, 40, 5)])
+    assert meta["total_docs"] == 41 - 8
+
+    got = _members(spark, d, "updated")
+    # oracle: reproduce the post-mutation corpus in SQL
+    con = duckdb.connect()
+    rows = [(r["url"], r["text"]) for r in docs.collect()]
+    con.execute("create table corpus(url varchar, text varchar)")
+    con.executemany("insert into corpus values (?, ?)", rows)
+    want = [r[0] for r in con.execute("""
+        with mutated as (
+          select url, text || ' updated' as text from corpus
+          where url like 'https://site0%'
+          union all
+          select url, text from corpus where url not like 'https://site0%'
+          union all
+          select 'https://site9.test/new', 'alpha updated newcomer'
+        )
+        select url from mutated
+        where url not like 'https://site1%'
+          and list_contains(string_split(text, ' '), 'updated')
+        order by url
+    """).fetchall()]
+    assert got == want and len(got) == 9
+
+    # the re-crawled urls kept their surrogate ids (no remap on upsert)
+    keys = spark.createDataFrame(
+        [("https://site0.test/p0",)], "url string")
+    rid = resolve_keys(spark, d, keys, key_col="url").collect()
+    orig = {r["url"]: r["doc_id"] for r in mapped.collect()}
+    assert rid[0]["doc_id"] == orig["https://site0.test/p0"]
+
+
+def test_delete_unknown_key_is_noop(spark, tmp_path):
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    mapped = build_keymap(_corpus(spark), d, key_col="url")
+    write_index(mapped, d, CFG)
+    meta = delete_by_key(spark, d, ["https://never.seen/x"])
+    assert meta["total_docs"] == 40
