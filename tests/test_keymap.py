@@ -142,3 +142,60 @@ def test_delete_unknown_key_is_noop(spark, tmp_path):
     write_index(mapped, d, CFG)
     meta = delete_by_key(spark, d, ["https://never.seen/x"])
     assert meta["total_docs"] == 40
+
+def test_keyed_delete_then_recrawl_revives(spark, tmp_path):
+    """A url deleted by key revives when the page is re-crawled — the
+    numeric barrier machinery under the mapping (re-add parity)."""
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = _corpus(spark, 12)
+    mapped = build_keymap(docs, d, key_col="url")
+    write_index(mapped, d, CFG)
+    url = "https://site2.test/p2"
+    delete_by_key(spark, d, [url])
+    assert url not in _members(spark, d, "alpha")
+    orig = {r["url"]: r["doc_id"] for r in mapped.collect()}
+    recrawl = spark.createDataFrame([(url, "alpha revived body")],
+                                    "url string, text string")
+    out = upsert_by_key(recrawl, d, CFG, key_col="url")
+    assert out["added"] + out["replaced"] == 1
+    assert url in _members(spark, d, "revived")
+    # same surrogate id as before the delete
+    rid = resolve_keys(
+        spark, d, spark.createDataFrame([(url,)], "url string"),
+        key_col="url").collect()[0]["doc_id"]
+    assert rid == orig[url]
+
+
+def test_keymap_random_sequences_invariants(spark, tmp_path):
+    """Randomized batches with overlapping keys: the map stays a
+    BIJECTION, assigned ids stay dense 0..n-1, existing keys keep their
+    ids across any batch order, and a meta loss (crash) between batches
+    never double-assigns."""
+    import random
+    rng = random.Random(7)
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    universe = [f"https://u.test/{i}" for i in range(120)]
+    seen: dict[str, int] = {}
+    first = True
+    for step in range(8):
+        batch_keys = rng.sample(universe, rng.randint(1, 40))
+        batch = spark.createDataFrame([(k, "body") for k in batch_keys],
+                                      "url string, text string")
+        if first:
+            mapped = build_keymap(batch, d, key_col="url")
+            first = False
+        else:
+            if step == 4:  # crash: lose the high-water-mark cache
+                os.remove(os.path.join(d, "keymap_meta.json"))
+            mapped = map_keys(batch, d, key_col="url")
+        got = {r["url"]: r["doc_id"] for r in mapped.collect()}
+        assert set(got) == set(batch_keys)
+        for k, i in got.items():
+            if k in seen:
+                assert seen[k] == i, (k, seen[k], i)
+            else:
+                seen[k] = i
+        ids = sorted(seen.values())
+        assert ids == list(range(len(seen)))  # dense, no gaps, no dupes
