@@ -35,6 +35,12 @@ def main(argv=None):
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--assign-ids", default=None, metavar="KEY_COL",
                     help="derive dense doc ids from this natural key column")
+    ap.add_argument("--key-col", default=None, metavar="KEY_COL",
+                    help="like --assign-ids, but PERSIST the key -> id "
+                         "mapping (operators/keymap.py) so later "
+                         "upsert_by_key/delete_by_key batches keyed on "
+                         "the same column (e.g. url re-crawls) hit the "
+                         "O(batch) mutation path")
     ap.add_argument("--buckets", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=0,
                     help=">0: resumable chunked build with this many chunks")
@@ -59,6 +65,10 @@ def main(argv=None):
         docs = with_extracted_text(docs, html_col=args.extract_html)
     if args.assign_ids:
         docs = assign_doc_ids(docs, key_col=args.assign_ids)
+    elif args.key_col:
+        from search_engine_spark.operators.keymap import build_keymap
+        os.makedirs(args.index, exist_ok=True)
+        docs = build_keymap(docs, args.index, key_col=args.key_col)
     fields = dict(kv.split(":") for kv in args.fields.split(","))
     config = IndexConfig(id_col=args.id_col, fields=fields,
                          n_buckets=args.buckets,

@@ -108,15 +108,27 @@ def main():
     def med(xs):
         return round(statistics.median(xs), 3) if xs else None
 
+    # Per-cycle cost is a SAWTOOTH in runs-since-last-flush (each cycle
+    # appends one LSM run; the union view and the pruned dedup read pay
+    # per live run until the flush folds them), so flat-ness must be
+    # judged between SAME-PHASE windows — the first K cycles after an
+    # early flush vs after a late one — not between raw deciles.
     first = cycle_s[:10]
     mid = cycle_s[len(cycle_s) // 2 - 5: len(cycle_s) // 2 + 5]
     last = cycle_s[-10:]
+    phase_windows = {}
+    for f in range(0, n_cycles, flush_every):
+        if f + 10 <= n_cycles:
+            phase_windows[f"cycles_{f + 1}-{f + 10}"] = med(
+                cycle_s[f:f + 10])
     out = {
         "n_pages": n_pages, "cycles": n_cycles, "batch": batch_n,
         "cpus": cpus, "flush_every": flush_every,
         "cycle_p50_first10_s": med(first),
         "cycle_p50_mid10_s": med(mid),
         "cycle_p50_last10_s": med(last),
+        "post_flush_phase_p50_s": phase_windows,
+        "cycle_s": [round(c, 3) for c in cycle_s],
         "flush_s": flush_s,
         "probes": probes,
         "file_counts": counts,
@@ -136,6 +148,15 @@ def main():
         "|---|---|---|---|",
         f"| append+refresh p50 (s) | {med(first)} | {med(mid)} "
         f"| {med(last)} |",
+        "",
+        "Per-cycle cost is a sawtooth in runs-since-last-flush (each "
+        "cycle appends one run; the union view pays per live run until "
+        "the flush folds them), so flatness is judged between "
+        "SAME-PHASE windows — the 10 cycles following each flush:",
+        "",
+        "| window | p50 (s) |",
+        "|---|---|",
+        *[f"| {k} | {v} |" for k, v in phase_windows.items()],
         "",
         "| cycle | blocks files | dv files | live runs | docs_runs |"
         " cold topk (ms) |",
