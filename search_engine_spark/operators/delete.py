@@ -455,10 +455,18 @@ def recover_interrupted_compaction(index_dir: str) -> bool:
       (an uncommitted ``.compact`` is pre-tombstone-drop, so the masked
       live table is still the correct view; the replay recomputes it).
 
+    TERM_STATS is covered too (round 5): ``lsm.compact_runs`` swaps the
+    recounted dictionary through the same protocol — the old
+    rmtree-then-rename left a window where a crash lost the table
+    entirely, and a REPLAYED flush then rebuilt it from the
+    affected-bucket recount alone, silently dropping every untouched
+    term's df row (docs stopped matching: the scorer inner-joins the
+    dictionary). Found by the randomized crash soak, seed 1.
+
     Returns True when it repaired or cleaned anything."""
     import shutil
     did = False
-    for name in (POSTINGS, DOC_STATS):
+    for name in (POSTINGS, DOC_STATS, TERM_STATS):
         live = os.path.join(index_dir, name)
         compact = live + ".compact"
         old = live + ".old"

@@ -615,8 +615,9 @@ def load_index(spark: SparkSession, index_dir: str) -> InvertedIndex:
         meta = json.load(fh)
     check_bucket_fn(meta, f"load_index({index_dir})")
     if not os.path.isdir(os.path.join(index_dir, POSTINGS)) or \
-            not os.path.isdir(os.path.join(index_dir, DOC_STATS)):
-        # a delete compaction crashed mid table-swap: the staged/compact
+            not os.path.isdir(os.path.join(index_dir, DOC_STATS)) or \
+            not os.path.isdir(os.path.join(index_dir, TERM_STATS)):
+        # a compaction crashed mid table-swap: the staged/compact
         # dirs carry the committed state — finish the swap before reading
         from .delete import recover_interrupted_compaction
         recover_interrupted_compaction(index_dir)

@@ -894,7 +894,12 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
     overwrite converges to the same content; the tombstone table shrinks
     LAST via a crash-atomic single-file swap — the worst mid-crash state
     is a transiently masked (not resurrected, not duplicated) doc."""
-    from .delete import load_tombstones
+    from .delete import load_tombstones, recover_interrupted_compaction
+    # finish any interrupted table swap FIRST (postings / doc_stats /
+    # term_stats) — a replay must start from a complete live table, or
+    # the term_stats splice below would treat a mid-swap absence as
+    # "no dictionary yet" and lose the untouched terms
+    recover_interrupted_compaction(index_dir)
     runs = live_runs(index_dir)
     # reclaim dirs leaked by a crash between mark_compacted and the
     # cleanup loop of an earlier flush (compacted runs are out of every
@@ -1225,12 +1230,17 @@ def compact_runs(spark: SparkSession, index_dir: str) -> dict:
         new_ts = keep.unionByName(aff_ts)
     else:
         new_ts = aff_ts
-    tmp = ts_dir + ".compact"
+    # crash-atomic swap (the _swap_table protocol): staging → .compact
+    # marker → live. The old rmtree-then-rename had a window where a
+    # crash left NO term_stats at all, and the replay — seeing no old
+    # table to keep — rebuilt it from the affected-bucket recount alone,
+    # silently dropping every untouched term's df row (randomized crash
+    # soak, seed 1: docs stopped matching because the scorer inner-joins
+    # the dictionary).
+    from .delete import _swap_table
     new_ts.sortWithinPartitions("field", "term") \
-        .write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(ts_dir):
-        shutil.rmtree(ts_dir)
-    os.rename(tmp, ts_dir)
+        .write.mode("overwrite").parquet(ts_dir + ".staging")
+    _swap_table(index_dir, TERM_STATS)
 
     if resolved_ids:
         # the resolved docs' OLD generations may sit in the doc-values

@@ -145,7 +145,14 @@ class Soak:
         if len(self.live) <= 2:
             return
         ids = self.rng.sample(sorted(self.live), self.rng.randint(1, 2))
-        delete_docs(self.spark, self.ixdir, ids)
+        if self.rng.random() < 0.5:
+            # frame-native path (round 5): the id set as a DataFrame —
+            # same tombstone state must result as from the list form
+            arg = self.spark.createDataFrame([(i,) for i in ids],
+                                             "doc_id long")
+        else:
+            arg = ids
+        delete_docs(self.spark, self.ixdir, arg)
         for i in ids:
             self.dead[i] = self.live.pop(i)
 
