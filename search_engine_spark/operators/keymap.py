@@ -57,17 +57,23 @@ def _chunks(index_dir: str) -> list:
 
 def _load_meta(index_dir: str, spark: SparkSession | None = None) -> dict:
     p = os.path.join(index_dir, KEYMAP_META)
-    meta = {"hwm": 0, "n_buckets": 32}
+    meta = {"hwm": 0, "n_buckets": 32, "n_chunks": 0}
     if os.path.isfile(p):
         with open(p) as fh:
             meta.update(json.load(fh))
-    if spark is not None and _chunks(index_dir):
+    chunks = _chunks(index_dir)
+    if spark is not None and chunks and \
+            len(chunks) != int(meta.get("n_chunks", -1)):
         # chunks are the truth; the persisted hwm is a cache that a crash
-        # between chunk-rename and meta-write may have left behind
+        # between chunk-rename and meta-write may have left behind. The
+        # reconcile scan runs ONLY when the chunk count disagrees with
+        # the meta (exactly the crash signature), so the steady-state
+        # batch path trusts the mark with no extra job.
         mx = (_read_map(spark, index_dir)
               .agg(F.max("doc_id").alias("m")).collect()[0]["m"])
         if mx is not None:
             meta["hwm"] = max(int(meta["hwm"]), int(mx) + 1)
+        meta["n_chunks"] = len(chunks)
     return meta
 
 
@@ -126,7 +132,11 @@ def resolve_keys(spark: SparkSession, index_dir: str,
     return (km.join(F.broadcast(
         keys.select(F.col(key_col).cast("string").alias("key"))
         .distinct()), "key")
-        .select("key", "doc_id"))
+        .select("key", "doc_id")
+        # distinct: a consolidation crash can leave a key in two chunks
+        # (same doc_id both — the map is append-only per key); resolve
+        # must still hand back one row per key
+        .distinct())
 
 
 def map_keys(docs: DataFrame, index_dir: str,
@@ -154,6 +164,7 @@ def map_keys(docs: DataFrame, index_dir: str,
             .localCheckpoint())
         _append_chunk(new_map, index_dir)
         meta["hwm"] = hwm + n_fresh
+        meta["n_chunks"] = len(_chunks(index_dir))
         _write_meta(index_dir, meta)
         known = known.unionByName(new_map.select("key", "doc_id"))
     # batch-sized map slice: broadcast it onto the docs (keeps the docs
@@ -173,6 +184,31 @@ def build_keymap(docs: DataFrame, index_dir: str, key_col: str = "key",
     meta = {"hwm": 0, "n_buckets": int(n_buckets)}
     _write_meta(index_dir, meta)
     return map_keys(docs, index_dir, key_col=key_col)
+
+
+def consolidate_keymap(spark: SparkSession, index_dir: str,
+                       min_chunks: int = 8) -> dict:
+    """Fold the per-batch chunks into ONE (bounds the map's file count in
+    the batch count — the docs_runs consolidation pattern applied to the
+    keymap). Crash-safe order: write the folded chunk to a temp dir,
+    rename it in as the LOWEST chunk name... impossible while chunk-00000
+    exists — so instead: write folded as a NEW chunk, then remove the
+    source chunks. A crash in between leaves duplicate (key, doc_id) rows
+    — harmless: the map is append-only and every row for a key carries
+    the SAME doc_id, so resolve's distinct-by-join is unaffected and the
+    next consolidation folds the leftovers."""
+    chunks = _chunks(index_dir)
+    if len(chunks) < int(min_chunks):
+        return {"folded": 0, "n_chunks": len(chunks)}
+    folded = (spark.read.parquet(*chunks)
+              .dropDuplicates(["key"]).localCheckpoint())
+    _append_chunk(folded, index_dir)
+    for c in chunks:
+        shutil.rmtree(c, ignore_errors=True)
+    meta = _load_meta(index_dir)
+    meta["n_chunks"] = len(_chunks(index_dir))
+    _write_meta(index_dir, meta)
+    return {"folded": len(chunks), "n_chunks": meta["n_chunks"]}
 
 
 def upsert_by_key(docs: DataFrame, index_dir: str, config,

@@ -199,3 +199,51 @@ def test_keymap_random_sequences_invariants(spark, tmp_path):
                 seen[k] = i
         ids = sorted(seen.values())
         assert ids == list(range(len(seen)))  # dense, no gaps, no dupes
+
+
+def test_consolidate_keymap_bounds_chunks(spark, tmp_path):
+    """Per-batch chunks fold into one; mappings unchanged; a crash that
+    leaves duplicate rows across chunks is harmless (resolve dedupes)."""
+    import shutil
+    from search_engine_spark.operators.keymap import (_chunks,
+                                                      consolidate_keymap)
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    all_keys = []
+    for b in range(9):
+        keys = [f"https://b{b}.test/{i}" for i in range(4)]
+        all_keys += keys
+        batch = spark.createDataFrame([(k, "body") for k in keys],
+                                      "url string, text string")
+        if b == 0:
+            build_keymap(batch, d, key_col="url")
+        else:
+            map_keys(batch, d, key_col="url")
+    assert len(_chunks(d)) == 9
+    before = {r["key"]: r["doc_id"] for r in
+              resolve_keys(spark, d,
+                           spark.createDataFrame([(k,) for k in all_keys],
+                                                 "url string"),
+                           key_col="url").collect()}
+    out = consolidate_keymap(spark, d, min_chunks=4)
+    assert out["folded"] == 9 and len(_chunks(d)) == 1
+    after = {r["key"]: r["doc_id"] for r in
+             resolve_keys(spark, d,
+                          spark.createDataFrame([(k,) for k in all_keys],
+                                                "url string"),
+                          key_col="url").collect()}
+    assert after == before and len(after) == 36
+    # simulate the consolidation crash: duplicate a chunk (same rows in
+    # two files) — resolve must still return one row per key, and new
+    # assignments must continue from the true high-water mark
+    src = _chunks(d)[0]
+    shutil.copytree(src, os.path.join(d, "keymap", "chunk-00099"))
+    dup = resolve_keys(spark, d,
+                       spark.createDataFrame([(all_keys[0],)],
+                                             "url string"),
+                       key_col="url").collect()
+    assert len(dup) == 1
+    more = spark.createDataFrame([("https://fresh.test/1", "b")],
+                                 "url string, text string")
+    m = map_keys(more, d, key_col="url").collect()
+    assert m[0]["doc_id"] == 36
