@@ -594,7 +594,12 @@ class TestServerIncrementalSnapshot:
         (every token in >10% of docs) costs seconds of position decode —
         the facade must run it on the Spark path, while phrases with at
         least one selective token stay on the blocks fast path."""
-        # 'alpha' and 'common' are in EVERY doc → routed to Spark
+        # 'alpha' and 'common' are in EVERY doc → routed to Spark.
+        # The fixture corpus is 30 docs — under the absolute min-df floor
+        # (round 5: a head×head phrase this small is cheap to force, so
+        # the DEFAULT correctly serves it) — drop the floor so the ratio
+        # rule fires like it would at production corpus sizes.
+        service._serving("inc").phrase_route_min_df = 0
         res = service.search("inc", {"query": {"match_phrase": {
             "field": "text", "value": "alpha common"}}})
         assert "servedBy" not in res["_performance"]
