@@ -100,6 +100,12 @@ def sweep(spark, op: str, max_k: int = 120) -> tuple:
         root = tempfile.mkdtemp(prefix=f"sweep_{op}_{k}_")
         try:
             svc, ixdir, live = build_state(spark, root)
+            if op == "consolidate":
+                # consolidation needs DELTA files to fold — snapshot the
+                # appended runs first (outside the injector: snapshot has
+                # its own sweep). Without this the op no-ops and the
+                # sweep silently covers zero crash points.
+                svc.snapshot("s")
             try:
                 with _FaultInjector(k):
                     run_op(svc, ixdir, op)
