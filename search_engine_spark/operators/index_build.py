@@ -352,7 +352,8 @@ def tokenize_to_rows(docs: DataFrame, config: IndexConfig,
 
 
 def build_postings(docs: DataFrame, config: IndexConfig,
-                   with_dl: bool = False) -> DataFrame:
+                   with_dl: bool = False,
+                   pre_bucket: bool = False) -> DataFrame:
     """(field, term, doc_id, tf, positions[, dl]) — the row-expanded posting
     table.
 
@@ -375,7 +376,19 @@ def build_postings(docs: DataFrame, config: IndexConfig,
     block payloads already store exactly (doc_id, tf, dl) per posting,
     postings_codec). Array-field configs silently skip it (positions
     restart per element — no doc-level sum exists pre-explode) and keep
-    the join path."""
+    the join path.
+
+    ``pre_bucket=True`` — the persisted-build strategy — keys the SAME
+    aggregation by ``(bucket, field, term, doc_id)`` over token rows
+    already ``repartition(B, bucket)``-ed. Because ``bucket`` is a pure
+    function of (field, term), every group lives entirely inside one
+    bucket partition, and Catalyst recognizes HashPartitioning(bucket)
+    as satisfying the aggregation's ClusteredDistribution (partitioning
+    expressions ⊆ grouping keys) — so the whole build moves token rows
+    across the wire ONCE: the two-exchange plan (groupBy shuffle +
+    repartition-by-bucket shuffle) collapses into repartition → in-
+    partition hash aggregate → in-partition sort → write. The output is
+    row-identical and still one-file-per-bucket (O(buckets) files)."""
     rows = tokenize_to_rows(docs, config, with_dl=with_dl)
     has_dl = "_dl" in rows.columns
     if any(_is_array_field(docs, f) for f in config.fields):
@@ -388,6 +401,10 @@ def build_postings(docs: DataFrame, config: IndexConfig,
             aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     if has_dl:
         aggs.append(F.first("_dl").alias("dl"))
+    if pre_bucket:
+        return (rows.select("*", _bucket_col(config))
+                .repartition(config.n_buckets, "bucket")
+                .groupBy("bucket", "field", "term", "doc_id").agg(*aggs))
     return rows.groupBy("field", "term", "doc_id").agg(*aggs)
 
 
@@ -530,17 +547,24 @@ def bucket_of(field: str, term: str, n_buckets: int) -> int:
 def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     """Single-shot persisted build. Returns build metrics.
 
-    Layout: the aggregated postings are repartitioned BY BUCKET, sorted
-    (bucket, field, term, doc_id) within each task, and written
-    ``partitionBy(bucket)`` — ~one term-sorted file per bucket. A
-    round-2 variant skipped this second shuffle (local sort + dynamic
-    writer over the groupBy output), but an interleaved A/B showed it
-    LOSES: every reduce task spills files into every bucket dir
-    (tasks × buckets files — 1,504 vs 32 at 100k docs, 30% slower end to
-    end locally, and a metadata catastrophe at 10^12 docs where tasks
-    number ~10^5). The second shuffle moves already-aggregated rows once
-    and buys one-file-per-bucket: cheaper at every scale measured and the
-    only layout whose file count is O(buckets), not O(tasks × buckets).
+    Layout: postings sorted (bucket, field, term, doc_id) within each
+    task and written ``partitionBy(bucket)`` — ~one term-sorted file per
+    bucket. Plan (round 5): token rows ``repartition(B, bucket)`` →
+    in-partition hash aggregate keyed (bucket, field, term, doc_id) →
+    in-partition sort → write. ONE exchange total: bucket is a function
+    of (field, term), so hash-partitioning by bucket already co-locates
+    every aggregation group and Catalyst plans no second shuffle
+    (build_postings pre_bucket; plan shape pinned by
+    tests/test_single_shuffle_build.py). Two rejected alternatives, both
+    A/B-measured: (a) the round-2 local-sort + dynamic-writer variant —
+    every reduce task spills files into every bucket dir (tasks × buckets
+    files, 1,504 vs 32 at 100k docs, a metadata catastrophe at 10^12
+    docs); (b) the round-1..4 two-exchange plan (groupBy shuffle, then
+    repartition-by-bucket shuffle) — moves the aggregated postings over
+    the wire twice (kept toggleable: SE_BUILD_TWO_SHUFFLE=1). Sizing
+    note: aggregation parallelism equals B under this plan, so keep
+    ``n_buckets`` ≥ the executor core count (at cluster scale B is
+    hundreds+ for pruning reasons anyway; the bench's 32/32 is the floor).
 
     The corpus is tokenized exactly ONCE; doc_stats and term_stats are
     derived from the written postings table (column-pruned scans), and
@@ -549,9 +573,16 @@ def write_index(docs: DataFrame, index_dir: str, config: IndexConfig) -> dict:
     from pyspark.sql import Observation
     spark = docs.sparkSession
     t0 = time.time()
-    postings = build_postings(docs, config,
-                              with_dl=True).select("*", _bucket_col(config))
-    (postings.repartition(config.n_buckets, "bucket")
+    if os.environ.get("SE_BUILD_TWO_SHUFFLE") == "1":
+        # legacy two-exchange plan, kept toggleable for interleaved A/Bs
+        postings = build_postings(docs, config,
+                                  with_dl=True).select("*",
+                                                       _bucket_col(config))
+        postings = postings.repartition(config.n_buckets, "bucket")
+    else:
+        postings = build_postings(docs, config, with_dl=True,
+                                  pre_bucket=True)
+    (postings
      .sortWithinPartitions("bucket", "field", "term", "doc_id")
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(index_dir, POSTINGS)))

@@ -76,7 +76,8 @@ def _encode_pos_udf():
 
 
 def build_blocks(index: InvertedIndex,
-                 with_positions: bool | None = None) -> DataFrame:
+                 with_positions: bool | None = None,
+                 pre_bucket: int | None = None) -> DataFrame:
     """Compressed block table from the row-expanded postings + doc_stats.
 
     One shuffle on (field, term, blk); qnorm (the tf-dependent BM25 factor)
@@ -88,7 +89,20 @@ def build_blocks(index: InvertedIndex,
     what gives the SERVING path millisecond phrase queries — no doc-store
     scan, no Spark job. Pass ``with_positions=False`` to build the leaner
     scoring-only table.
-    """
+
+    ``pre_bucket=N`` — the persisted-write strategy (same collapse as
+    index_build.build_postings pre_bucket): the input posting rows are
+    ``repartition(N, bucket)``-ed BEFORE the block aggregation, and the
+    aggregation is keyed by (bucket, field, term, blk, seq). bucket is a
+    pure function of (field, term), so HashPartitioning(bucket) already
+    satisfies the aggregate's ClusteredDistribution and Catalyst plans NO
+    second exchange — the write paths' old two-exchange shape (groupBy
+    shuffle, then repartition-by-bucket shuffle of the compressed
+    payloads) becomes ONE exchange of the raw rows, the payload-encode
+    Arrow UDF runs in the write partition, and the layout is unchanged:
+    one globally term-sorted file per bucket. N is the caller's write
+    parallelism (n_buckets for full builds, len(rebuilt) for
+    bucket-scoped rebuilds)."""
     from .lsm import with_seq
     k1, b = 1.2, 0.75
     avgdl = index.avg_dl or 1.0
@@ -120,11 +134,17 @@ def build_blocks(index: InvertedIndex,
         (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / F.lit(avgdl))))
     struct_cols = ["doc_id", "tf", "dl"] + (
         ["positions"] if with_positions else [])
+    from .index_build import _bucket_col
     rows = joined.select(
         "field", "term", "seq",
         F.shiftright(F.col("doc_id"), BLOCK_BITS).alias("blk"),
         *struct_cols, qnorm.alias("qnorm"))
-    grouped = rows.groupBy("field", "term", "blk", "seq").agg(
+    group_keys = ["field", "term", "blk", "seq"]
+    if pre_bucket is not None:
+        rows = (rows.select("*", _bucket_col(index.config))
+                .repartition(max(int(pre_bucket), 1), "bucket"))
+        group_keys = ["bucket"] + group_keys
+    grouped = rows.groupBy(*group_keys).agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),
         F.min("doc_id").alias("doc_min"),
         F.max("doc_id").alias("doc_max"),
@@ -134,10 +154,10 @@ def build_blocks(index: InvertedIndex,
         F.sort_array(F.collect_list(F.struct(*struct_cols)))
          .alias("plist"))
     enc = _encode_udf()
-    from .index_build import _bucket_col
     out_cols = [
         "field", "term", "blk", "seq",
-        _bucket_col(index.config),
+        F.col("bucket") if pre_bucket is not None
+        else _bucket_col(index.config),
         "n_docs", "doc_min", "doc_max", "max_qnorm",
         enc(F.transform("plist", lambda x: x["doc_id"]),
             F.transform("plist", lambda x: x["tf"]),
@@ -157,13 +177,19 @@ def write_blocks(index: InvertedIndex, index_dir: str) -> dict:
     import time
     path = os.path.join(index_dir, BLOCKS)
     t0 = time.time()
-    # The blocks table is the SERVING artifact: unlike the row-store
-    # postings (single-shuffle write, multi-file buckets), it pays one
-    # extra small shuffle (compressed payloads, ~5 B/posting) to get
-    # exactly ONE globally term-sorted file per bucket — a point lookup
-    # then decodes 1-2 row groups instead of one per reduce-task file.
-    (build_blocks(index)
-     .repartition(index.config.n_buckets, "bucket")
+    # The blocks table is the SERVING artifact: one globally term-sorted
+    # file per bucket, so a point lookup decodes 1-2 row groups instead
+    # of one per reduce-task file. Since round 5 that layout costs ONE
+    # exchange, not two: build_blocks(pre_bucket=B) repartitions the raw
+    # posting rows by bucket once and aggregates+encodes in the write
+    # partition (the legacy groupBy-shuffle + payload-reshuffle plan is
+    # kept toggleable for interleaved A/Bs: SE_BLOCKS_TWO_SHUFFLE=1).
+    if os.environ.get("SE_BLOCKS_TWO_SHUFFLE") == "1":
+        blocks = (build_blocks(index)
+                  .repartition(index.config.n_buckets, "bucket"))
+    else:
+        blocks = build_blocks(index, pre_bucket=index.config.n_buckets)
+    (blocks
      .sortWithinPartitions("field", "term", "blk")
      .write.mode("overwrite").partitionBy("bucket")
      # small row groups: term-sorted data + row-group min/max stats let a
@@ -405,8 +431,8 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
             None, int(meta["total_docs"]), float(meta["avg_dl"]), config)
         staging = tempfile.mkdtemp(prefix="blocks_rebase_", dir=index_dir)
         try:
-            (build_blocks(base_ix, with_positions=with_pos)
-             .repartition(max(len(rebuilt_buckets), 1), "bucket")
+            (build_blocks(base_ix, with_positions=with_pos,
+                          pre_bucket=max(len(rebuilt_buckets), 1))
              .sortWithinPartitions("field", "term", "blk")
              .write.mode("overwrite").partitionBy("bucket")
              .option("parquet.block.size", 1 << 20)
@@ -470,8 +496,8 @@ def refresh_blocks(spark: SparkSession, index_dir: str) -> dict:
         staging = tempfile.mkdtemp(prefix="blocks_delta_",
                                    dir=index_dir)
         try:
-            (build_blocks(delta_ix, with_positions=with_pos)
-             .repartition(config.n_buckets, "bucket")
+            (build_blocks(delta_ix, with_positions=with_pos,
+                          pre_bucket=config.n_buckets)
              .sortWithinPartitions("field", "term", "blk")
              .observe(obs, F.count(F.lit(1)).alias("n_blocks"),
                       F.sum("n_docs").alias("n_posts"),
