@@ -237,8 +237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             write_index(_docs(s, d), ixdir, cfg)
             write_blocks(load_index(s, ixdir), ixdir)
             _CACHE[key] = ixdir
-        members = ServingIndex(_CACHE[key]).phrase(
-            "text", "table scan", members_only=True)
+        srv = ServingIndex(_CACHE[key])
+        # correctness probe of the serving phrase kernel itself: the
+        # head-term router (on by default since round 5) is a perf
+        # guard, not semantics — opt out so the entry exercises the
+        # serving path at every sf (at sf0.1 both tokens clear the
+        # df-ratio threshold AND the min-df floor and would route)
+        srv.phrase_route_df_ratio = None
+        members = srv.phrase("text", "table scan", members_only=True)
         return s.createDataFrame([(int(x),) for x in members],
                                  "doc_id long")
     q["serving_phrase"] = _serving_phrase
