@@ -150,6 +150,13 @@ def map_keys(docs: DataFrame, index_dir: str,
     nb = int(meta["n_buckets"])
     keys = (docs.select(F.col(key_col).cast("string").alias("key"))
             .distinct().localCheckpoint())
+    # a NULL key has no identity to map — the inner join below would
+    # silently drop its rows; fail loudly instead (ids_frame pattern)
+    if keys.where(F.col("key").isNull()).limit(1).count():
+        raise ValueError(
+            f"map_keys: column {key_col!r} holds NULL keys — every "
+            "document needs a non-null natural key to take the keyed "
+            "lifecycle")
     known = resolve_keys(spark, index_dir, keys).localCheckpoint()
     fresh = keys.join(known, "key", "anti")
     n_fresh = fresh.count()
@@ -181,6 +188,12 @@ def build_keymap(docs: DataFrame, index_dir: str, key_col: str = "key",
     corpus and return ``docs`` + ``doc_id``. Ids are dense in key order
     (row_number — one global sort of the KEYS, not the documents), the
     layout doc-aligned blocks want."""
+    if _chunks(index_dir):
+        # resetting hwm over live chunks would double-assign ids —
+        # extending an existing map is map_keys' job
+        raise ValueError(
+            f"build_keymap: {index_dir} already has keymap chunks — "
+            "use map_keys to extend an existing map")
     meta = {"hwm": 0, "n_buckets": int(n_buckets)}
     _write_meta(index_dir, meta)
     return map_keys(docs, index_dir, key_col=key_col)

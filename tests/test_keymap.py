@@ -247,3 +247,25 @@ def test_consolidate_keymap_bounds_chunks(spark, tmp_path):
                                  "url string, text string")
     m = map_keys(more, d, key_col="url").collect()
     assert m[0]["doc_id"] == 36
+
+
+def test_null_keys_rejected(spark, tmp_path):
+    """A NULL natural key has no identity — map_keys must fail loudly,
+    not silently drop the row via the inner join."""
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = spark.createDataFrame(
+        [("https://a.test/1", "body"), (None, "orphan body")],
+        "url string, text string")
+    with pytest.raises(ValueError, match="NULL keys"):
+        build_keymap(docs, d, key_col="url")
+
+
+def test_build_refuses_existing_map(spark, tmp_path):
+    """build_keymap resets the high-water mark; over live chunks that
+    would double-assign ids — it must refuse (map_keys extends)."""
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    build_keymap(_corpus(spark), d, key_col="url")
+    with pytest.raises(ValueError, match="already has keymap chunks"):
+        build_keymap(_corpus(spark), d, key_col="url")
