@@ -189,11 +189,10 @@ def build_keymap(docs: DataFrame, index_dir: str, key_col: str = "key",
     (row_number — one global sort of the KEYS, not the documents), the
     layout doc-aligned blocks want."""
     if _chunks(index_dir):
-        # resetting hwm over live chunks would double-assign ids —
-        # extending an existing map is map_keys' job
-        raise ValueError(
-            f"build_keymap: {index_dir} already has keymap chunks — "
-            "use map_keys to extend an existing map")
+        # existing map (e.g. a RESUMED --chunks build re-running this):
+        # keep its meta — resetting hwm here would rely on the reconcile
+        # scan to avoid double-assigning ids; extending is map_keys' job
+        return map_keys(docs, index_dir, key_col=key_col)
     meta = {"hwm": 0, "n_buckets": int(n_buckets)}
     _write_meta(index_dir, meta)
     return map_keys(docs, index_dir, key_col=key_col)

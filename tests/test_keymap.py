@@ -261,11 +261,20 @@ def test_null_keys_rejected(spark, tmp_path):
         build_keymap(docs, d, key_col="url")
 
 
-def test_build_refuses_existing_map(spark, tmp_path):
-    """build_keymap resets the high-water mark; over live chunks that
-    would double-assign ids — it must refuse (map_keys extends)."""
+def test_build_idempotent_over_existing_map(spark, tmp_path):
+    """build_keymap over existing chunks (a resumed --chunks build
+    re-running it) extends via map_keys — same ids back, no meta reset,
+    and a later batch still assigns from the true high-water mark."""
     d = str(tmp_path / "ix")
     os.makedirs(d)
-    build_keymap(_corpus(spark), d, key_col="url")
-    with pytest.raises(ValueError, match="already has keymap chunks"):
-        build_keymap(_corpus(spark), d, key_col="url")
+    first = {r["url"]: r["doc_id"]
+             for r in build_keymap(_corpus(spark), d, key_col="url")
+             .collect()}
+    again = {r["url"]: r["doc_id"]
+             for r in build_keymap(_corpus(spark), d, key_col="url")
+             .collect()}
+    assert again == first
+    more = spark.createDataFrame([("https://resumed.test/1", "b")],
+                                 "url string, text string")
+    m = map_keys(more, d, key_col="url").collect()
+    assert m[0]["doc_id"] == 40
