@@ -34,7 +34,8 @@ from ..operators.index_build import (MANIFEST, RUNS, IndexConfig,
 def stream_index_runs(pages_stream: DataFrame, index_dir: str,
                       config: IndexConfig, checkpoint_dir: str | None = None,
                       trigger_available_now: bool = True,
-                      upsert: bool = True):
+                      upsert: bool = True,
+                      key_col: str | None = None):
     """Start a streaming query appending per-micro-batch posting runs.
 
     ``upsert=True`` (default — the reference's ``add()`` replaces on id
@@ -45,6 +46,15 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
     rewritten, exactly the HTTP upsert path's mask mechanics. With
     ``upsert=False`` colliding ids simply coexist (pre-round-4 behavior:
     only safe when the source is known collision-free).
+
+    ``key_col`` — a STRING-keyed stream (e.g. urls from a re-crawl feed):
+    each micro-batch first maps its keys through the persisted keymap
+    (:func:`~..operators.keymap.map_keys` — a re-seen url resolves to its
+    existing surrogate id, a new one is assigned from the high-water
+    mark), then the numeric path runs unchanged, so a re-crawled url
+    upserts its previous generation exactly like the batch
+    :func:`~..operators.keymap.upsert_by_key`. Replays are safe: mapping
+    an already-mapped key returns the same id and assigns nothing.
 
     Returns the StreamingQuery; call ``.awaitTermination()`` (availableNow
     drains the source and stops) then :func:`merge_stream_runs`.
@@ -69,6 +79,9 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
                    e.get("status") in ("committed", "compacted")
                    for name, e in _manifest_entries(index_dir)):
                 return
+            if key_col is not None:
+                from ..operators.keymap import map_keys
+                batch_df = map_keys(batch_df, index_dir, key_col=key_col)
             batch_df = batch_df.dropDuplicates([config.id_col])
             from ..operators.lsm import existing_ids_pruned
             existing = existing_ids_pruned(batch_df.sparkSession, index_dir,
@@ -84,6 +97,9 @@ def stream_index_runs(pages_stream: DataFrame, index_dir: str,
                     "upsert_docs)")
             colliding = [int(v) for v in raw]
         else:
+            if key_col is not None:
+                from ..operators.keymap import map_keys
+                batch_df = map_keys(batch_df, index_dir, key_col=key_col)
             colliding = []
         extra = None
         if colliding:

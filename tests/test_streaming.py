@@ -206,3 +206,53 @@ def test_stream_upsert_off_keeps_collisions(tmp_path, spark):
     q.awaitTermination(120)
     meta = merge_stream_runs(spark, idx_dir, IndexConfig(**CFG))
     assert meta["total_docs"] == 2  # documented collision-unsafe mode
+
+
+def test_stream_keyed_upsert_by_url(tmp_path, spark):
+    """key_col streams: urls map through the persisted keymap per batch
+    (stable surrogate ids), and a re-crawled url upserts its previous
+    generation exactly like batch upsert_by_key."""
+    from search_engine_spark.operators.delete import load_index_with_deletes
+    from search_engine_spark.operators.keymap import resolve_keys
+    from search_engine_spark.plans.dsl import SparkSearchEngine
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(f"https://s.test/{i}", f"alpha body{i}") for i in range(12)],
+        "url string, text string")
+    base.write.parquet(src + "/a")
+    recrawl = spark.createDataFrame(
+        [("https://s.test/3", "alpha freshcopy"),
+         ("https://s.test/99", "alpha newpage")],
+        "url string, text string")
+    recrawl.write.parquet(src + "/b")
+
+    stream = (spark.readStream.schema(base.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    idx_dir = str(tmp_path / "ix")
+    q = stream_index_runs(stream, idx_dir, IndexConfig(**CFG),
+                          key_col="url")
+    q.awaitTermination(120)
+
+    idx = load_index_with_deletes(spark, idx_dir)
+    assert idx.total_docs == 13  # 12 + 1 new url; re-crawl replaced
+    km = {r["key"]: r["doc_id"]
+          for r in resolve_keys(spark, idx_dir,
+                                spark.createDataFrame(
+                                    [(f"https://s.test/{i}",)
+                                     for i in list(range(12)) + [99]],
+                                    "url string"),
+                                key_col="url").collect()}
+    assert len(km) == 13 and len(set(km.values())) == 13
+    docs_now = (base.where(~F.col("url").endswith("/3"))
+                .unionByName(recrawl)
+                .withColumn("doc_id", F.udf(lambda u: km[u], "long")("url")))
+    eng = SparkSearchEngine(idx, docs_now)
+    got = {r["doc_id"] for r in eng.search(
+        {"term": {"field": "text", "value": "freshcopy"}}, size=5).collect()}
+    assert got == {km["https://s.test/3"]}
+    assert eng.search({"term": {"field": "text", "value": "body3"}},
+                      size=5).count() == 0
+    # the old generation is really masked: match_all is exactly the 13
+    assert eng.search({"match_all": {}}, size=50).count() == 13
