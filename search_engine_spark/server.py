@@ -212,8 +212,24 @@ class SearchService:
     def create_index(self, name: str, docs_path: str,
                      fields: dict | None = None,
                      id_col: str = "doc_id", overwrite: bool = False,
-                     facet_fields: list | None = None) -> dict:
+                     facet_fields: list | None = None,
+                     key_col: str | None = None) -> dict:
+        """``key_col`` — a STRING-keyed corpus (the reference accepts any
+        id type, QueryEngine.ts:137-149): the docs map through the
+        persisted keymap (surrogate long ids, operators/keymap.py) and
+        every later ``add_documents`` batch keyed on the same column
+        upserts by key — the url-re-crawl lifecycle over HTTP."""
         docs = self.spark.read.parquet(docs_path)
+        if key_col is not None:
+            # pre-check existence so a refused create never leaves keymap
+            # chunks behind in a dir catalog.create_index then rejects
+            if self.catalog.index_exists(name) and not overwrite:
+                raise ValueError(f"index {name!r} already exists")
+            from .operators.keymap import build_keymap
+            d = self.catalog._dir(name)
+            os.makedirs(d, exist_ok=True)
+            docs = build_keymap(docs, d, key_col=key_col)
+            id_col = "doc_id"
         cfg = IndexConfig(id_col=id_col,
                           fields=fields or {"text": "text"},
                           facet_fields=tuple(facet_fields or ()))
@@ -228,6 +244,8 @@ class SearchService:
         with open(mp) as fh:
             m = json.load(fh)
         m["docs_path"] = os.path.abspath(docs_path)
+        if key_col is not None:
+            m["key_col"] = key_col
         write_meta(self.catalog._dir(name), m)
         self._docs[name] = docs
         return meta
@@ -240,10 +258,18 @@ class SearchService:
         a fresh process serves an existing catalog with no explicit
         register_docs call. Returns None when the index predates the
         recorded path (register_docs stays available)."""
-        path = self.catalog.stats(name).get("docs_path")
+        meta = self.catalog.stats(name)
+        path = meta.get("docs_path")
         if not path or not os.path.isdir(path):
             return None
         docs = self.spark.read.parquet(path)
+        if meta.get("key_col"):
+            # keyed index: the raw parquet has no surrogate ids — re-map
+            # (every key is already in the chunks, so this resolves, it
+            # never assigns)
+            from .operators.keymap import map_keys
+            docs = map_keys(docs, self.catalog._dir(name),
+                            key_col=meta["key_col"])
         self._docs[name] = docs
         return docs
 
@@ -534,6 +560,13 @@ class SearchService:
         ixdir = self.catalog._dir(name)
         with self._mutate_lock:
             batch = self.spark.createDataFrame(documents)
+            kc = self.catalog.stats(name).get("key_col")
+            if kc:
+                # keyed index: posted docs carry the natural key, not a
+                # numeric id — map through the persisted keymap (re-seen
+                # keys resolve, new keys assign under this mutate lock)
+                from .operators.keymap import map_keys
+                batch = map_keys(batch, ixdir, key_col=kc)
             batch = batch.dropDuplicates([cfg.id_col])
             # current stored values let identical re-sends short-circuit;
             # a disk-restored index with no registered docs table compares
@@ -819,7 +852,8 @@ def make_server(service: SearchService, host: str = "127.0.0.1",
                         fields=b.get("fields"),
                         id_col=b.get("idCol", "doc_id"),
                         overwrite=bool(b.get("overwrite")),
-                        facet_fields=b.get("facetFields"))
+                        facet_fields=b.get("facetFields"),
+                        key_col=b.get("keyCol"))
                     self._json(200, {"indexName": b["indexName"],
                                      "meta": meta})
                 elif self.path.startswith("/index/"):

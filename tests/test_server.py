@@ -330,3 +330,54 @@ def test_added_documents_visible_to_aggs_and_enrichment(served):
     assert fast["aggregations"] == spark_res["aggregations"]
     assert fast["facets"] == spark_res["facets"]
     assert fast["hits"][0]["lang"] == "xx"
+
+
+def test_keyed_index_over_http(tmp_path, spark):
+    """String-keyed lifecycle through the facade (reference accepts any
+    id type): create with keyCol=url, POST a re-crawl + a new url, search
+    — and a RESTARTED service restores the keyed docs view."""
+    import os
+
+    root = str(tmp_path / "kroot")
+    pages_dir = str(tmp_path / "kpages")
+    spark.createDataFrame(
+        [(f"https://k.test/{i}", f"alpha body{i} common") for i in range(25)],
+        "url string, text string").write.parquet(pages_dir)
+    svc = SearchService(spark, root)
+    httpd = make_server(svc)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, out = _post(base + "/index", {
+            "indexName": "keyed", "docsPath": pages_dir,
+            "fields": {"text": "text"}, "keyCol": "url"})
+        assert code == 200 and out["meta"]["total_docs"] == 25
+
+        code, out = _post(base + "/index/keyed/documents", {"documents": [
+            {"url": "https://k.test/3", "text": "alpha freshcopy common"},
+            {"url": "https://k.test/99", "text": "alpha newpage common"},
+        ]})
+        assert code == 200, out
+        assert out["addedCount"] == 2 and out["replacedCount"] == 1
+        assert out["totalDocs"] == 26
+
+        code, out = _post(base + "/search/keyed", {
+            "query": {"term": {"field": "text", "value": "freshcopy"}}})
+        assert code == 200 and out["total"] == 1
+        assert out["hits"][0]["url"] == "https://k.test/3"
+        code, out = _post(base + "/search/keyed", {
+            "query": {"term": {"field": "text", "value": "body3"}}})
+        assert code == 200 and out["total"] == 0
+    finally:
+        httpd.shutdown()
+
+    # restart: a fresh service over the same root restores the keyed
+    # docs view (re-maps the raw parquet through the persisted keymap)
+    svc2 = SearchService(spark, root)
+    res = svc2.search("keyed", {
+        "query": {"term": {"field": "text", "value": "common"}},
+        "size": 30})
+    assert res["total"] == 26
+    hit_urls = {h.get("url") for h in res["hits"]}
+    assert "https://k.test/99" in hit_urls and len(hit_urls) == 26
