@@ -33,6 +33,15 @@ def main(argv=None):
                     default=None, metavar="HTML_COL",
                     help="fill null text from this binary html column "
                          "(same extractor as jobs/build_index.py)")
+    ap.add_argument("--upsert", action="store_true",
+                    help="replace colliding ids (lsm.upsert_docs) instead "
+                         "of the collision-unsafe plain append")
+    ap.add_argument("--key-col", default=None, metavar="KEY_COL",
+                    help="batch is keyed by this natural-key column (e.g. "
+                         "a url re-crawl): map through the index's "
+                         "persisted keymap and UPSERT by key "
+                         "(keymap.upsert_by_key) — requires an index "
+                         "built with build_index.py --key-col")
     args = ap.parse_args(argv)
 
     from search_engine_spark.operators.index_build import META, IndexConfig
@@ -51,16 +60,31 @@ def main(argv=None):
     if args.extract_html:
         from search_engine_spark.sources.extract import with_extracted_text
         docs = with_extracted_text(docs, html_col=args.extract_html)
-    entry = append_docs(docs, args.index, config)
-    print(json.dumps({"appended": entry["n_docs"],
-                      "n_postings": entry["n_postings"],
-                      "run": entry["run_path"],
-                      "seconds": round(entry["seconds"], 2)}))
+    if args.key_col:
+        from search_engine_spark.operators.keymap import upsert_by_key
+        res = upsert_by_key(docs, args.index, config, key_col=args.key_col)
+        print(json.dumps({"added": res["added"],
+                          "replaced": res["replaced"],
+                          "unchanged": res["unchanged"]}))
+    elif args.upsert:
+        from search_engine_spark.operators.lsm import upsert_docs
+        res = upsert_docs(docs, args.index, config)
+        print(json.dumps({"added": res["added"],
+                          "replaced": res["replaced"],
+                          "unchanged": res["unchanged"]}))
+    else:
+        entry = append_docs(docs, args.index, config)
+        print(json.dumps({"appended": entry["n_docs"],
+                          "n_postings": entry["n_postings"],
+                          "run": entry["run_path"],
+                          "seconds": round(entry["seconds"], 2)}))
     if args.compact:
         meta2 = compact_runs(spark, args.index)
         print(json.dumps({"compacted_buckets":
                           meta2.get("compacted_buckets", [])}))
-    spark.stop()
+    # no spark.stop(): getOrCreate may have adopted a caller's session
+    # (in-process tests); spark-submit tears the JVM down at exit anyway
+    # — same contract as jobs/build_index.py
 
 
 if __name__ == "__main__":

@@ -278,3 +278,38 @@ def test_build_idempotent_over_existing_map(spark, tmp_path):
                                  "url string, text string")
     m = map_keys(more, d, key_col="url").collect()
     assert m[0]["doc_id"] == 40
+
+
+def test_jobs_keyed_build_and_upsert(spark, tmp_path, capsys):
+    """spark-submit story end to end: build_index.py --key-col builds a
+    url-keyed index with a persisted keymap; append_docs.py --key-col
+    upserts a re-crawl batch by key."""
+    import importlib
+    import json as _json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    bi = importlib.import_module("jobs.build_index")
+    ad = importlib.import_module("jobs.append_docs")
+
+    src = str(tmp_path / "pages")
+    ix = str(tmp_path / "ix")
+    spark.createDataFrame(
+        [(f"https://j.test/{i}", f"alpha body{i}") for i in range(20)],
+        "url string, text string").write.parquet(src)
+    bi.main(["--input", src, "--index", ix, "--fields", "text:text",
+             "--key-col", "url", "--buckets", "4"])
+    batch = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [("https://j.test/5", "alpha freshcopy"),
+         ("https://j.test/new", "alpha newdoc")],
+        "url string, text string").write.parquet(batch)
+    capsys.readouterr()
+    ad.main(["--input", batch, "--index", ix, "--key-col", "url"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"added": 1, "replaced": 1, "unchanged": 0}
+
+    from search_engine_spark.operators.delete import load_index_with_deletes
+    idx = load_index_with_deletes(spark, ix)
+    assert idx.total_docs == 21
+    assert idx.postings.where(F.col("term") == "freshcopy").count() == 1
+    assert idx.postings.where(F.col("term") == "body5").count() == 0
