@@ -369,6 +369,14 @@ def test_keyed_index_over_http(tmp_path, spark):
         code, out = _post(base + "/search/keyed", {
             "query": {"term": {"field": "text", "value": "body3"}}})
         assert code == 200 and out["total"] == 0
+
+        # byte-identical re-send of a keyed doc is dropped (CRDT dedup)
+        code, out = _post(base + "/index/keyed/documents", {"documents": [
+            {"url": "https://k.test/3", "text": "alpha freshcopy common"},
+        ]})
+        assert code == 200, out
+        assert out["addedCount"] == 0 and out["duplicateCount"] == 1
+        assert out["totalDocs"] == 26
     finally:
         httpd.shutdown()
 
