@@ -377,6 +377,15 @@ def test_keyed_index_over_http(tmp_path, spark):
         assert code == 200, out
         assert out["addedCount"] == 0 and out["duplicateCount"] == 1
         assert out["totalDocs"] == 26
+
+        # snapshot -> the millisecond serving path serves the keyed
+        # index and spreads the stored url on hits
+        code, out = _post(base + "/index/keyed/snapshot", {})
+        assert code == 200, out
+        code, out = _post(base + "/search/keyed", {
+            "query": {"term": {"field": "text", "value": "newpage"}}})
+        assert code == 200 and out["total"] == 1
+        assert out["hits"][0]["url"] == "https://k.test/99"
     finally:
         httpd.shutdown()
 
