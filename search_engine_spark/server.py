@@ -738,6 +738,15 @@ class SearchService:
                                             min_chunks=thresh)
                 if drc.get("folded_chunks"):
                     metrics["docs_runs_folded"] = drc
+                # keyed index: the key → surrogate-id map accrues one
+                # chunk per batch with fresh keys — fold it under the
+                # same cadence so lookups stay O(buckets), not O(batches)
+                if self.catalog.stats(name).get("key_col"):
+                    from .operators.keymap import consolidate_keymap
+                    kmc = consolidate_keymap(self.spark, ixdir,
+                                             min_chunks=thresh)
+                    if kmc.get("folded"):
+                        metrics["keymap_folded"] = kmc
             finally:
                 self._snap_busy.discard(name)
             # reset UNDER the same lock appends count under: every counted

@@ -386,6 +386,26 @@ def test_keyed_index_over_http(tmp_path, spark):
             "query": {"term": {"field": "text", "value": "newpage"}}})
         assert code == 200 and out["total"] == 1
         assert out["hits"][0]["url"] == "https://k.test/99"
+
+        # keymap chunk count is bounded by the snapshot's consolidation
+        # cadence: post fresh-key batches past the threshold, snapshot,
+        # and the per-batch chunks fold to one
+        svc.auto_persist["consolidate_after"] = 3
+        for i in range(3):
+            code, out = _post(base + "/index/keyed/documents",
+                              {"documents": [{
+                                  "url": f"https://k.test/batch{i}",
+                                  "text": "alpha filler common"}]})
+            assert code == 200, out
+        code, out = _post(base + "/index/keyed/snapshot", {})
+        assert code == 200, out
+        from search_engine_spark.operators.keymap import _chunks
+        ixdir = svc.catalog._dir("keyed")
+        assert len(_chunks(ixdir)) == 1
+        # every key still resolves post-fold
+        code, out = _post(base + "/search/keyed", {
+            "query": {"term": {"field": "text", "value": "filler"}}})
+        assert code == 200 and out["total"] == 3
     finally:
         httpd.shutdown()
 
@@ -394,7 +414,7 @@ def test_keyed_index_over_http(tmp_path, spark):
     svc2 = SearchService(spark, root)
     res = svc2.search("keyed", {
         "query": {"term": {"field": "text", "value": "common"}},
-        "size": 30})
-    assert res["total"] == 26
+        "size": 40})
+    assert res["total"] == 29  # 25 base + 1 new + 3 filler batches
     hit_urls = {h.get("url") for h in res["hits"]}
-    assert "https://k.test/99" in hit_urls and len(hit_urls) == 26
+    assert "https://k.test/99" in hit_urls and len(hit_urls) == 29
