@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 KEYMAP = "keymap"
 KEYMAP_META = "keymap_meta.json"
 
+#: fresh-key batches up to this size assign ids by ONE global key-order
+#: sort (a single task — fine for mutation batches). Bigger batches — an
+#: initial keyed build over a web-scale url corpus — switch to the
+#: distributed per-bucket assignment (km_bucket-partitioned rank + an
+#: exclusive per-bucket offset), which runs n_buckets parallel sorts and
+#: never materializes the key set in one task. Both paths are
+#: deterministic given the batch's key set (and n_buckets), dense from
+#: the high-water mark, and never reassign.
+KEY_ORDER_ASSIGN_MAX = 100_000
+
 
 def _km_bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col).cast("string")),
@@ -162,13 +172,36 @@ def map_keys(docs: DataFrame, index_dir: str,
     n_fresh = fresh.count()
     if n_fresh:
         from pyspark.sql import Window
-        w = Window.orderBy("key")  # batch-sized sort: deterministic ids
         hwm = int(meta["hwm"])
-        new_map = (fresh.withColumn(
-            "doc_id", (F.row_number().over(w) - 1 + F.lit(hwm))
-            .cast("long"))
-            .select("key", "doc_id", _km_bucket_col("key", nb))
-            .localCheckpoint())
+        if n_fresh <= KEY_ORDER_ASSIGN_MAX:
+            w = Window.orderBy("key")  # batch-sized sort: deterministic
+            new_map = (fresh.withColumn(
+                "doc_id", (F.row_number().over(w) - 1 + F.lit(hwm))
+                .cast("long"))
+                .select("key", "doc_id", _km_bucket_col("key", nb)))
+        else:
+            # distributed assignment (initial web-scale build): rank
+            # within each km_bucket, then add an exclusive bucket offset
+            # — n_buckets parallel sorts instead of one global one; ids
+            # stay dense [hwm, hwm+n_fresh) and deterministic (bucket fn
+            # is a pure hash, per-bucket key order is total)
+            fb = fresh.select("key", _km_bucket_col("key", nb))
+            counts = {int(r["km_bucket"]): int(r["n"]) for r in
+                      fb.groupBy("km_bucket")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            offs, acc = [], hwm
+            for b in sorted(counts):
+                offs.append((b, acc))
+                acc += counts[b]
+            off_df = spark.createDataFrame(
+                offs, "km_bucket int, __off long")
+            w = Window.partitionBy("km_bucket").orderBy("key")
+            new_map = (fb.join(F.broadcast(off_df), "km_bucket")
+                       .withColumn("doc_id",
+                                   (F.row_number().over(w) - 1
+                                    + F.col("__off")).cast("long"))
+                       .select("key", "doc_id", "km_bucket"))
+        new_map = new_map.localCheckpoint()
         _append_chunk(new_map, index_dir)
         meta["hwm"] = hwm + n_fresh
         meta["n_chunks"] = len(_chunks(index_dir))

@@ -313,3 +313,27 @@ def test_jobs_keyed_build_and_upsert(spark, tmp_path, capsys):
     assert idx.total_docs == 21
     assert idx.postings.where(F.col("term") == "freshcopy").count() == 1
     assert idx.postings.where(F.col("term") == "body5").count() == 0
+
+
+def test_distributed_assignment_bijection(spark, tmp_path, monkeypatch):
+    """Above KEY_ORDER_ASSIGN_MAX the assignment switches to the
+    per-bucket distributed path: ids must stay a dense bijection from
+    the high-water mark, stable on re-resolve, and later small batches
+    continue from the true mark."""
+    from search_engine_spark.operators import keymap as km
+    monkeypatch.setattr(km, "KEY_ORDER_ASSIGN_MAX", 10)
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = spark.createDataFrame(
+        [(f"https://big.test/{i}", "b") for i in range(57)],
+        "url string, text string")
+    mapped = {r["url"]: r["doc_id"]
+              for r in build_keymap(docs, d, key_col="url").collect()}
+    assert sorted(mapped.values()) == list(range(57))  # dense bijection
+    again = {r["url"]: r["doc_id"]
+             for r in map_keys(docs, d, key_col="url").collect()}
+    assert again == mapped  # stable: resolve, never reassign
+    # a later small batch (key-order path) extends from the mark
+    more = spark.createDataFrame([("https://big.test/extra", "b")],
+                                 "url string, text string")
+    assert map_keys(more, d, key_col="url").collect()[0]["doc_id"] == 57
