@@ -124,24 +124,36 @@ def _append_chunk(mappings: DataFrame, index_dir: str) -> None:
             shutil.rmtree(os.path.join(d, junk), ignore_errors=True)
 
 
+#: key batches up to this size resolve via bucket-pruned scan +
+#: broadcast join (point-lookup shape). Bigger batches — a bulk keyed
+#: delete/re-crawl sweep — switch to a plain shuffle join over the whole
+#: map: the batch would touch every bucket anyway, and broadcasting it
+#: would not fit.
+BROADCAST_KEYS_MAX = 1_000_000
+
+
 def resolve_keys(spark: SparkSession, index_dir: str,
                  keys: DataFrame, key_col: str = "key") -> DataFrame:
-    """(key, doc_id) for every batch key already mapped — the lookup is
-    pruned to the batch's km_buckets (≤ |batch| values, one tiny job),
-    so a point lookup against a 10^12-key map touches a handful of
-    row groups, not the table."""
+    """(key, doc_id) for every batch key already mapped. Point-lookup
+    shape (≤ BROADCAST_KEYS_MAX distinct keys): the map read is pruned
+    to the batch's km_buckets (≤ n_buckets values, one tiny job) and the
+    batch broadcasts — a lookup against a 10^12-key map touches a
+    handful of row groups, not the table. Bulk shape: one shuffle join,
+    no driver bucket set, no broadcast."""
     meta = _load_meta(index_dir)
     nb = int(meta["n_buckets"])
     km = _read_map(spark, index_dir)
-    want = sorted({r["km_bucket"] for r in keys
-                   .select(F.col(key_col).alias("key"))
-                   .select(_km_bucket_col("key", nb))
+    kd = (keys.select(F.col(key_col).cast("string").alias("key"))
+          .distinct())
+    n_keys = kd.count()
+    if n_keys > BROADCAST_KEYS_MAX:
+        return km.join(kd, "key").select("key", "doc_id").distinct()
+    want = sorted({r["km_bucket"] for r in
+                   kd.select(_km_bucket_col("key", nb))
                    .distinct().collect()})
     if want:
         km = km.where(F.col("km_bucket").isin(want))
-    return (km.join(F.broadcast(
-        keys.select(F.col(key_col).cast("string").alias("key"))
-        .distinct()), "key")
+    return (km.join(F.broadcast(kd), "key")
         .select("key", "doc_id")
         # distinct: a consolidation crash can leave a key in two chunks
         # (same doc_id both — the map is append-only per key); resolve

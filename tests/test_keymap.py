@@ -341,3 +341,20 @@ def test_distributed_assignment_bijection(spark, tmp_path, monkeypatch):
     more = spark.createDataFrame([("https://big.test/extra", "b")],
                                  "url string, text string")
     assert map_keys(more, d, key_col="url").collect()[0]["doc_id"] == 57
+
+
+def test_bulk_resolve_shuffle_join_path(spark, tmp_path, monkeypatch):
+    """Above BROADCAST_KEYS_MAX resolve_keys switches to the plain
+    shuffle join: same rows back, no broadcast of the batch."""
+    from search_engine_spark.operators import keymap as km
+    d = str(tmp_path / "ix")
+    os.makedirs(d)
+    docs = _corpus(spark)
+    build_keymap(docs, d, key_col="url")
+    probe = docs.select("url")
+    small = {(r["key"], r["doc_id"]) for r in
+             resolve_keys(spark, d, probe, key_col="url").collect()}
+    monkeypatch.setattr(km, "BROADCAST_KEYS_MAX", 5)
+    bulk = {(r["key"], r["doc_id"]) for r in
+            resolve_keys(spark, d, probe, key_col="url").collect()}
+    assert bulk == small and len(bulk) == 40
